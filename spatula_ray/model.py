@@ -1,0 +1,385 @@
+"""The page model: spatula's user-extension surface, re-expressed for the
+Ray-Data engine.
+
+A page class encapsulates fetch + parse + extract logic for one *type* of
+page (reference ``/root/reference/src/spatula/pages.py:78-324``). The hooks —
+``source`` resolution precedence, ``process_page`` / ``process_item``,
+``postprocess_response``, ``process_error_response`` / ``accept_response``,
+``get_next_source`` pagination, ``dependencies`` augmentation, typed
+``input_type`` — keep the reference contract verbatim so a user of the
+reference can run their page classes on this engine unchanged (minus the
+lxml element API, replaced by :mod:`spatula_ray.dom`'s equivalent surface).
+
+Execution differs: pages never drive their own recursion here. The
+sequential oracle (:mod:`spatula_ray.runner`) and the distributed engine
+(:mod:`spatula_ray.engine`) both call ``_fetch_data`` + ``process_page`` and
+handle the emitted records / child pages themselves, assigning deterministic
+``order_key`` lineage so the reference's depth-first emission order
+(``pages.py:206-244``) is reconstructable under parallel execution.
+
+Every parsed page also exposes ``to_spans()`` — the interleaved text+media
+span sequence (kind, text, media_ref, offset) that forms the engine's
+canonical document payload per BASELINE.json's input_hint.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import logging
+import subprocess
+import tempfile
+import time
+import typing
+import warnings
+
+from . import config
+from .client import HTTPError, Response
+from .dom import MEDIA_SRC_TAGS, Element, fromstring_html, fromstring_xml
+from .origins import NullSource, Source, URL
+
+
+class SkipItem(Exception):
+    """Raise inside ``process_item`` (skips that item) or a detail page's
+    ``process_page`` (skips the whole page's output)."""
+
+    def __init__(self, msg: str = ""):
+        super().__init__(msg)
+
+
+class MissingSourceError(Exception):
+    pass
+
+
+class HandledError(Exception):
+    """Wraps an HTTP error that ``process_error_response`` chose to swallow;
+    the page yields nothing but pagination still proceeds."""
+
+    def __init__(self, exc: Exception):
+        super().__init__(exc)
+
+
+class RejectedResponse(Exception):
+    def __init__(self, retries: int, response):
+        self.response = response
+        super().__init__(
+            f"Response was rejected ({retries}x) by accept_response: {response}"
+        )
+
+
+class Page:
+    """Base class for all page scrapers. See module docstring for hook
+    contracts; attribute semantics follow the reference exactly."""
+
+    source: typing.Union[None, str, Source] = None
+    dependencies: typing.Dict[str, "Page"] = {}
+    _cached_dependencies: typing.Dict[str, typing.Any] = {}
+    input_type: typing.Optional[type] = None
+    example_input: typing.Any = None
+    example_source: typing.Union[None, str, Source] = None
+
+    response: typing.Optional[Response] = None
+
+    def __init__(self, input_val: typing.Any = None, *,
+                 source: typing.Union[None, str, Source] = None):
+        self.input = input_val
+        if source:
+            self.source = source
+        self.logger = logging.getLogger(
+            self.__class__.__module__ + "." + self.__class__.__name__
+        )
+
+    def __str__(self) -> str:
+        s = f"{self.__class__.__name__}("
+        if self.input:
+            s += f"input={self.input} "
+        if self.source:
+            s += f"source={self.source}"
+        s += ")"
+        return s
+
+    # -- source resolution (precedence: ctor/class attr > input-derived) ---
+    def resolve_source(self) -> Source:
+        """Resolve and normalize this page's source (``pages.py:157-165``);
+        str is promoted to URL. Raises MissingSourceError."""
+        if not self.source:
+            try:
+                self.source = self.get_source_from_input()
+            except NotImplementedError:
+                raise MissingSourceError(
+                    f"{self.__class__.__name__} has no source or get_source_from_input"
+                )
+        if isinstance(self.source, str):
+            self.source = URL(self.source)
+        return self.source  # type: ignore[return-value]
+
+    # -- lifecycle ---------------------------------------------------------
+    def _fetch_data(self, client, *, dependency_resolver=None) -> None:
+        """Fetch + parse exactly once before process_page.
+
+        Reproduces the reference lifecycle (``pages.py:135-195``): resolve
+        dependencies (instance deps cached in the class-level shared dict,
+        class deps re-instantiated per input and never cached), resolve
+        source, run the accept_response content-retry loop, dispatch HTTP
+        errors to process_error_response, then postprocess_response.
+
+        ``dependency_resolver(page) -> result`` lets the distributed engine
+        substitute broadcast results for the recursive sub-scrape.
+        """
+        for key, dep in self.dependencies.items():
+            use_cache = False
+            if isinstance(dep, type):
+                dep = dep(self.input)
+            else:
+                use_cache = True
+            if key in self._cached_dependencies:
+                setattr(self, key, self._cached_dependencies[key])
+            else:
+                if dependency_resolver is not None:
+                    result = dependency_resolver(dep)
+                else:
+                    dep._fetch_data(client)
+                    result = dep.process_page()
+                setattr(self, key, result)
+                if use_cache:
+                    self._cached_dependencies[key] = result
+
+        source = self.resolve_source()
+        self.logger.info(f"fetching {source}")
+        total_attempts = attempts_remaining = (
+            source.retries or config.REJECTED_RESPONSE_RETRIES
+        ) + 1
+        while attempts_remaining:
+            attempts_remaining -= 1
+            try:
+                response = source.get_response(client)
+                if self.accept_response(response):
+                    self.response = response
+                elif attempts_remaining:
+                    self.logger.debug(
+                        f"response rejected, {attempts_remaining}/{total_attempts} "
+                        f"attempts remaining, sleeping {config.RETRY_WAIT_SECONDS}s"
+                    )
+                    time.sleep(config.RETRY_WAIT_SECONDS)
+                    continue
+                else:
+                    raise RejectedResponse(total_attempts, response)
+            except HTTPError as e:
+                self.process_error_response(e)
+                raise HandledError(e)
+            else:
+                self.postprocess_response()
+                break
+
+    # -- user hooks --------------------------------------------------------
+    def get_source_from_input(self) -> typing.Union[None, str, Source]:
+        raise NotImplementedError()
+
+    def postprocess_response(self) -> None:
+        pass
+
+    def process_error_response(self, exception: Exception) -> None:
+        raise exception
+
+    def accept_response(self, response) -> bool:
+        return True
+
+    def process_page(self) -> typing.Any:
+        raise NotImplementedError()
+
+    def get_next_source(self) -> typing.Union[None, str, Source]:
+        return None
+
+    # -- engine surface ----------------------------------------------------
+    def to_spans(self) -> typing.List[dict]:
+        """Interleaved text+media span sequence of the parsed document.
+
+        Default: a single text span of the raw response text (when any).
+        HtmlPage/XmlPage override with a document-order tree walk.
+        """
+        if self.response is None:
+            return []
+        text = self.response.text
+        if not text:
+            return []
+        return [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+
+    def do_scrape(self, client=None) -> typing.Iterable[typing.Any]:
+        """Programmatic sequential entry point (reference ``pages.py:269-280``)."""
+        from .runner import scrape_iter
+
+        for _key, item in scrape_iter(self, client=client):
+            yield item
+
+
+def _tree_spans(root: Element) -> typing.List[dict]:
+    """Document-order interleaved span walk shared by Html/Xml pages.
+
+    Per element: a media span for <a href> / media-src tags, then its text;
+    child subtrees follow in order, each child's tail after it. offsets are
+    the emission index — the per-row conformance key (kind, text, media_ref,
+    order).
+    """
+    spans: typing.List[dict] = []
+
+    def emit(kind: str, text: str = "", media_ref: str = "") -> None:
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": len(spans)})
+
+    def walk(el: Element) -> None:
+        if el.tag in ("script", "style"):
+            return
+        if el.tag == "a":
+            href = el.get("href")
+            if href:
+                emit("media", media_ref=href)
+        elif el.tag in MEDIA_SRC_TAGS:
+            src = el.get("src") or el.get("data")
+            if src:
+                emit("media", media_ref=src)
+        if el.text and el.text.strip():
+            emit("text", text=el.text.strip())
+        for child in el:
+            walk(child)
+            if child.tail and child.tail.strip():
+                emit("text", text=child.tail.strip())
+
+    walk(root)
+    return spans
+
+
+class HtmlPage(Page):
+    """Parses HTML into ``self.root`` and absolutizes links against the
+    source URL (reference ``pages.py:327-344``)."""
+
+    root: Element
+
+    def postprocess_response(self) -> None:
+        self.root = fromstring_html(self.response.content)
+        if hasattr(self.source, "url"):
+            self.root.make_links_absolute(self.source.url)  # type: ignore[union-attr]
+
+    def to_spans(self) -> typing.List[dict]:
+        return _tree_spans(self.root)
+
+
+class XmlPage(Page):
+    """Parses XML into ``self.root`` (reference ``pages.py:347-359``)."""
+
+    root: Element
+
+    def postprocess_response(self) -> None:
+        self.root = fromstring_xml(self.response.content)
+
+    def to_spans(self) -> typing.List[dict]:
+        return _tree_spans(self.root)
+
+
+class JsonPage(Page):
+    """``self.data = response.json()`` (reference ``pages.py:362-373``)."""
+
+    data: typing.Any
+
+    def postprocess_response(self) -> None:
+        self.data = self.response.json()
+
+
+_FAKE_PDF_MARKER = b"%FAKEPDF\n"
+
+
+class PdfPage(Page):
+    """PDF → text. Real path shells out to ``pdftotext`` exactly like the
+    reference (``pages.py:376-417``); since that binary is absent in this
+    sandbox, bodies starting with ``%FAKEPDF\\n`` take a deterministic fake
+    path (text = remaining bytes) so the plumbing stays testable.
+    """
+
+    preserve_layout = False
+    text: str
+
+    def postprocess_response(self) -> None:
+        content = self.response.content
+        if content.startswith(_FAKE_PDF_MARKER):
+            self.text = content[len(_FAKE_PDF_MARKER):].decode("utf-8")
+            return
+        with tempfile.NamedTemporaryFile() as temp:
+            temp.write(content)
+            temp.flush()
+            cmd = ["pdftotext"] + (["-layout"] if self.preserve_layout else []) + [temp.name, "-"]
+            try:
+                out = subprocess.run(cmd, stdout=subprocess.PIPE, check=True).stdout
+            except OSError as e:
+                raise EnvironmentError(
+                    f"error running pdftotext, missing executable? [{e}]"
+                )
+        self.text = out.decode("utf8")
+
+    def to_spans(self) -> typing.List[dict]:
+        if not getattr(self, "text", None):
+            return []
+        return [{"kind": "text", "text": self.text, "media_ref": "", "offset": 0}]
+
+
+class ListPage(Page):
+    """Extract many homogeneous items from one page via ``process_item``."""
+
+    def _process_or_skip_loop(self, iterable: typing.Iterable) -> typing.Iterable:
+        for item in iterable:
+            try:
+                item = self.process_item(item)
+            except SkipItem as e:
+                self.logger.info(f"SkipItem: {e}")
+                continue
+            yield item
+
+    def process_item(self, item: typing.Any) -> typing.Any:
+        warnings.warn(f"process_item not overridden on {self.__class__.__name__}")
+        return item
+
+
+class CsvListPage(ListPage):
+    """Each CSV row (after the header) → ``process_item`` (``pages.py:462-472``)."""
+
+    def postprocess_response(self) -> None:
+        self.reader = csv.DictReader(io.StringIO(self.response.text))
+
+    def process_page(self) -> typing.Iterable:
+        yield from self._process_or_skip_loop(self.reader)
+
+
+class ExcelListPage(ListPage):
+    """Each row of the first worksheet → ``process_item`` (``pages.py:475-486``);
+    uses the stdlib xlsx reader since openpyxl is unavailable."""
+
+    def postprocess_response(self) -> None:
+        from .xlsxlite import load_worksheet
+
+        self.worksheet = load_worksheet(self.response.content)
+
+    def process_page(self) -> typing.Iterable:
+        yield from self._process_or_skip_loop(self.worksheet.values)
+
+
+class LxmlListPage(ListPage):
+    """Selector-driven list page base (``pages.py:489-506``)."""
+
+    selector = None
+
+    def process_page(self) -> typing.Iterable:
+        if not self.selector:
+            raise NotImplementedError("must either provide selector or override scrape")
+        items = self.selector.match(self.root)
+        yield from self._process_or_skip_loop(items)
+
+
+class HtmlListPage(LxmlListPage, HtmlPage):
+    pass
+
+
+class XmlListPage(LxmlListPage, XmlPage):
+    pass
+
+
+class JsonListPage(ListPage, JsonPage):
+    def process_page(self) -> typing.Iterable:
+        yield from self._process_or_skip_loop(self.data)
