@@ -1,0 +1,429 @@
+"""Crawl driver: the per-wave frontier loop.
+
+Each wave is one Ray Data pipeline over the current frontier:
+
+    frontier -> map_batches(page runner) -> union(emit|expand|page|defer)
+             -> emits   written as a per-wave parquet partition (resumable)
+             -> pages   fetch-log partition (lineage/metrics)
+             -> expands -> offer/commit/query against the sharded URL-seen
+                           filter (deterministic min-order winners)
+             -> next frontier
+
+The page-runner stage runs as stateless Ray Data tasks with a per-worker
+runner cache (client/registry built once per worker process, reused across
+waves — same amortization as an actor pool without paying pool re-creation
+every wave; ``use_actors=True`` switches to a literal actor pool).
+Long-lived state (URL-seen shards, host gates) lives in dedicated
+``num_cpus=0`` actors that survive across waves and snapshot to the
+checkpoint.
+
+Scale notes: the frontier never lives on the driver — it stays a
+(materialized) Dataset of Arrow blocks in the object store between waves;
+emits/pages stream straight to parquet partitions; the only driver-side
+values are counts. Skew: a hot host saturates its HostGate shard's wave
+quota and the excess rows defer to later waves, bounding per-wave per-host
+work; other hosts proceed unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..model import Page
+from .cuckoo import SeenFilterShard
+from .hostgate import HostGate
+from .pagerun import PageRunner, frontier_row_from_page
+from .schema import (
+    DOCS_SCHEMA,
+    KIND_DEFER,
+    KIND_EMIT,
+    KIND_EXPAND,
+    KIND_PAGE,
+    PAGE_LOG_SCHEMA,
+    UNION_SCHEMA,
+    rows_to_table,
+)
+
+# per-worker-process runner cache (see module docstring)
+_RUNNER_CACHE: Dict[str, PageRunner] = {}
+
+
+def _split(kind: str):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["row_kind"], kind))
+
+    return fn
+
+
+def _project(schema: pa.Schema):
+    names = [f.name for f in schema]
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(names).cast(schema)
+
+    return fn
+
+
+@dataclass
+class CrawlConfig:
+    dedup: Optional[str] = "cuckoo"          # "cuckoo" | "exact" | None
+    n_filter_shards: int = 4
+    filter_capacity: int = 1 << 20
+    n_gates: int = 0                          # 0 = no politeness gates
+    per_host_wave_quota: Optional[int] = None
+    robots: Optional[dict] = None             # host -> {disallow, crawl_delay_ms}
+    max_waves: Optional[int] = None
+    concurrency: Optional[Union[int, tuple]] = None   # actor-pool size (use_actors)
+    batch_size: int = 128
+    min_parallelism: int = 8                  # blocks per wave lower bound
+    scout: bool = False
+    expand: bool = True
+    error_policy: str = "record"              # "record" | "raise"
+    checkpoint_dir: Optional[str] = None
+    simulate_latency: bool = False
+    use_actors: bool = False
+    runner_num_cpus: float = 1.0
+
+
+@dataclass
+class CrawlResult:
+    docs: "object"                 # ray.data.Dataset (docs schema), sorted-by-key on demand
+    page_log: "object"             # ray.data.Dataset (page log schema)
+    counters: Dict[str, int] = field(default_factory=dict)
+    waves: int = 0
+
+    def docs_sorted(self):
+        """Docs in reference DFS emission order (sort by order_bytes)."""
+        return self.docs.sort("order_bytes")
+
+    def fetched_urls(self) -> set:
+        """Distinct canonical URLs actually fetched (the URL-seen set)."""
+        from .keys import canonicalize
+
+        urls = set()
+        for batch in self.page_log.select_columns(["source_url", "status"]) \
+                .iter_batches(batch_format="pyarrow"):
+            for u, s in zip(batch["source_url"].to_pylist(),
+                            batch["status"].to_pylist()):
+                if u and s != "robots_denied":
+                    urls.add(canonicalize(u))
+        return urls
+
+
+def build_registry(*items) -> Dict[str, type]:
+    """Build a page-class registry from classes and/or modules (module
+    discovery mirrors reference cli.py:143-154)."""
+    import inspect
+
+    registry: Dict[str, type] = {}
+    for item in items:
+        if isinstance(item, type) and issubclass(item, Page):
+            registry[item.__name__] = item
+        elif hasattr(item, "__dict__"):
+            for name, member in inspect.getmembers(item):
+                if (isinstance(member, type) and issubclass(member, Page)
+                        and member.__module__ == item.__name__):
+                    registry[member.__name__] = member
+        else:
+            raise TypeError(f"cannot register {item!r}")
+    return registry
+
+
+def resolve_instance_dependencies(registry: Dict[str, type],
+                                  resolver_factory: Callable) -> dict:
+    """Resolve instance-form dependencies once on the driver (broadcast-join
+    small side, reference ST1 semantics pages.py:141-155). Generators are
+    materialized to lists so results can be broadcast."""
+    import types as _types
+
+    from ..client import SyntheticClient
+
+    results: dict = {}
+    client = SyntheticClient(resolver_factory())
+    for cls in registry.values():
+        for key, dep in cls.dependencies.items():
+            if isinstance(dep, type) or key in results:
+                continue  # class-form deps resolve per input inside the runner
+            dep._fetch_data(client)
+            out = dep.process_page()
+            if isinstance(out, _types.GeneratorType):
+                out = list(out)
+            results[key] = out
+    return results
+
+
+def seeds_to_table(seeds: Sequence[Page]) -> pa.Table:
+    rows = [frontier_row_from_page(p, (i,), 0) for i, p in enumerate(seeds)]
+    return rows_to_table(rows, UNION_SCHEMA)
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def crawl(seeds: Sequence[Page], registry: Dict[str, type],
+          resolver_factory: Callable,
+          config: Optional[CrawlConfig] = None) -> CrawlResult:
+    """Run a full crawl. Ray must already be initialized by the caller."""
+    import ray
+    import ray.data
+
+    cfg = config or CrawlConfig()
+    crawl_id = uuid.uuid4().hex
+
+    # ---- long-lived state actors ----------------------------------------
+    shards = []
+    if cfg.dedup:
+        ShardActor = ray.remote(num_cpus=0)(SeenFilterShard)
+        shards = [ShardActor.remote(mode=cfg.dedup, capacity=cfg.filter_capacity)
+                  for _ in range(cfg.n_filter_shards)]
+    gates = []
+    if cfg.n_gates:
+        GateActor = ray.remote(num_cpus=0)(HostGate)
+        gates = [GateActor.remote(robots=cfg.robots,
+                                  per_host_wave_quota=cfg.per_host_wave_quota)
+                 for _ in range(cfg.n_gates)]
+
+    # ---- resume ----------------------------------------------------------
+    ckpt = cfg.checkpoint_dir
+    start_wave = 0
+    counters: Dict[str, int] = {}
+    frontier_ds = None
+    if ckpt:
+        os.makedirs(ckpt, exist_ok=True)
+        manifest_path = os.path.join(ckpt, "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            start_wave = manifest["next_wave"]
+            counters = {k: int(v) for k, v in manifest["counters"].items()}
+            for i, s in enumerate(shards):
+                snap_file = os.path.join(ckpt, f"filter_shard_{i}.bin")
+                if os.path.exists(snap_file):
+                    with open(snap_file, "rb") as f:
+                        ray.get(s.restore.remote(f.read()))
+            fdir = os.path.join(ckpt, "frontier", f"wave_{start_wave:05d}")
+            if os.path.isdir(fdir) and os.listdir(fdir):
+                frontier_ds = ray.data.read_parquet(fdir)
+            else:
+                # manifest exists but no pending frontier: the crawl had
+                # finished — resume must NOT re-seed
+                frontier_ds = ray.data.from_arrow(UNION_SCHEMA.empty_table())
+
+    # ---- dependency broadcast -------------------------------------------
+    dep_results = resolve_instance_dependencies(registry, resolver_factory)
+    dep_ref = ray.put(dep_results) if dep_results else None
+
+    runner_kwargs = dict(
+        registry=registry,
+        resolver_factory=resolver_factory,
+        gates=gates or None,
+        dep_ref=dep_ref,
+        scout=cfg.scout,
+        expand=cfg.expand,
+        error_policy=cfg.error_policy,
+        simulate_latency=cfg.simulate_latency,
+    )
+
+    def task_runner(batch: pa.Table) -> pa.Table:
+        r = _RUNNER_CACHE.get(crawl_id)
+        if r is None:
+            r = PageRunner(**runner_kwargs)
+            _RUNNER_CACHE[crawl_id] = r
+        return r(batch)
+
+    shard_handles = list(shards)
+    n_shards = len(shard_handles)
+
+    def offer_batch(batch: pa.Table) -> pa.Table:
+        """Phase 1 of the dedup protocol; emits only a count (the candidate
+        rows themselves stay put — the query pass re-reads them)."""
+        fresh = batch.filter(pc.invert(batch["pre_admitted"].combine_chunks().fill_null(False)))
+        urls_present = fresh.filter(pc.not_equal(fresh["url"], ""))
+        if urls_present.num_rows:
+            hashes = urls_present["url_hash"].to_pylist()
+            orders = urls_present["order_bytes"].to_pylist()
+            by_shard: Dict[int, list] = {}
+            for h, o in zip(hashes, orders):
+                by_shard.setdefault(h % n_shards, []).append((h, o))
+            ray.get([
+                shard_handles[s].offer.remote([h for h, _ in hs], [o for _, o in hs])
+                for s, hs in by_shard.items()
+            ])
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
+
+    def query_batch(batch: pa.Table) -> pa.Table:
+        """Phase 3: keep pre-admitted rows, null-source rows, and winners."""
+        keep = [True] * batch.num_rows
+        pre = batch["pre_admitted"].combine_chunks().fill_null(False).to_pylist()
+        urls = batch["url"].to_pylist()
+        hashes = batch["url_hash"].to_pylist()
+        orders = batch["order_bytes"].to_pylist()
+        by_shard: Dict[int, list] = {}
+        for i in range(batch.num_rows):
+            if pre[i] or not urls[i]:
+                continue
+            by_shard.setdefault(hashes[i] % n_shards, []).append(i)
+        futures, idx_lists = [], []
+        for s, idxs in by_shard.items():
+            futures.append(shard_handles[s].query.remote(
+                [hashes[i] for i in idxs], [orders[i] for i in idxs]))
+            idx_lists.append(idxs)
+        for idxs, mask in zip(idx_lists, ray.get(futures)):
+            for i, ok in zip(idxs, mask):
+                keep[i] = bool(ok)
+        return batch.filter(pa.array(keep))
+
+    def run_dedup(cand_ds):
+        """expand/defer candidates -> deduplicated next frontier."""
+        if not shard_handles:
+            return cand_ds
+        cand_ds.map_batches(offer_batch, batch_format="pyarrow").materialize()
+        ray.get([s.commit.remote() for s in shard_handles])
+        return cand_ds.map_batches(query_batch, batch_format="pyarrow").materialize()
+
+    # ---- seeding ---------------------------------------------------------
+    if frontier_ds is None:
+        seed_t = seeds_to_table(list(seeds))
+        frontier_ds = ray.data.from_arrow(seed_t)
+        if shard_handles:
+            ray.get([s.begin_wave.remote() for s in shard_handles])
+            frontier_ds = run_dedup(frontier_ds.materialize())
+
+    docs_parts: List = []
+    page_parts: List = []
+    wave = start_wave
+    t0 = time.time()
+
+    while True:
+        n = frontier_ds.count()
+        if n == 0 or (cfg.max_waves is not None and wave >= cfg.max_waves):
+            break
+
+        if gates:
+            ray.get([g.begin_wave.remote() for g in gates])
+        if shard_handles:
+            ray.get([s.begin_wave.remote() for s in shard_handles])
+
+        nblocks = max(cfg.min_parallelism, n // max(1, cfg.batch_size))
+        wave_in = frontier_ds.repartition(min(nblocks, max(1, n)))
+
+        if cfg.use_actors:
+            out = wave_in.map_batches(
+                PageRunner, fn_constructor_kwargs=runner_kwargs,
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+                concurrency=cfg.concurrency or 8, num_cpus=cfg.runner_num_cpus)
+        else:
+            out = wave_in.map_batches(
+                task_runner, batch_format="pyarrow", batch_size=cfg.batch_size,
+                num_cpus=cfg.runner_num_cpus)
+        out = out.materialize()
+
+        emits = out.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
+                   .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
+        pages = out.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
+                   .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
+        cands = out.map_batches(
+            lambda t: t.filter(pc.is_in(t["row_kind"],
+                                        value_set=pa.array([KIND_EXPAND, KIND_DEFER]))),
+            batch_format="pyarrow")
+
+        if ckpt:
+            ddir = os.path.join(ckpt, "docs", f"wave_{wave:05d}")
+            pdir = os.path.join(ckpt, "pages", f"wave_{wave:05d}")
+            emits.write_parquet(ddir)
+            pages.write_parquet(pdir)
+        else:
+            # lazy projections over the already-materialized wave output
+            docs_parts.append(emits)
+            page_parts.append(pages)
+
+        frontier_ds = run_dedup(cands.materialize())
+
+        wave += 1
+        if ckpt:
+            fdir = os.path.join(ckpt, "frontier", f"wave_{wave:05d}")
+            if frontier_ds.count():
+                frontier_ds.write_parquet(fdir)
+            for i, s in enumerate(shards):
+                snap = ray.get(s.snapshot.remote())
+                with open(os.path.join(ckpt, f"filter_shard_{i}.bin"), "wb") as f:
+                    f.write(snap)
+            _write_json_atomic(os.path.join(ckpt, "manifest.json"), {
+                "next_wave": wave,
+                "counters": counters,
+                "elapsed_sec": time.time() - t0,
+                "crawl_id": crawl_id,
+            })
+
+    # ---- assemble result -------------------------------------------------
+    import ray.data as rd
+
+    if ckpt:
+        docs_dir = os.path.join(ckpt, "docs")
+        pages_dir = os.path.join(ckpt, "pages")
+        docs = rd.read_parquet(docs_dir) if os.path.isdir(docs_dir) and _has_files(docs_dir) \
+            else rd.from_arrow(DOCS_SCHEMA.empty_table())
+        page_log = rd.read_parquet(pages_dir) if os.path.isdir(pages_dir) and _has_files(pages_dir) \
+            else rd.from_arrow(PAGE_LOG_SCHEMA.empty_table())
+    else:
+        docs = _union_parts(docs_parts, DOCS_SCHEMA)
+        page_log = _union_parts(page_parts, PAGE_LOG_SCHEMA)
+
+    counters = dict(counters)
+    status_counts = {}
+    try:
+        for row in page_log.groupby("status").count().take_all():
+            status_counts[row["status"]] = row["count()"]
+    except Exception:
+        pass
+    counters["pages"] = sum(status_counts.values())
+    counters["fetched"] = sum(v for k, v in status_counts.items()
+                              if k not in ("robots_denied",))
+    counters["errors"] = status_counts.get("error", 0) + status_counts.get("handled_error", 0)
+    counters["skipped"] = status_counts.get("skipped", 0)
+    counters["robots_denied"] = status_counts.get("robots_denied", 0)
+    for s in shard_handles:
+        st = ray.get(s.stats.remote())
+        counters["deduped"] = counters.get("deduped", 0) + st["seen_dropped"]
+        counters["seen_inserted"] = counters.get("seen_inserted", 0) + st["inserted"]
+    for g in gates:
+        st = ray.get(g.stats.remote())
+        counters["gate_deferred"] = counters.get("gate_deferred", 0) + st["deferred"]
+    try:
+        counters["emitted"] = docs.count()
+    except Exception:
+        counters["emitted"] = 0
+    counters["elapsed_sec"] = round(time.time() - t0, 3)
+
+    return CrawlResult(docs=docs, page_log=page_log, counters=counters, waves=wave)
+
+
+def _has_files(d: str) -> bool:
+    for _root, _dirs, files in os.walk(d):
+        if files:
+            return True
+    return False
+
+
+def _union_parts(parts: List, schema: pa.Schema):
+    import ray.data as rd
+
+    parts = [p for p in parts if p.count()]
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

@@ -1,0 +1,275 @@
+"""PageRunner — the fused fetch + parse + extract stage.
+
+One callable class for ``Dataset.map_batches(PageRunner, concurrency=N,
+batch_format="pyarrow")``: constructed once per actor (client + registry +
+broadcast dependency results), invoked per Arrow batch of frontier rows.
+Fusing fetch/parse/extract in one stage mirrors the reference's
+``postprocess_response`` -> ``process_page`` fusion (pages.py:194-217) and
+keeps page bodies out of the object store — only compact emit/expand rows
+flow between stages.
+
+Politeness admission is a batched RPC to the owning HostGate shard per
+batch, grouped by ``host_hash % n_gates``; null-source rows bypass the gate
+(reference NullSource semantics, sources.py:58-72).
+
+The per-row dispatch reproduces the oracle's event semantics
+(spatula_ray.runner.iter_events) with child pages and pagination successors
+becoming *expand* frontier rows instead of recursive calls; order-key
+lineage is identical by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import types
+import typing
+
+from ..client import SyntheticClient
+from ..model import HandledError, MissingSourceError, Page, RejectedResponse, SkipItem
+from ..records import encode_input
+from ..origins import to_spec
+from ..runner import PAGINATION_ORDINAL, order_key_str, scout_projection, to_jsonable
+from .keys import canonicalize, dedup_hash, encode_order_key, hash64, host_of
+from .schema import (
+    KIND_DEFER,
+    KIND_EMIT,
+    KIND_EXPAND,
+    KIND_PAGE,
+    UNION_SCHEMA,
+    rows_to_table,
+)
+
+
+def frontier_row_from_page(page: Page, key: typing.Tuple[int, ...],
+                           depth: int) -> dict:
+    """Enqueue-time projection of a Page instance to a frontier row.
+
+    Source resolution happens here (reference precedence, pages.py:157-165);
+    MissingSourceError surfaces at enqueue time (SURVEY.md E3)."""
+    name = type(page).__name__
+    source = page.resolve_source()
+    url = getattr(source, "url", "") or ""
+    canon = canonicalize(url)
+    host = host_of(url)
+    return {
+        "row_kind": KIND_EXPAND,
+        "url": url,
+        "canon_url": canon,
+        "url_hash": dedup_hash(name, canon) if url else 0,
+        "host": host,
+        "host_hash": hash64(host) if host else 0,
+        "page_class": name,
+        "input_json": encode_input(page.input),
+        "source_spec": to_spec(source),
+        "depth": depth,
+        "priority": int(getattr(page, "priority", 0) or 0),
+        "order_key": list(key),
+        "order_bytes": encode_order_key(key),
+        "pre_admitted": False,
+    }
+
+
+class PageRunner:
+    def __init__(self, registry: typing.Dict[str, type],
+                 resolver_factory: typing.Callable,
+                 gates: typing.Optional[list] = None,
+                 dep_ref=None,
+                 scout: bool = False,
+                 expand: bool = True,
+                 error_policy: str = "record",
+                 simulate_latency: bool = False):
+        self.registry = registry
+        self.client = SyntheticClient(resolver_factory(),
+                                      simulate_latency=simulate_latency)
+        self.gates = gates or []
+        self.scout = scout
+        self.expand = expand
+        self.error_policy = error_policy
+        if dep_ref is not None:
+            import ray
+
+            deps = ray.get(dep_ref)
+            # broadcast instance-dependency results: pre-warm the shared
+            # class-level cache once per actor (reference pages.py:148-155)
+            Page._cached_dependencies.update(deps)
+
+    # -- admission ---------------------------------------------------------
+    def _admit(self, rows: list) -> list:
+        """Return per-row codes: 0 allow, 1 defer, 2 robots-denied."""
+        codes = [0] * len(rows)
+        if not self.gates:
+            return codes
+        import ray
+        from urllib.parse import urlsplit
+
+        n = len(self.gates)
+        by_shard: typing.Dict[int, list] = {}
+        for i, r in enumerate(rows):
+            if not r["url"]:
+                continue
+            by_shard.setdefault(int(r["host_hash"]) % n, []).append(i)
+        futures = []
+        shard_rows = []
+        for shard, idxs in by_shard.items():
+            hosts = [rows[i]["host"] for i in idxs]
+            paths = [urlsplit(rows[i]["url"]).path for i in idxs]
+            futures.append(self.gates[shard].admit.remote(hosts, paths))
+            shard_rows.append(idxs)
+        for idxs, result in zip(shard_rows, ray.get(futures)):
+            for i, code in zip(idxs, result):
+                codes[i] = code
+        return codes
+
+    # -- per-row execution -------------------------------------------------
+    def _page_row(self, row: dict, status: str, *, attempts: int = 0,
+                  n_emitted: int = 0, error: str = "") -> dict:
+        return {
+            "row_kind": KIND_PAGE,
+            "page_class": row["page_class"],
+            "source_url": row["url"],
+            "status": status,
+            "order_key": row["order_key"],
+            "order_bytes": row["order_bytes"],
+            "fetch_attempts": attempts,
+            "n_emitted": n_emitted,
+            "error": error,
+        }
+
+    def _paginate_row(self, page: Page, row: dict) -> typing.Optional[dict]:
+        next_source = page.get_next_source()
+        if not next_source:
+            return None
+        next_page = type(page)(page.input, source=next_source)
+        key = tuple(row["order_key"]) + (PAGINATION_ORDINAL,)
+        return frontier_row_from_page(next_page, key, row["depth"])
+
+    def _emit_row(self, item, page: Page, row: dict, child_key, spans) -> dict:
+        return {
+            "row_kind": KIND_EMIT,
+            "doc_id": order_key_str(child_key),
+            "spans": spans,
+            "page_class": row["page_class"],
+            "source_url": row["url"],
+            "order_key": list(child_key),
+            "order_bytes": encode_order_key(child_key),
+            "record_json": json.dumps(to_jsonable(item), sort_keys=True,
+                                      default=str).encode(),
+        }
+
+    def _run_row(self, row: dict) -> list:
+        out: list = []
+        cls = self.registry.get(row["page_class"])
+        if cls is None:
+            out.append(self._page_row(row, "error",
+                                      error=f"unknown page class {row['page_class']}"))
+            return out
+        from ..records import decode_input
+        from ..origins import source_from_spec
+
+        page = cls(decode_input(row["input_json"]),
+                   source=source_from_spec(row["source_spec"]))
+        key = tuple(row["order_key"])
+        before = self.client.fetch_count
+
+        try:
+            page._fetch_data(self.client)
+        except HandledError as e:
+            # reference pages.py:212-215 — nothing to emit, pagination proceeds
+            pag = self._paginate_row(page, row)
+            if pag and self.expand:
+                out.append(pag)
+            out.append(self._page_row(row, "handled_error",
+                                      attempts=self.client.fetch_count - before,
+                                      error=str(e)))
+            return out
+        except RejectedResponse as e:
+            if self.error_policy == "raise":
+                raise
+            out.append(self._page_row(row, "rejected",
+                                      attempts=self.client.fetch_count - before,
+                                      error=str(e)))
+            return out
+        except Exception as e:  # uncaught HTTPError, MissingSourceError, parse
+            if self.error_policy == "raise":
+                raise
+            out.append(self._page_row(row, "error",
+                                      attempts=self.client.fetch_count - before,
+                                      error=f"{type(e).__name__}: {e}"))
+            return out
+
+        attempts = self.client.fetch_count - before
+        try:
+            result = page.process_page()
+        except SkipItem as e:
+            # detail-level SkipItem: no output, no pagination (pages.py:218-222)
+            out.append(self._page_row(row, "skipped", attempts=attempts,
+                                      error=str(e)))
+            return out
+        except Exception as e:
+            if self.error_policy == "raise":
+                raise
+            out.append(self._page_row(row, "error", attempts=attempts,
+                                      error=f"{type(e).__name__}: {e}"))
+            return out
+
+        spans = None
+        n_emitted = 0
+
+        def emit(item, child_key):
+            nonlocal spans, n_emitted
+            if spans is None:
+                spans = page.to_spans()
+            out.append(self._emit_row(item, page, row, child_key, spans))
+            n_emitted += 1
+
+        try:
+            if isinstance(result, types.GeneratorType):
+                for idx, item in enumerate(result):
+                    child_key = key + (idx,)
+                    if self.scout:
+                        emit(scout_projection(item), child_key)
+                    elif isinstance(item, Page):
+                        if self.expand:
+                            out.append(frontier_row_from_page(
+                                item, child_key, row["depth"] + 1))
+                    else:
+                        emit(item, child_key)
+            elif self.scout:
+                emit(scout_projection(result), key + (0,))
+            elif isinstance(result, Page):
+                if self.expand:
+                    out.append(frontier_row_from_page(result, key + (0,),
+                                                      row["depth"] + 1))
+            else:
+                emit(result, key + (0,))
+        except Exception as e:
+            if self.error_policy == "raise":
+                raise
+            out.append(self._page_row(row, "error", attempts=attempts,
+                                      error=f"{type(e).__name__}: {e}"))
+            return out
+
+        if self.expand and not self.scout:
+            pag = self._paginate_row(page, row)
+            if pag:
+                out.append(pag)
+        out.append(self._page_row(row, "ok", attempts=attempts,
+                                  n_emitted=n_emitted))
+        return out
+
+    # -- batch entry -------------------------------------------------------
+    def __call__(self, batch):
+        rows = batch.to_pylist()
+        codes = self._admit(rows)
+        out_rows: list = []
+        for row, code in zip(rows, codes):
+            if code == 1:  # defer to next wave, already deduped
+                defer = dict(row)
+                defer["row_kind"] = KIND_DEFER
+                defer["pre_admitted"] = True
+                out_rows.append(defer)
+            elif code == 2:
+                out_rows.append(self._page_row(row, "robots_denied"))
+            else:
+                out_rows.extend(self._run_row(row))
+        return rows_to_table(out_rows, UNION_SCHEMA)

@@ -13,6 +13,9 @@ def ray_session():
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging as _logging
+
+    _logging.getLogger("ray.data").setLevel(_logging.WARNING)
     yield
     ray.shutdown()
 

@@ -1,0 +1,172 @@
+"""Conformance: the distributed engine vs the sequential oracle on the same
+synthetic webs — docs equality on (doc_id, span sequence, record, order-key
+sort), URL-seen-set equality, and counter consistency."""
+
+import json
+
+import pytest
+
+from spatula_ray.client import SyntheticClient
+from spatula_ray.engine import CrawlConfig, crawl
+from spatula_ray.engine.driver import build_registry
+from spatula_ray.runner import run_oracle
+from spatula_ray.web import (
+    AwardsPage,
+    DocDetail,
+    DocList,
+    DocwebResolverFactory,
+    EMP_ROBOTS,
+    EmployeeDetail,
+    EmployeeList,
+    EmployeesResolverFactory,
+    FormulaResolverFactory,
+    SpiderPage,
+    docweb_seeds,
+    spider_seeds,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def docs_table_sorted(result):
+    """Engine docs -> list of dicts sorted by order key."""
+    rows = result.docs_sorted().take_all()
+    return rows
+
+
+def assert_docs_match(engine_rows, oracle_docs):
+    assert len(engine_rows) == len(oracle_docs)
+    for got, want in zip(engine_rows, oracle_docs):
+        assert got["doc_id"] == want["doc_id"]
+        assert got["order_key"] == want["order_key"]
+        assert got["page_class"] == want["page_class"]
+        assert got["source_url"] == want["source_url"]
+        got_rec = json.loads(bytes(got["record_json"]))
+        want_rec = json.loads(want["record_json"])
+        assert got_rec == want_rec, got["doc_id"]
+        got_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in got["spans"]]
+        want_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in want["spans"]]
+        assert got_spans == want_spans, got["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_employees_conformance_no_dedup():
+    """Exact reference semantics (no URL dedup, like the reference) on the
+    list→detail chain with pagination, 404 handling, SkipItem, and the
+    awards dependency broadcast."""
+    factory = EmployeesResolverFactory()
+    oracle = run_oracle([EmployeeList()], SyntheticClient(factory()))
+
+    registry = build_registry(EmployeeList, EmployeeDetail, AwardsPage)
+    result = crawl([EmployeeList()], registry, factory,
+                   CrawlConfig(dedup=None, batch_size=16, min_parallelism=4))
+    assert_docs_match(docs_table_sorted(result), oracle.docs)
+    # 44 employees minus one vacant-skip minus one 404 = emitted rows
+    assert result.counters["emitted"] == len(oracle.docs) == 43
+    assert result.fetched_urls() == oracle.fetched_urls
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("dedup", ["exact", "cuckoo"])
+def test_employees_conformance_with_dedup(dedup):
+    """With global URL dedup on: same docs (each URL reachable once in this
+    fixture) and same URL-seen set."""
+    factory = EmployeesResolverFactory()
+    oracle = run_oracle([EmployeeList()], SyntheticClient(factory()))
+
+    registry = build_registry(EmployeeList, EmployeeDetail, AwardsPage)
+    result = crawl([EmployeeList()], registry, factory,
+                   CrawlConfig(dedup=dedup, n_filter_shards=2, batch_size=16))
+    assert_docs_match(docs_table_sorted(result), oracle.docs)
+    assert result.fetched_urls() == oracle.fetched_urls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_employees_robots_gate():
+    factory = EmployeesResolverFactory()
+    registry = build_registry(EmployeeList, EmployeeDetail, AwardsPage)
+
+    class Secret(SpiderPage):
+        pass
+
+    # add a page class that would follow the /private link
+    result = crawl([EmployeeList()], registry, factory,
+                   CrawlConfig(dedup=None, n_gates=2, robots=EMP_ROBOTS,
+                               batch_size=16))
+    # /private/secret never enqueued by EmployeeList (it doesn't follow it),
+    # but robots config must not break the normal crawl
+    assert result.counters["emitted"] == 43
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_docweb_conformance():
+    """Doc-web (documents.parquet -> listing/detail site): engine == oracle,
+    and records round-trip the original table content."""
+    factory = DocwebResolverFactory(f"{SF_DIR}/documents.parquet")
+    oracle = run_oracle(docweb_seeds(500), SyntheticClient(factory()))
+
+    registry = build_registry(DocList, DocDetail)
+    result = crawl(docweb_seeds(500), registry, factory,
+                   CrawlConfig(dedup="cuckoo", n_filter_shards=4, batch_size=64))
+    engine_rows = docs_table_sorted(result)
+    assert_docs_match(engine_rows, oracle.docs)
+    assert result.fetched_urls() == oracle.fetched_urls
+
+    # spot-check content equality vs the source table
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    detail = [json.loads(bytes(r["record_json"])) for r in engine_rows
+              if r["page_class"] == "DocDetail"]
+    assert len(detail) == 500
+    for rec in detail[:20]:
+        assert rec["text"] == texts[rec["doc_id"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_formula_web_dedup_bounds_crawl():
+    """Spider over the formula web: global dedup terminates the crawl at the
+    URL-space size; URL-seen set equals the reachable set."""
+    spec = dict(n_hosts=4, pages_per_host=30, links_per_page=6, seed=7)
+    factory = FormulaResolverFactory(**spec)
+    registry = build_registry(SpiderPage)
+    result = crawl(spider_seeds(4), registry, factory,
+                   CrawlConfig(dedup="exact", n_filter_shards=2, batch_size=32))
+    n_urls = len(result.fetched_urls())
+    assert result.counters["emitted"] == n_urls  # one record per fetched page
+    assert 4 <= n_urls <= 4 * 30
+    # reachability check vs a driver-side BFS
+    from spatula_ray.dom import fromstring_html
+
+    resolver = factory()
+    seen, stack = set(), [f"https://h{i}.bench.test/p/0" for i in range(4)]
+    while stack:
+        u = stack.pop()
+        if u in seen:
+            continue
+        seen.add(u)
+        row = resolver(u)
+        for href in fromstring_html(row["body"]).xpath("//a/@href"):
+            if ".bench.test/" in href and href not in seen:
+                stack.append(href)
+    assert result.fetched_urls() == seen
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_host_quota_defers_but_completes():
+    spec = dict(n_hosts=4, pages_per_host=20, links_per_page=6, hot_frac=0.8,
+                seed=11)
+    factory = FormulaResolverFactory(**spec)
+    registry = build_registry(SpiderPage)
+    result = crawl(spider_seeds(4), registry, factory,
+                   CrawlConfig(dedup="exact", n_gates=2, per_host_wave_quota=5,
+                               batch_size=32))
+    unlimited = crawl(spider_seeds(4), registry, factory,
+                      CrawlConfig(dedup="exact", batch_size=32))
+    # quota defers work across waves but the final fetched set is identical
+    assert result.fetched_urls() == unlimited.fetched_urls()
+    assert result.counters.get("gate_deferred", 0) > 0
+    assert result.waves >= unlimited.waves
