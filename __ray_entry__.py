@@ -1,44 +1,466 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship pipeline (doc-web crawl at sf0.001).
+``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
+                the training-data extensions); each takes sf_dir.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+                (tables pre-registered as views). Rows-only entries
+                (approximate sketches, heuristics, media stubs) omit SQL.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Float policy: every float the engine emits in a compared column is rounded
+(and the SQL rounds identically), so partial-aggregation order cannot flip
+the value hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+# constructed-duplicate offsets used by the dedup queries (mirrored in SQL)
+_DUP_OFFSET = 100_000
+_EMB_COPY_N = 50
+_EMB_OFFSET = 10_000
+_N_QUERIES = 5
+_TOPK = 10
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _docs_with_copies(sf_dir: str):
+    """documents UNION ALL exact copies with doc_id+_DUP_OFFSET."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                         "text": t["text"]})
+
+    return base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+
+def _docs_with_neardups(sf_dir: str):
+    """documents UNION ALL perturbed copies: every 10th token (1-based)
+    replaced by 'xq7', doc_id+_DUP_OFFSET. SQL mirror uses list_transform
+    with a 1-based index lambda."""
+    import pyarrow as pa
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (txt or "").split(" ")
+            toks = ["xq7" if (i + 1) % 10 == 0 else w
+                    for i, w in enumerate(toks)]
+            ids.append(d + _DUP_OFFSET)
+            texts.append(" ".join(toks))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    return base.union(base.map_batches(perturb, batch_format="pyarrow"))
+
+
+def _embeddings_with_copies(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    base = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], _EMB_COPY_N))
+        return pa.table({"vec_id": pc.add(t["vec_id"], _EMB_OFFSET),
+                         "embedding": t["embedding"]})
+
+    return base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+
+def _query_vectors(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    rows = sorted(order)[:_N_QUERIES]
+    embs = t["embedding"].to_pylist()
+    return (np.asarray([embs[order[v]] for v in rows], dtype=np.float64), rows)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the sf0.001 doc-web (frontier loop, cuckoo URL-seen,
+    fused page-runner actors) and return the round-tripped records."""
+    from spatula_ray.pipelines.docweb import docweb_records
+
+    return docweb_records("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spatula_ray.pipelines import docweb as dw
+    from spatula_ray.pipelines import relational as rel
+    from spatula_ray.stages import dedup as dd
+    from spatula_ray.stages import similarity as sim
+    from spatula_ray.stages import text as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def text_stats(sf_dir):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tx.TextStats, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def doc_quality(sf_dir):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tx.QualityScore, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def langid_pred(sf_dir):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tx.LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def winnow(sf_dir):
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tx.WinnowFingerprint, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def lang_counts(sf_dir):
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+
+        out = _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
+            Count(alias_name="n_docs"))
+        return out
+
+    def exact_dedup_q(sf_dir):
+        return dd.exact_dedup(_docs_with_copies(sf_dir))
+
+    def ngram_jaccard(sf_dir):
+        return dd.exact_jaccard_pairs(_docs_with_neardups(sf_dir),
+                                      threshold=0.5, k_shingle=3)
+
+    def minhash_pairs(sf_dir):
+        return dd.minhash_dup_pairs(_docs_with_neardups(sf_dir),
+                                    threshold=0.5)
+
+    def simhash_pairs(sf_dir):
+        return dd.simhash_dup_pairs(_docs_with_copies(sf_dir), max_hamming=3)
+
+    def embedding_dups(sf_dir):
+        return dd.embedding_dup_pairs(_embeddings_with_copies(sf_dir),
+                                      threshold=0.999)
+
+    def ann_topk(sf_dir):
+        import pyarrow as pa
+        import ray.data as rd
+
+        q, qids = _query_vectors(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        out = sim.topk_cosine(ds, q, k=_TOPK, self_ids=qids)
+
+        def remap(t: pa.Table) -> pa.Table:
+            # query_id is the query-array index; report the actual vec_id
+            mapped = [qids[i] for i in t["query_id"].to_pylist()]
+            return t.set_column(t.schema.get_field_index("query_id"),
+                                "query_id", pa.array(mapped, type=pa.int64()))
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
+    def lsh_topk(sf_dir):
+        import ray.data as rd
+
+        q, _qids = _query_vectors(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        return sim.lsh_ann_topk(ds, q, k=_TOPK)
+
+    def media_features(sf_dir):
+        from spatula_ray.stages.multimodal import (
+            extract_media_features,
+            media_manifest_from_docs,
+        )
+
+        result = dw.crawl_docweb(sf_dir)
+        manifest = media_manifest_from_docs(result.docs)
+        return extract_media_features(manifest)
+
+    return {
+        # crawl engine (flagship)
+        "crawl_docs": dw.docweb_records,
+        "crawl_spans": dw.docweb_spans,
+        "crawl_seen_urls": dw.docweb_seen_urls,
+        "crawl_scout": dw.docweb_scout,
+        "crawl_class_counts": dw.docweb_class_counts,
+        # relational / events operators
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "top_orders_by_revenue": rel.top_orders_by_revenue,
+        "customer_nation_revenue": rel.customer_nation_revenue,
+        "supplier_part_join": rel.supplier_part_join,
+        "events_hourly": rel.events_hourly,
+        "user_sessions": rel.user_sessions,
+        # text analysis
+        "text_stats": text_stats,
+        "doc_quality": doc_quality,
+        "lang_counts": lang_counts,
+        "langid_pred": langid_pred,
+        "winnow_fingerprints": winnow,
+        # dedup family
+        "exact_dedup": exact_dedup_q,
+        "ngram_jaccard_pairs": ngram_jaccard,
+        "minhash_dup_pairs": minhash_pairs,
+        "simhash_dup_pairs": simhash_pairs,
+        "embedding_dup_pairs": embedding_dups,
+        # similarity search
+        "ann_topk": ann_topk,
+        "lsh_ann_topk": lsh_topk,
+        # multimodal plumbing
+        "media_features": media_features,
+    }
+
+
+# SQL fragments shared by the doc-web oracles
+_PARAMS = ("params AS (SELECT greatest(1, least(10, CAST(count(*) / 50 AS INT)))"
+           " AS h FROM documents)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_docs": "SELECT doc_id, lang, source, text, n_chars FROM documents",
+
+        "crawl_spans": f"""
+WITH {_PARAMS}
+SELECT d.doc_id,
+       u.kind AS kind, u.text AS text, u.media_ref AS media_ref,
+       u."offset" AS "offset"
+FROM documents d, params p, UNNEST([
+  struct_pack(kind := 'text',  text := 'Doc ' || d.doc_id, media_ref := '',
+              "offset" := CAST(0 AS INTEGER)),
+  struct_pack(kind := 'text',  text := d.lang,   media_ref := '',
+              "offset" := CAST(1 AS INTEGER)),
+  struct_pack(kind := 'text',  text := d.source, media_ref := '',
+              "offset" := CAST(2 AS INTEGER)),
+  struct_pack(kind := 'text',  text := d.text,   media_ref := '',
+              "offset" := CAST(3 AS INTEGER)),
+  struct_pack(kind := 'media', text := '',
+              media_ref := printf('https://h%03d.docweb.test/media/%d.png',
+                                  CAST(d.doc_id % p.h AS INT), d.doc_id),
+              "offset" := CAST(4 AS INTEGER))
+]) AS t(u)
+""",
+
+        "crawl_seen_urls": f"""
+WITH {_PARAMS},
+hosts AS (
+  SELECT CAST(doc_id % p.h AS INT) AS hh, count(*) AS cnt
+  FROM documents, params p GROUP BY 1
+)
+SELECT DISTINCT url FROM (
+  SELECT printf('https://h%03d.docweb.test/list', hh) AS url FROM hosts
+  UNION ALL
+  SELECT printf('https://h%03d.docweb.test/list?page=%d', hh, pg)
+  FROM hosts, UNNEST(generate_series(1, CAST(ceil(cnt / 20.0) AS INT) - 1)) AS t(pg)
+  UNION ALL
+  SELECT printf('https://h%03d.docweb.test/doc/%d',
+                CAST(doc_id % p.h AS INT), doc_id)
+  FROM documents, params p
+)
+""",
+
+        "crawl_scout": f"""
+WITH {_PARAMS}
+SELECT printf('https://h%03d.docweb.test/doc/%d',
+              CAST(doc_id % p.h AS INT), doc_id) AS data_url,
+       'DocDetail source=None' AS next
+FROM documents, params p
+""",
+
+        "crawl_class_counts": f"""
+WITH {_PARAMS},
+hosts AS (
+  SELECT CAST(doc_id % p.h AS INT) AS hh, count(*) AS cnt
+  FROM documents, params p GROUP BY 1
+)
+SELECT 'DocDetail' AS page_class, CAST(count(*) AS BIGINT) AS n_pages FROM documents
+UNION ALL
+SELECT 'DocList' AS page_class,
+       CAST(sum(CAST(ceil(cnt / 20.0) AS INT)) AS BIGINT) AS n_pages FROM hosts
+""",
+
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 100 + 0.5) / 100                          AS sum_qty,
+       floor(sum(l_extendedprice) * 100 + 0.5) / 100                     AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100  AS sum_disc_price,
+       floor(avg(l_quantity) * 10000 + 0.5) / 10000                          AS avg_qty,
+       floor(avg(l_extendedprice) * 10000 + 0.5) / 10000                     AS avg_price,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+
+        "top_orders_by_revenue": """
+SELECT o.o_orderkey,
+       floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue,
+       o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+
+        "customer_nation_revenue": """
+SELECT n.n_name,
+       floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS total_revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+
+        "supplier_part_join": """
+SELECT p.p_brand,
+       floor(sum(l.l_quantity) * 100 + 0.5) / 100 AS total_qty,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+
+        "events_hourly": """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+
+        "user_sessions": """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM ordered GROUP BY user_id
+""",
+
+        "text_stats": r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       floor(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) * 1e6 + 0.5) / 1e6 AS ttr,
+       md5(text) AS fingerprint
+FROM documents
+""",
+
+        "doc_quality": """
+SELECT doc_id,
+       floor((0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' ')))
+           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / length(text))
+           + 0.3 * least(1.0, length(text) / 500.0)) * 1e6 + 0.5) / 1e6 AS quality
+FROM documents
+""",
+
+        "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+
+        "exact_dedup": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+)
+SELECT min(doc_id) AS doc_id, text FROM aug GROUP BY text
+""",
+
+        "ngram_jaccard_pairs": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, floor(c::DOUBLE / (ca.n + cb.n - c) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = a
+JOIN cnt cb ON cb.doc_id = b
+WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.5
+""",
+
+        "embedding_dup_pairs": f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_EMB_OFFSET}, embedding FROM embeddings
+  WHERE vec_id < {_EMB_COPY_N}
+),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM aug)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       floor(list_inner_product(a.e, b.e)
+             / (sqrt(list_inner_product(a.e, a.e))
+                * sqrt(list_inner_product(b.e, b.e))) * 1e5 + 0.5) / 1e5 AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e)
+      / (sqrt(list_inner_product(a.e, a.e))
+         * sqrt(list_inner_product(b.e, b.e))) >= 0.999
+""",
+
+        "ann_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                       LIMIT {_N_QUERIES})),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(qv, v)
+         / (sqrt(list_inner_product(qv, qv))
+            * sqrt(list_inner_product(v, v))) AS s
+  FROM q, e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, floor(s * 1e5 + 0.5) / 1e5 AS score
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+        <= {_TOPK}
+""",
+        # rows-only (approximate/heuristic/stub, not SQL-expressible):
+        #   langid_pred, winnow_fingerprints, minhash_dup_pairs,
+        #   simhash_dup_pairs, lsh_ann_topk, media_features
+    }

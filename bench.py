@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N, "extra": {...}}
+
+--scaling: run the same bench twice in fresh processes at num_cpus=8 and 32
+and print both throughputs plus scaling efficiency = (T_8 / T_32) / 4
+(the sandbox stand-in for the N vs 4N cluster-size criterion; see
+BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "crawl_docs",            # doc-web crawl end-to-end (cache-cold first call)
+    "q1_pricing_summary",
+    "top_orders_by_revenue",
+    "events_hourly",
+    "text_stats",
+    "exact_dedup",
+    "minhash_dup_pairs",
+    "ann_topk",
+]
+
+FORMULA_SPEC = dict(n_hosts=32, pages_per_host=1200, links_per_page=10,
+                    text_words=250, media_per_page=3, seed=42)
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.materialize().count()
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = None
+
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem orders documents embeddings events part customer".split()):
+        pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+
+    timings = {}
+    extra = {}
+
+    # -- headline: formula-web crawl (URL frontier + cuckoo + gates) -------
+    from spatula_ray.engine import CrawlConfig, crawl
+    from spatula_ray.engine.driver import build_registry
+    from spatula_ray.web import FormulaResolverFactory, SpiderPage, spider_seeds
+
+    t0 = time.time()
+    res = crawl(
+        spider_seeds(FORMULA_SPEC["n_hosts"]),
+        build_registry(SpiderPage),
+        FormulaResolverFactory(**FORMULA_SPEC),
+        CrawlConfig(dedup="cuckoo", n_filter_shards=8, n_gates=4,
+                    filter_capacity=1 << 21, batch_size=256,
+                    min_parallelism=ncpu),
+    )
+    crawl_sec = time.time() - t0
+    timings["crawl_formula_web"] = round(crawl_sec, 3)
+    pages = res.counters.get("pages", 0)
+    extra["crawl_pages"] = pages
+    extra["crawl_waves"] = res.waves
+    extra["fetched_urls_per_sec"] = round(pages / crawl_sec, 1)
+    extra["frontier_ops_per_sec"] = round(
+        (res.counters.get("seen_inserted", 0)
+         + res.counters.get("deduped", 0)) / crawl_sec, 1)
+
+    # -- operator suite over the sf tables ---------------------------------
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = _consume(qs[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        extra[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "extra": extra,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    crawl_eff = ((r_lo["queries"]["crawl_formula_web"]
+                  / r_hi["queries"]["crawl_formula_web"]) / (hi / lo))
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "crawl_scaling_efficiency": round(crawl_eff, 3),
+        "crawl_urls_per_sec_lo": r_lo["extra"]["fetched_urls_per_sec"],
+        "crawl_urls_per_sec_hi": r_hi["extra"]["fetched_urls_per_sec"],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -229,6 +229,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         registry=registry,
         resolver_factory=resolver_factory,
         gates=gates or None,
+        filter_shards=shards or None,
         dep_ref=dep_ref,
         scout=cfg.scout,
         expand=cfg.expand,
@@ -285,11 +286,16 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                 keep[i] = bool(ok)
         return batch.filter(pa.array(keep))
 
-    def run_dedup(cand_ds):
-        """expand/defer candidates -> deduplicated next frontier."""
+    def run_dedup(cand_ds, need_offer_pass: bool = False):
+        """expand/defer candidates -> deduplicated next frontier.
+
+        The offer phase is normally fused into the PageRunner batch (the
+        wave materialize is the barrier); only the seed table, which never
+        passes through a runner, needs the standalone offer pass."""
         if not shard_handles:
             return cand_ds
-        cand_ds.map_batches(offer_batch, batch_format="pyarrow").materialize()
+        if need_offer_pass:
+            cand_ds.map_batches(offer_batch, batch_format="pyarrow").materialize()
         ray.get([s.commit.remote() for s in shard_handles])
         return cand_ds.map_batches(query_batch, batch_format="pyarrow").materialize()
 
@@ -299,7 +305,8 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         frontier_ds = ray.data.from_arrow(seed_t)
         if shard_handles:
             ray.get([s.begin_wave.remote() for s in shard_handles])
-            frontier_ds = run_dedup(frontier_ds.materialize())
+            frontier_ds = run_dedup(frontier_ds.materialize(),
+                                    need_offer_pass=True)
 
     docs_parts: List = []
     page_parts: List = []

@@ -73,6 +73,7 @@ class PageRunner:
     def __init__(self, registry: typing.Dict[str, type],
                  resolver_factory: typing.Callable,
                  gates: typing.Optional[list] = None,
+                 filter_shards: typing.Optional[list] = None,
                  dep_ref=None,
                  scout: bool = False,
                  expand: bool = True,
@@ -82,6 +83,9 @@ class PageRunner:
         self.client = SyntheticClient(resolver_factory(),
                                       simulate_latency=simulate_latency)
         self.gates = gates or []
+        # dedup offer phase is fused into the runner batch: the wave's
+        # materialize barrier guarantees all offers land before commit
+        self.filter_shards = filter_shards or []
         self.scout = scout
         self.expand = expand
         self.error_policy = error_policy
@@ -249,13 +253,33 @@ class PageRunner:
                                       error=f"{type(e).__name__}: {e}"))
             return out
 
-        if self.expand and not self.scout:
+        # pagination proceeds even in scout mode (reference pages.py:206-244:
+        # scout _to_items still calls _paginate)
+        if self.expand:
             pag = self._paginate_row(page, row)
             if pag:
                 out.append(pag)
         out.append(self._page_row(row, "ok", attempts=attempts,
                                   n_emitted=n_emitted))
         return out
+
+    def _offer_expands(self, out_rows: list) -> None:
+        if not self.filter_shards:
+            return
+        import ray
+
+        n = len(self.filter_shards)
+        by_shard: typing.Dict[int, list] = {}
+        for r in out_rows:
+            if r.get("row_kind") == KIND_EXPAND and r.get("url"):
+                by_shard.setdefault(int(r["url_hash"]) % n, []).append(
+                    (int(r["url_hash"]), r["order_bytes"]))
+        if by_shard:
+            ray.get([
+                self.filter_shards[s].offer.remote([h for h, _ in hs],
+                                                   [o for _, o in hs])
+                for s, hs in by_shard.items()
+            ])
 
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch):
@@ -272,4 +296,5 @@ class PageRunner:
                 out_rows.append(self._page_row(row, "robots_denied"))
             else:
                 out_rows.extend(self._run_row(row))
+        self._offer_expands(out_rows)
         return rows_to_table(out_rows, UNION_SCHEMA)

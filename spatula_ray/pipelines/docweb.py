@@ -1,0 +1,145 @@
+"""Doc-web pipelines: crawl the documents.parquet-derived synthetic site and
+project the crawl output into SQL-checkable tables.
+
+The crawl result is cached per (sf_dir, mode) within the process so the
+several correctness queries over the same crawl don't re-crawl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import pyarrow as pa
+
+from ..engine import CrawlConfig, crawl
+from ..engine.driver import build_registry
+from ..web import DocDetail, DocList, DocwebResolverFactory, docweb_seeds
+
+_CRAWL_CACHE: Dict[tuple, object] = {}
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def crawl_docweb(sf_dir: str, scout: bool = False, **cfg_overrides):
+    key = (sf_dir, scout, tuple(sorted(cfg_overrides.items())))
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    factory = DocwebResolverFactory(os.path.join(sf_dir, "documents.parquet"))
+    registry = build_registry(DocList, DocDetail)
+    cfg = CrawlConfig(dedup="cuckoo", n_filter_shards=4, batch_size=64,
+                      scout=scout, **cfg_overrides)
+    result = crawl(docweb_seeds(_n_docs(sf_dir)), registry, factory, cfg)
+    _CRAWL_CACHE[key] = result
+    return result
+
+
+def docweb_records(sf_dir: str):
+    """One row per crawled document, content round-tripped through the
+    site: (doc_id, lang, source, text, n_chars). Oracle: the documents
+    table itself."""
+    result = crawl_docweb(sf_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "lang": [], "source": [], "text": [],
+                "n_chars": []}
+        for cls, rec in zip(batch["page_class"].to_pylist(),
+                            batch["record_json"].to_pylist()):
+            if cls != "DocDetail":
+                continue
+            r = json.loads(bytes(rec))
+            rows["doc_id"].append(r["doc_id"])
+            rows["lang"].append(r["lang"])
+            rows["source"].append(r["source"])
+            rows["text"].append(r["text"])
+            rows["n_chars"].append(r["n_chars"])
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            "source": pa.array(rows["source"], type=pa.string()),
+            "text": pa.array(rows["text"], type=pa.string()),
+            "n_chars": pa.array(rows["n_chars"], type=pa.int64()),
+        })
+
+    return result.docs.map_batches(decode, batch_format="pyarrow")
+
+
+def docweb_spans(sf_dir: str):
+    """Flattened interleaved span sequences of the crawled detail pages:
+    (doc_id, kind, text, media_ref, offset) — the per-row span-sequence
+    invariant as a queryable table."""
+    result = crawl_docweb(sf_dir)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "kind": [], "text": [], "media_ref": [],
+                "offset": []}
+        for cls, url, spans in zip(batch["page_class"].to_pylist(),
+                                   batch["source_url"].to_pylist(),
+                                   batch["spans"].to_pylist()):
+            if cls != "DocDetail":
+                continue
+            did = int(url.rsplit("/", 1)[1])
+            for s in spans or []:
+                rows["doc_id"].append(did)
+                rows["kind"].append(s["kind"])
+                rows["text"].append(s["text"])
+                rows["media_ref"].append(s["media_ref"])
+                rows["offset"].append(s["offset"])
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+            "text": pa.array(rows["text"], type=pa.string()),
+            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+            "offset": pa.array(rows["offset"], type=pa.int32()),
+        })
+
+    return result.docs.map_batches(flatten, batch_format="pyarrow")
+
+
+def docweb_seen_urls(sf_dir: str):
+    """The crawl's URL-seen set as a one-column table (canonical URLs
+    actually fetched)."""
+    result = crawl_docweb(sf_dir)
+    from ..engine.keys import canonicalize
+
+    def proj(batch: pa.Table) -> pa.Table:
+        urls = [canonicalize(u) for u, s in zip(batch["source_url"].to_pylist(),
+                                                batch["status"].to_pylist())
+                if u and s != "robots_denied"]
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    ds = result.page_log.map_batches(proj, batch_format="pyarrow")
+    return ds.groupby("url").count().select_columns(["url"])
+
+
+def docweb_scout(sf_dir: str):
+    """Scout mode (wave-0 + pagination, subpages not followed): one
+    projection row per discovered detail page."""
+    result = crawl_docweb(sf_dir, scout=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        data_urls, nexts = [], []
+        for rec in batch["record_json"].to_pylist():
+            r = json.loads(bytes(rec))
+            data_urls.append(r["data"]["url"])
+            nexts.append(r["__next__"] or "")
+        return pa.table({
+            "data_url": pa.array(data_urls, type=pa.string()),
+            "next": pa.array(nexts, type=pa.string()),
+        })
+
+    return result.docs.map_batches(decode, batch_format="pyarrow")
+
+
+def docweb_class_counts(sf_dir: str):
+    """Per-page-class fetch counts from the lineage log."""
+    result = crawl_docweb(sf_dir)
+    out = result.page_log.groupby("page_class").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["page_class", "n_pages"]),
+        batch_format="pyarrow")

@@ -1,0 +1,224 @@
+"""Relational / events pipelines over the TPC-H-ish test tables —
+demonstrations of the engine's general data-processing operators (filter,
+vectorized projection, partial-aggregate groupby, hash-bucket join,
+broadcast lookup, top-k, windowed and sessionized event aggregation), each
+with an exact DuckDB oracle in __ray_entry__.
+
+Float policy for oracle parity: every float aggregate is rounded (sums 2dp,
+averages 4dp) on BOTH sides, so summation-order differences between Ray's
+partial aggregation and DuckDB cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+
+def _grid(col, scale: float):
+    """floor(x*scale + 0.5)/scale — decimal grid snap that is bit-identical
+    between numpy/pyarrow and DuckDB (plain round() differs by 1 ulp on
+    large doubles, which breaks exact value-hash comparison)."""
+    return pc.divide(pc.floor(pc.add(pc.multiply(col, pa.scalar(scale)),
+                                     pa.scalar(0.5))), pa.scalar(scale))
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter -> vectorized revenue -> grouped aggregate
+    with per-batch partial combine done by Ray's hash aggregate."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": _grid(t["sum_qty"], 100.0),
+            "sum_base_price": _grid(t["sum_base_price"], 100.0),
+            "sum_disc_price": _grid(t["sum_disc_price"], 100.0),
+            "avg_qty": _grid(t["avg_qty"], 10000.0),
+            "avg_price": _grid(t["avg_price"], 10000.0),
+            "count_order": t["count_order"],
+        })
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10):
+    """lineitem x orders hash-bucket join -> per-order revenue -> top-k.
+    Top-k is computed on the *rounded* revenue with an orderkey tiebreak so
+    ranking is float-order independent."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_bucket_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    per_order = li.groupby("o_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_bucket_join(per_order, orders, on=["o_orderkey"],
+                              num_buckets=16)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                            _grid(t["revenue"], 100.0))
+
+    joined = joined.map_batches(rounded, batch_format="pyarrow")
+    top = joined.sort(["revenue", "o_orderkey"],
+                      descending=[True, False]).limit(k)
+    return top.select_columns(["o_orderkey", "revenue", "o_orderpriority"])
+
+
+def customer_nation_revenue(sf_dir: str):
+    """orders joined to a broadcast customer->nation dimension (small side
+    via ray.put, no shuffle), grouped by nation name."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_lookup
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_name"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_lookup(orders, dim.rename(columns={"c_custkey": "o_custkey"}),
+                              on=["o_custkey"])
+    out = joined.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="total_revenue"),
+        Count(alias_name="n_orders"),
+    )
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "total_revenue": _grid(t["total_revenue"], 100.0),
+            "n_orders": t["n_orders"],
+        })
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value). Windows
+    are computed vectorized per batch (epoch-hour int), then a grouped
+    aggregate — the batch/streaming window pattern."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        hour = pc.multiply(pc.divide(epoch, 3600), 3600)
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": hour,
+            "value": t["value"],
+        })
+
+    ds = ev.map_batches(win, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": t["n_events"],
+            "sum_value": _grid(t["sum_value"], 10000.0),
+        })
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user sorted event stream split at >30-min gaps;
+    one groupby(user).map_groups pass (the guide's streaming-shaped
+    pattern — ordering within group established by an in-group sort)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(new_session.sum())],
+            "n_events": [len(ts)],
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def supplier_part_join(sf_dir: str):
+    """part x lineitem hash-bucket join -> per-brand quantity totals
+    (two large-ish sides, explicit bucket key)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_bucket_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["l_partkey"], "qty": t["l_quantity"]})
+
+    li = li.map_batches(key, batch_format="pyarrow")
+    joined = hash_bucket_join(li, part, on=["p_partkey"], num_buckets=16)
+    out = joined.groupby("p_brand").aggregate(
+        Sum("qty", alias_name="total_qty"),
+        Count(alias_name="n_items"),
+    )
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "total_qty": _grid(t["total_qty"], 100.0),
+            "n_items": t["n_items"],
+        })
+
+    return out.map_batches(rounder, batch_format="pyarrow")

@@ -1,0 +1,438 @@
+"""Deduplication operators over a documents table.
+
+All operators follow the scale pattern from the Ray guide: vectorized
+hashing inside map_batches, shuffle only on compact key columns, sketches
+merged rather than raw text moved.
+
+* exact_dedup       — content-hash partition + per-group min-id winner
+* minhash           — per-doc MinHash signatures (numpy-vectorized perms)
+* lsh_candidate_pairs — banding -> groupby(band, band_hash) -> pairs
+* exact_jaccard_pairs — inverted-index similarity join (shingle explode ->
+                        groupby shingle -> pair counts), exact — the oracle
+                        for the approximate paths
+* simhash + simhash_dup_pairs — 64-bit sketch, Hamming blocking
+* embedding_dup_pairs — cosine near-dup over an embedding column
+
+Determinism: all hashing is blake2b/crc-based (never builtin hash()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_MERS61 = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct word-k-gram hashes (uint64) of a document."""
+    toks = text.split(" ") if text else []
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    out = {int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                          "big") for g in grams}
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def add_text_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch[text_col].to_pylist()]
+        return batch.append_column(out_col, pa.array(hs))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64):
+    """Keep the min-id row per distinct content. Shuffle pattern: hash into
+    ``num_buckets`` coarse buckets (NOT one group per key — per-key
+    map_groups pays a Python call per distinct document), then a vectorized
+    pandas groupby-head inside each bucket."""
+    import pandas as pd
+
+    hashed = add_text_hash(ds, text_col)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = [int(h[:8], 16) % num_buckets for h in t["text_hash"].to_pylist()]
+        return t.append_column("__bucket", pa.array(b, type=pa.int32()))
+
+    hashed = hashed.map_batches(bucketize, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).groupby("text_hash", sort=False).head(1)
+
+    out = hashed.groupby("__bucket").map_groups(keep_first,
+                                                batch_format="pandas")
+    return out.drop_columns(["text_hash", "__bucket"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Per-doc MinHash signatures; permutation parameters are derived from
+    the seed once per actor (the stateful-stage pattern)."""
+
+    def __init__(self, n_perm: int = 64, k_shingle: int = 3, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERS61, size=n_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERS61, size=n_perm, dtype=np.uint64)
+        self.k = k_shingle
+        self.n_perm = n_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return np.zeros(self.n_perm, dtype=np.uint64)
+        # (n_perm, n_shingles) permuted values, min per perm
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERS61)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        n_sh = [len(_shingle_hashes(t or "", self.k))
+                for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "minhash": pa.array([s.tolist() for s in sigs],
+                                type=pa.list_(pa.uint64())),
+            "n_shingles": pa.array(n_sh, type=pa.int64()),
+        })
+
+
+def minhash_signatures(ds, n_perm: int = 64, k_shingle: int = 3,
+                       seed: int = 42, concurrency: int = 2):
+    return ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
+        n_perm=n_perm, k_shingle=k_shingle, seed=seed),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+
+
+def lsh_candidate_pairs(sig_ds, bands: int = 32, rows: int = 2):
+    """Explode signatures to (band_id, band_hash, doc_id), group by the
+    band key, and emit candidate pairs within each bucket. The groupby is
+    the designed shuffle; bucket size is capped implicitly by banding."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids = [], [], []
+        for doc_id, sig in zip(batch["doc_id"].to_pylist(),
+                               batch["minhash"].to_pylist()):
+            for b in range(bands):
+                chunk = sig[b * rows:(b + 1) * rows]
+                h = hashlib.blake2b(
+                    b"|".join(str(x).encode() for x in chunk),
+                    digest_size=8).digest()
+                band_ids.append(b)
+                band_hashes.append(int.from_bytes(h, "big"))
+                doc_ids.append(doc_id)
+        return pa.table({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.uint64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        })
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+    NB = 64
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        b = (_np.asarray(t["band_hash"].to_pylist(), dtype=_np.uint64)
+             % _np.uint64(NB)).astype(_np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    exploded = exploded.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-merge on the band key; a<b orients pairs
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+
+    cand = exploded.groupby("__bucket").map_groups(pairs,
+                                                   batch_format="pandas")
+
+    def bucket_pair(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        b = ((_np.asarray(t["a"].to_pylist(), dtype=_np.int64) * 1000003
+              + _np.asarray(t["b"].to_pylist(), dtype=_np.int64)) % NB)
+        return t.append_column("__b2", pa.array(b.astype(_np.int32)))
+
+    cand = cand.map_batches(bucket_pair, batch_format="pyarrow")
+    out = cand.groupby("__b2").map_groups(
+        lambda g: g[["a", "b"]].drop_duplicates(), batch_format="pandas")
+    return out
+
+
+def jaccard_of_sets(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def minhash_dup_pairs(ds, threshold: float = 0.5, n_perm: int = 64,
+                      k_shingle: int = 3, bands: int = 32, rows: int = 2,
+                      seed: int = 42):
+    """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    exact-Jaccard verification of candidates. Verification uses a broadcast
+    of the candidate docs' shingle sets (small side); at larger scale swap
+    the broadcast for a bucket join on doc_id."""
+    import ray
+
+    sig = minhash_signatures(ds, n_perm=n_perm, k_shingle=k_shingle, seed=seed)
+    cand = lsh_candidate_pairs(sig, bands=bands, rows=rows)
+    cand_pairs = [(r["a"], r["b"]) for r in cand.take_all()]
+    if not cand_pairs:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    need: set = set()
+    for a, b in cand_pairs:
+        need.add(a)
+        need.add(b)
+    shingle_map: Dict[int, np.ndarray] = {}
+    for batch in ds.select_columns(["doc_id", "text"]) \
+            .iter_batches(batch_format="pyarrow"):
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d in need:
+                shingle_map[d] = np.sort(_shingle_hashes(t or "", k_shingle))
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(set(cand_pairs)):
+        j = jaccard_of_sets(shingle_map[a], shingle_map[b])
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(float(np.floor(j * 1e6 + 0.5) / 1e6))
+    return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                     "b": pa.array(out_b, type=pa.int64()),
+                     "jaccard": pa.array(out_j, type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (the oracle for the approximate paths)
+# ---------------------------------------------------------------------------
+
+def exact_jaccard_pairs(ds, threshold: float = 0.5, k_shingle: int = 3,
+                        num_buckets: int = 64):
+    """Distributed exact set-similarity join via inverted index:
+    explode (shingle_hash, doc_id, n_sh) -> coarse-bucket by shingle hash ->
+    vectorized self-merge per bucket (partial shared-shingle counts) ->
+    coarse-bucket by pair -> sum partial counts -> jaccard filter.
+
+    Two shuffles, both on compact int columns; every per-bucket kernel is a
+    pandas C-path (merge / groupby-size) — no per-key Python calls.
+    (Prefix-filter optimizations per the ICDE'20 streaming set-similarity
+    line are possible; the plain inverted index is exact and adequate.)"""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_col, id_col, n_col = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = _shingle_hashes(t or "", k_shingle)
+            for h in sh.tolist():
+                sh_col.append(h)
+                id_col.append(d)
+                n_col.append(len(sh))
+        bucket = (np.asarray(sh_col, dtype=np.uint64)
+                  % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "shingle": pa.array(sh_col, type=pa.uint64()),
+            "doc_id": pa.array(id_col, type=pa.int64()),
+            "n_sh": pa.array(n_col, type=pa.int64()),
+            "__bucket": pa.array(bucket),
+        })
+
+    inv = ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "na": pd.Series(dtype="int64"),
+                                 "nb": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        pc_ = (m.groupby(["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"],
+                         sort=False).size().reset_index(name="c"))
+        return pc_.rename(columns={"doc_id_x": "a", "doc_id_y": "b",
+                                   "n_sh_x": "na", "n_sh_y": "nb"})
+
+    partials = inv.groupby("__bucket").map_groups(partial_counts,
+                                                  batch_format="pandas")
+
+    def bucket_pair(t: pa.Table) -> pa.Table:
+        b = ((np.asarray(t["a"].to_pylist(), dtype=np.int64) * 1000003
+              + np.asarray(t["b"].to_pylist(), dtype=np.int64)) % num_buckets)
+        return t.append_column("__b2", pa.array(b.astype(np.int32)))
+
+    partials = partials.map_batches(bucket_pair, batch_format="pyarrow")
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b", "na", "nb"], sort=False)["c"].sum() \
+            .reset_index()
+        j = agg["c"] / (agg["na"] + agg["nb"] - agg["c"])
+        agg["jaccard"] = np.floor(j * 1e6 + 0.5) / 1e6
+        out = agg[j >= threshold][["a", "b", "jaccard"]]
+        return out
+
+    return partials.groupby("__b2").map_groups(reduce_pairs,
+                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    def __init__(self, k_shingle: int = 2):
+        self.k = k_shingle
+
+    def simhash(self, text: str) -> int:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return 0
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(hs, type=pa.uint64()),
+        })
+
+
+def simhash_dup_pairs(ds, max_hamming: int = 3, k_shingle: int = 2):
+    """Near-dup via SimHash: 4-block Hamming blocking (a pair within
+    Hamming<=3 of 64 bits shares at least one exact 16-bit block) then
+    exact Hamming verification per bucket."""
+    import pandas as pd
+
+    sh = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(k_shingle=k_shingle),
+                        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        block_id, block_val, doc_id, sim = [], [], [], []
+        for d, h in zip(batch["doc_id"].to_pylist(),
+                        batch["simhash"].to_pylist()):
+            for bid in range(4):
+                block_id.append(bid)
+                block_val.append((h >> (16 * bid)) & 0xFFFF)
+                doc_id.append(d)
+                sim.append(h)
+        return pa.table({
+            "block_id": pa.array(block_id, type=pa.int32()),
+            "block_val": pa.array(block_val, type=pa.int32()),
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "simhash": pa.array(sim, type=pa.uint64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["block_id", "block_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m[["doc_id_x", "doc_id_y", "simhash_x", "simhash_y"]] \
+            .drop_duplicates(["doc_id_x", "doc_id_y"])
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        x = m["simhash_x"].to_numpy(dtype=np.uint64)
+        y = m["simhash_y"].to_numpy(dtype=np.uint64)
+        ham = np.bitwise_count(x ^ y).astype(np.int64) if hasattr(np, "bitwise_count") \
+            else np.array([bin(int(v)).count("1") for v in (x ^ y)])
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        return m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})[
+            ["a", "b", "hamming"]]
+
+    NB = 64
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["block_val"].to_pylist(), dtype=np.int64)
+             * 4 + np.asarray(t["block_id"].to_pylist(), dtype=np.int64)) % NB
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    exploded = sh.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(bucketize, batch_format="pyarrow")
+    cand = exploded.groupby("__bucket").map_groups(pairs,
+                                                   batch_format="pandas")
+
+    def bucket_pair(t: pa.Table) -> pa.Table:
+        b = ((np.asarray(t["a"].to_pylist(), dtype=np.int64) * 1000003
+              + np.asarray(t["b"].to_pylist(), dtype=np.int64)) % NB)
+        return t.append_column("__b2", pa.array(b.astype(np.int32)))
+
+    cand = cand.map_batches(bucket_pair, batch_format="pyarrow")
+    return cand.groupby("__b2").map_groups(
+        lambda g: g[["a", "b", "hamming"]].drop_duplicates(["a", "b"]),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds, threshold: float = 0.999,
+                        id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Cosine near-dup pairs over an embedding column: the full (small)
+    normalized matrix is broadcast once (ray.put) and each batch computes
+    its block of the similarity matrix with a double-precision matmul,
+    emitting pairs (a < b) above threshold. For matrices too large to
+    broadcast, swap in the LSH-bucketed variant (similarity.lsh_ann)."""
+    import ray
+
+    ids = []
+    vecs = []
+    for batch in ds.select_columns([id_col, emb_col]) \
+            .iter_batches(batch_format="pyarrow"):
+        ids.extend(batch[id_col].to_pylist())
+        vecs.extend(batch[emb_col].to_pylist())
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    id_arr = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(id_arr)
+    id_arr = id_arr[order]
+    mat = mat[order]
+    ref = ray.put((id_arr, mat))
+
+    @ray.remote
+    def block(lo: int, hi: int):
+        id_a, m = ray.get(ref)
+        sims = m[lo:hi] @ m.T
+        out = []
+        for i in range(lo, hi):
+            js = np.where(sims[i - lo] >= threshold)[0]
+            for j in js:
+                if id_a[j] > id_a[i]:
+                    out.append((int(id_a[i]), int(id_a[j]),
+                                float(np.floor(sims[i - lo, j] * 1e5 + 0.5) / 1e5)))
+        return out
+
+    n = len(id_arr)
+    step = max(256, n // 16)
+    futures = [block.remote(lo, min(lo + step, n)) for lo in range(0, n, step)]
+    rows: List[Tuple[int, int, float]] = []
+    for part in ray.get(futures):
+        rows.extend(part)
+    rows.sort()
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], type=pa.int64()),
+        "b": pa.array([r[1] for r in rows], type=pa.int64()),
+        "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
+    })

@@ -1,0 +1,87 @@
+"""Portable partitioned hash join for Ray Data (guide pattern): tag sides,
+align schemas, add ``__bucket = hash64(key) % B``, union, groupby(bucket),
+pandas merge per bucket. Deterministic; B and skew handling are explicit
+(salt a hot key by raising B). Used by the relational pipelines where both
+sides are large; broadcast lookup (ray.put + per-batch merge) covers the
+small-side case."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash_col(values: List, num_buckets: int) -> pa.Array:
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "big") % num_buckets
+    return pa.array(out)
+
+
+def hash_bucket_join(left, right, on: List[str], how: str = "inner",
+                     num_buckets: int = 32, suffix: str = "_r"):
+    """Join two Datasets on key columns. Column-name clashes on the right
+    (other than the keys) get ``suffix``."""
+    import pandas as pd
+
+    left_names = left.schema().names
+    right_names = right.schema().names
+    clash = [c for c in right_names if c in left_names and c not in on]
+    rename = {c: c + suffix for c in clash}
+
+    all_names = left_names + [rename.get(c, c) for c in right_names
+                              if c not in on]
+
+    def prep(side: int, renames: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            if renames:
+                t = t.rename_columns([renames.get(c, c) for c in t.schema.names])
+            key_vals = list(zip(*[t[k].to_pylist() for k in on]))
+            t = t.append_column("__bucket", _hash_col(key_vals, num_buckets))
+            t = t.append_column("__side", pa.array([side] * t.num_rows,
+                                                   type=pa.int8()))
+            # align to the union schema: add missing columns as nulls
+            for name in all_names:
+                if name not in t.schema.names:
+                    t = t.append_column(name, pa.nulls(t.num_rows))
+            return t.select(all_names + ["__bucket", "__side"])
+
+        return fn
+
+    lt = left.map_batches(prep(0, {}), batch_format="pyarrow")
+    rt = right.map_batches(prep(1, rename), batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    right_only = [rename.get(c, c) for c in right_names if c not in on]
+    left_only = [c for c in left_names if c not in on]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][left_only + on]
+        rg = g[g["__side"] == 1][right_only + on]
+        out = lg.merge(rg, on=on, how=how)
+        return out[all_names]
+
+    return unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def broadcast_lookup(ds, small_df, on: List[str], how: str = "inner"):
+    """Small-side join: put the dimension table in the object store once and
+    merge per batch — no shuffle."""
+    import pandas as pd
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=2,
+                          num_cpus=0.5)

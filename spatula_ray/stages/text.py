@@ -1,0 +1,180 @@
+"""Text-analysis stages over a documents table.
+
+Each stage is a callable class for ``map_batches(Cls, concurrency=N)`` —
+regexes and marker tables compile once per actor in ``__init__``, work is
+per batch. Definitions are chosen to be exactly reproducible in ANSI SQL
+(DuckDB) for the correctness gate where claimed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class TextStats:
+    """Per-doc statistics: char count, whitespace tokens, BPE-ish regex
+    tokens, distinct-token count, type-token ratio, md5 fingerprint.
+
+    SQL-parity definitions (see __ray_entry__.oracle_sql):
+      n_chars         = length(text)
+      n_tokens        = len(string_split(text, ' '))
+      n_tokens_bpe    = len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+      n_unique_tokens = len(list_distinct(string_split(text, ' ')))
+      ttr             = round(n_unique_tokens / n_tokens, 6)
+      fingerprint     = md5(text)
+    """
+
+    def __init__(self):
+        self.bpe = re.compile(r"\w+|[^\w\s]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts: List[str] = batch["text"].to_pylist()
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        n_tokens = np.empty(len(texts), dtype=np.int64)
+        n_bpe = np.empty(len(texts), dtype=np.int64)
+        n_uniq = np.empty(len(texts), dtype=np.int64)
+        fps = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ") if t else [""]
+            n_tokens[i] = len(toks)
+            n_uniq[i] = len(set(toks))
+            n_bpe[i] = len(self.bpe.findall(t))
+            fps.append(hashlib.md5(t.encode()).hexdigest())
+        ttr = np.floor(n_uniq / np.maximum(n_tokens, 1) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": pa.array(n_tokens),
+            "n_tokens_bpe": pa.array(n_bpe),
+            "n_unique_tokens": pa.array(n_uniq),
+            "ttr": pa.array(ttr),
+            "fingerprint": pa.array(fps),
+        })
+
+
+# tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic (deterministic; a real model would load here instead)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "para"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"},
+    "zh": {"的", "了", "是", "我", "在", "有", "他", "这", "不", "就"},
+}
+
+
+class LangId:
+    """Heuristic language ID: marker-word hit ratio per language; falls back
+    to character-class evidence for CJK. Deterministic; oracle is rows-only
+    (the heuristic is not SQL-expressible)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def predict(self, text: str) -> tuple:
+        if self.cjk.search(text):
+            return "zh", 1.0
+        toks = text.lower().split()
+        if not toks:
+            return "und", 0.0
+        best, best_score = "und", 0.0
+        for lang, marks in self.markers.items():
+            score = sum(1 for t in toks if t in marks) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best, round(best_score, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch["text"].to_pylist():
+            p, c = self.predict(t or "")
+            preds.append(p)
+            confs.append(c)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(preds),
+            "confidence": pa.array(confs, type=pa.float64()),
+        })
+
+
+class QualityScore:
+    """Composite quality score: length band + type-token ratio + alpha
+    ratio + mean token length, each in [0,1]. SQL-reproducible formula:
+
+      alpha_ratio = length(regexp_replace(text,'[^a-zA-Z]','','g'))/length(text)
+      len_score   = least(1.0, n_chars / 500.0)
+      quality     = round(0.4*ttr + 0.3*alpha_ratio + 0.3*len_score, 6)
+    """
+
+    def __init__(self):
+        self.non_alpha = re.compile(r"[^a-zA-Z]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            n = len(t)
+            if n == 0:
+                out[i] = 0.0
+                continue
+            toks = t.split(" ")
+            ttr = len(set(toks)) / len(toks)
+            alpha = len(self.non_alpha.sub("", t)) / n
+            len_score = min(1.0, n / 500.0)
+            q = 0.4 * ttr + 0.3 * alpha + 0.3 * len_score
+            out[i] = np.floor(q * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "quality": pa.array(out),
+        })
+
+
+def rolling_hashes(text: str, window: int = 8, base: int = 257,
+                   mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Rabin-Karp rolling hashes of char windows — document fingerprinting
+    primitive (deterministic, no builtin hash())."""
+    n = len(text)
+    if n < window:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(n - window + 1, dtype=np.uint64)
+    h = 0
+    power = pow(base, window - 1, mod)
+    for i, ch in enumerate(text):
+        h = (h * base + ord(ch)) % mod
+        if i >= window - 1:
+            out[i - window + 1] = h
+            h = (h - ord(text[i - window + 1]) * power) % mod
+    return out
+
+
+class WinnowFingerprint:
+    """Winnowing document fingerprint: min rolling hash per stride window;
+    compact doc signature for containment/near-dup screening (rows-only)."""
+
+    def __init__(self, window: int = 8, stride: int = 16):
+        self.window = window
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for t in batch["text"].to_pylist():
+            hs = rolling_hashes(t or "", self.window)
+            if len(hs) == 0:
+                sigs.append([])
+                continue
+            pad = (-len(hs)) % self.stride
+            if pad:
+                hs = np.concatenate([hs, np.full(pad, np.iinfo(np.uint64).max,
+                                                 dtype=np.uint64)])
+            sigs.append(hs.reshape(-1, self.stride).min(axis=1).tolist())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "winnow_sig": pa.array(sigs, type=pa.list_(pa.uint64())),
+        })
