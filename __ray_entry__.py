@@ -120,19 +120,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def text_stats(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.TextStats, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+            tx.TextStats, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def doc_quality(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.QualityScore, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+            tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def langid_pred(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.LangId, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+            tx.LangId, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def winnow(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.WinnowFingerprint, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+            tx.WinnowFingerprint, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def lang_counts(sf_dir):
         import pyarrow as pa

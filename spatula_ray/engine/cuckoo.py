@@ -183,19 +183,46 @@ class SeenFilterShard:
         return dropped
 
     def commit(self) -> int:
+        n = 0
         for h, o in self.wave_cands.items():
+            # re-check membership: a mid-wave claim() (inline pagination)
+            # may have taken this hash after it was offered
             if self.mode == "cuckoo":
+                if self.cuckoo.contains(h):
+                    self.seen_dropped += 1
+                    continue
                 self.cuckoo.insert(h)
             else:
+                if h in self.exact:
+                    self.seen_dropped += 1
+                    continue
                 self.exact.add(h)
             self.winners[h] = o
-        n = len(self.wave_cands)
+            n += 1
         self.inserted += n
         self.wave_cands.clear()
         return n
 
     def query(self, hashes: Sequence[int], orders: Sequence[bytes]) -> List[bool]:
         return [self.winners.get(int(h)) == o for h, o in zip(hashes, orders)]
+
+    def claim(self, h: int, order: bytes) -> bool:
+        """Atomic contains-or-insert for inline pagination chains: a chain
+        successor is unique to its chain by construction, so it bypasses the
+        per-wave min-order protocol. Returns True exactly once per hash."""
+        h = int(h)
+        if self.mode == "cuckoo":
+            if self.cuckoo.contains(h):
+                self.seen_dropped += 1
+                return False
+            self.cuckoo.insert(h)
+        else:
+            if h in self.exact:
+                self.seen_dropped += 1
+                return False
+            self.exact.add(h)
+        self.inserted += 1
+        return True
 
     # -- checkpoint / introspection ---------------------------------------
     def snapshot(self) -> bytes:

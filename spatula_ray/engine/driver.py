@@ -427,10 +427,9 @@ def _has_files(d: str) -> bool:
 def _union_parts(parts: List, schema: pa.Schema):
     import ray.data as rd
 
-    parts = [p for p in parts if p.count()]
     if not parts:
         return rd.from_arrow(schema.empty_table())
     ds = parts[0]
     for p in parts[1:]:
-        ds = ds.union(p)
+        ds = ds.union(p)  # lazy; no per-part count() executions
     return ds

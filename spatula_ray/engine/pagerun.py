@@ -139,13 +139,56 @@ class PageRunner:
             "error": error,
         }
 
-    def _paginate_row(self, page: Page, row: dict) -> typing.Optional[dict]:
-        next_source = page.get_next_source()
-        if not next_source:
-            return None
-        next_page = type(page)(page.input, source=next_source)
-        key = tuple(row["order_key"]) + (PAGINATION_ORDINAL,)
-        return frontier_row_from_page(next_page, key, row["depth"])
+    def _follow_pagination(self, page: Page, row: dict, out: list) -> None:
+        """Follow the pagination chain *inline* in this task.
+
+        A chain is inherently sequential (reference pages.py:197-204:
+        same class, same input, next source); running it as cluster-wide
+        waves would serialize the whole crawl on per-wave overhead. Each
+        successor is claimed atomically in the URL-seen shard (chain
+        successors are unique to their chain, so they bypass the per-wave
+        min-order protocol), admitted through the host gate (deferring the
+        rest of the chain to the next wave if the quota is spent), then
+        fetched and processed right here. Pagination proceeds even in scout
+        mode and after handled errors (pages.py:206-244, 212-215)."""
+        import ray
+
+        while self.expand:
+            next_source = page.get_next_source()
+            if not next_source:
+                return
+            next_page = type(page)(page.input, source=next_source)
+            key = tuple(row["order_key"]) + (PAGINATION_ORDINAL,)
+            try:
+                frow = frontier_row_from_page(next_page, key, row["depth"])
+            except MissingSourceError as e:
+                if self.error_policy == "raise":
+                    raise
+                out.append(self._page_row(
+                    {**row, "order_key": list(key),
+                     "order_bytes": encode_order_key(key)},
+                    "error", error=str(e)))
+                return
+            if self.filter_shards and frow["url"]:
+                shard = self.filter_shards[
+                    int(frow["url_hash"]) % len(self.filter_shards)]
+                if not ray.get(shard.claim.remote(frow["url_hash"],
+                                                  frow["order_bytes"])):
+                    return  # already seen: dedup ends the chain
+            code = self._admit([frow])[0]
+            if code == 2:
+                out.append(self._page_row(frow, "robots_denied"))
+                return
+            if code == 1:
+                frow["row_kind"] = KIND_DEFER
+                frow["pre_admitted"] = True
+                out.append(frow)
+                return
+            page = next_page
+            row = frow
+            page, row = self._exec_page(page, row, out)
+            if page is None:
+                return
 
     def _emit_row(self, item, page: Page, row: dict, child_key, spans) -> dict:
         return {
@@ -172,6 +215,16 @@ class PageRunner:
 
         page = cls(decode_input(row["input_json"]),
                    source=source_from_spec(row["source_spec"]))
+        cont, crow = self._exec_page(page, row, out)
+        if cont is not None:
+            self._follow_pagination(cont, crow, out)
+        return out
+
+    def _exec_page(self, page: Page, row: dict, out: list):
+        """Fetch + process one page, appending emit/expand/page rows to
+        ``out``. Returns (page, row) when the pagination chain should be
+        followed (ok and handled-error outcomes), (None, row) otherwise
+        (SkipItem / rejected / error end the chain, pages.py:218-222)."""
         key = tuple(row["order_key"])
         before = self.client.fetch_count
 
@@ -179,27 +232,24 @@ class PageRunner:
             page._fetch_data(self.client)
         except HandledError as e:
             # reference pages.py:212-215 — nothing to emit, pagination proceeds
-            pag = self._paginate_row(page, row)
-            if pag and self.expand:
-                out.append(pag)
             out.append(self._page_row(row, "handled_error",
                                       attempts=self.client.fetch_count - before,
                                       error=str(e)))
-            return out
+            return page, row
         except RejectedResponse as e:
             if self.error_policy == "raise":
                 raise
             out.append(self._page_row(row, "rejected",
                                       attempts=self.client.fetch_count - before,
                                       error=str(e)))
-            return out
+            return None, row
         except Exception as e:  # uncaught HTTPError, MissingSourceError, parse
             if self.error_policy == "raise":
                 raise
             out.append(self._page_row(row, "error",
                                       attempts=self.client.fetch_count - before,
                                       error=f"{type(e).__name__}: {e}"))
-            return out
+            return None, row
 
         attempts = self.client.fetch_count - before
         try:
@@ -208,13 +258,13 @@ class PageRunner:
             # detail-level SkipItem: no output, no pagination (pages.py:218-222)
             out.append(self._page_row(row, "skipped", attempts=attempts,
                                       error=str(e)))
-            return out
+            return None, row
         except Exception as e:
             if self.error_policy == "raise":
                 raise
             out.append(self._page_row(row, "error", attempts=attempts,
                                       error=f"{type(e).__name__}: {e}"))
-            return out
+            return None, row
 
         spans = None
         n_emitted = 0
@@ -251,17 +301,11 @@ class PageRunner:
                 raise
             out.append(self._page_row(row, "error", attempts=attempts,
                                       error=f"{type(e).__name__}: {e}"))
-            return out
+            return None, row
 
-        # pagination proceeds even in scout mode (reference pages.py:206-244:
-        # scout _to_items still calls _paginate)
-        if self.expand:
-            pag = self._paginate_row(page, row)
-            if pag:
-                out.append(pag)
         out.append(self._page_row(row, "ok", attempts=attempts,
                                   n_emitted=n_emitted))
-        return out
+        return page, row
 
     def _offer_expands(self, out_rows: list) -> None:
         if not self.filter_shards:

@@ -97,9 +97,16 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
-        n_sh = [len(_shingle_hashes(t or "", self.k))
-                for t in batch["text"].to_pylist()]
+        sigs, n_sh = [], []
+        for t in batch["text"].to_pylist():
+            sh = _shingle_hashes(t or "", self.k)
+            n_sh.append(len(sh))
+            if len(sh) == 0:
+                sigs.append(np.zeros(self.n_perm, dtype=np.uint64))
+                continue
+            vals = (self.a[:, None] * sh[None, :]
+                    + self.b[:, None]) % np.uint64(_MERS61)
+            sigs.append(vals.min(axis=1))
         return pa.table({
             "doc_id": batch["doc_id"],
             "minhash": pa.array([s.tolist() for s in sigs],
@@ -112,7 +119,8 @@ def minhash_signatures(ds, n_perm: int = 64, k_shingle: int = 3,
                        seed: int = 42, concurrency: int = 2):
     return ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
         n_perm=n_perm, k_shingle=k_shingle, seed=seed),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+        batch_format="pyarrow", concurrency=(concurrency, 8), num_cpus=0.5,
+        batch_size=512)
 
 
 def lsh_candidate_pairs(sig_ds, bands: int = 32, rows: int = 2):

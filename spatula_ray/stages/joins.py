@@ -15,6 +15,18 @@ import pyarrow as pa
 
 
 def _hash_col(values: List, num_buckets: int) -> pa.Array:
+    if values and all(isinstance(v, tuple) and
+                      all(isinstance(x, (int, np.integer)) for x in v)
+                      for v in values[:8]):
+        # numeric keys: vectorized multiply-mix (same buckets either way —
+        # only co-location matters, not the hash function)
+        arr = np.asarray(values, dtype=np.uint64)
+        mixed = np.zeros(len(arr), dtype=np.uint64)
+        for c in range(arr.shape[1]):
+            mixed = mixed * np.uint64(0x9E3779B97F4A7C15) + arr[:, c]
+        mixed ^= mixed >> np.uint64(33)
+        mixed *= np.uint64(0xFF51AFD7ED558CCD)
+        return pa.array((mixed % np.uint64(num_buckets)).astype(np.int64))
     out = np.empty(len(values), dtype=np.int64)
     for i, v in enumerate(values):
         h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
