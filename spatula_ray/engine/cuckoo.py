@@ -154,14 +154,18 @@ class SeenFilterShard:
         self.wave_cands: Dict[int, bytes] = {}
         self.winners: Dict[int, bytes] = {}
         self.seen_dropped = 0
+        self.query_dropped = 0
         self.inserted = 0
 
     # -- wave protocol -----------------------------------------------------
     def begin_wave(self) -> None:
+        # winners persist: wave N+1's runner queries them while offering its
+        # own new candidates into wave_cands (commit() replaces winners)
         self.wave_cands.clear()
-        self.winners.clear()
 
     def offer(self, hashes: Sequence[int], orders: Sequence[bytes]) -> int:
+        """Drops here are NOT counted in stats — a dropped candidate row
+        still reaches the next wave's query, which counts it exactly once."""
         dropped = 0
         if self.mode == "cuckoo" and len(hashes):
             seen_mask = self.cuckoo.contains_many(np.asarray(hashes, dtype=np.uint64))
@@ -179,22 +183,20 @@ class SeenFilterShard:
             cur = self.wave_cands.get(h)
             if cur is None or o < cur:
                 self.wave_cands[h] = o
-        self.seen_dropped += dropped
         return dropped
 
     def commit(self) -> int:
         n = 0
+        self.winners = {}
         for h, o in self.wave_cands.items():
             # re-check membership: a mid-wave claim() (inline pagination)
             # may have taken this hash after it was offered
             if self.mode == "cuckoo":
                 if self.cuckoo.contains(h):
-                    self.seen_dropped += 1
-                    continue
+                    continue  # mid-wave claim took it; query will count it
                 self.cuckoo.insert(h)
             else:
                 if h in self.exact:
-                    self.seen_dropped += 1
                     continue
                 self.exact.add(h)
             self.winners[h] = o
@@ -204,7 +206,9 @@ class SeenFilterShard:
         return n
 
     def query(self, hashes: Sequence[int], orders: Sequence[bytes]) -> List[bool]:
-        return [self.winners.get(int(h)) == o for h, o in zip(hashes, orders)]
+        out = [self.winners.get(int(h)) == o for h, o in zip(hashes, orders)]
+        self.query_dropped += out.count(False)
+        return out
 
     def claim(self, h: int, order: bytes) -> bool:
         """Atomic contains-or-insert for inline pagination chains: a chain
@@ -226,8 +230,11 @@ class SeenFilterShard:
 
     # -- checkpoint / introspection ---------------------------------------
     def snapshot(self) -> bytes:
+        # winners are part of the checkpoint: the persisted frontier holds
+        # candidates that the next wave's runner still has to query
         state = {"mode": self.mode, "seen_dropped": self.seen_dropped,
-                 "inserted": self.inserted}
+                 "query_dropped": self.query_dropped,
+                 "inserted": self.inserted, "winners": self.winners}
         if self.mode == "cuckoo":
             state["cuckoo"] = self.cuckoo.snapshot()
         else:
@@ -238,7 +245,9 @@ class SeenFilterShard:
         state = pickle.loads(data)
         self.mode = state["mode"]
         self.seen_dropped = state["seen_dropped"]
+        self.query_dropped = state.get("query_dropped", 0)
         self.inserted = state["inserted"]
+        self.winners = state.get("winners", {})
         if self.mode == "cuckoo":
             self.cuckoo = CuckooFilter.restore(state["cuckoo"])
             self.exact = None
@@ -247,4 +256,5 @@ class SeenFilterShard:
             self.cuckoo = None
 
     def stats(self) -> dict:
-        return {"inserted": self.inserted, "seen_dropped": self.seen_dropped}
+        return {"inserted": self.inserted,
+                "seen_dropped": self.seen_dropped + self.query_dropped}

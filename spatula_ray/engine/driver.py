@@ -264,8 +264,18 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             ])
         return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
 
+    def commit_shards() -> None:
+        if shard_handles:
+            ray.get([s.commit.remote() for s in shard_handles])
+
     def query_batch(batch: pa.Table) -> pa.Table:
-        """Phase 3: keep pre-admitted rows, null-source rows, and winners."""
+        """Winner filter: keep pre-admitted rows, null-source rows, and
+        min-order winners (runs fused onto the candidate projection pass so
+        the next wave's frontier is already deduplicated — candidates can
+        be ~links_per_page x larger than the frontier, so filtering before
+        materializing them matters)."""
+        if not shard_handles:
+            return batch
         keep = [True] * batch.num_rows
         pre = batch["pre_admitted"].combine_chunks().fill_null(False).to_pylist()
         urls = batch["url"].to_pylist()
@@ -277,8 +287,8 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                 continue
             by_shard.setdefault(hashes[i] % n_shards, []).append(i)
         futures, idx_lists = [], []
-        for s, idxs in by_shard.items():
-            futures.append(shard_handles[s].query.remote(
+        for sh, idxs in by_shard.items():
+            futures.append(shard_handles[sh].query.remote(
                 [hashes[i] for i in idxs], [orders[i] for i in idxs]))
             idx_lists.append(idxs)
         for idxs, mask in zip(idx_lists, ray.get(futures)):
@@ -286,27 +296,20 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                 keep[i] = bool(ok)
         return batch.filter(pa.array(keep))
 
-    def run_dedup(cand_ds, need_offer_pass: bool = False):
-        """expand/defer candidates -> deduplicated next frontier.
-
-        The offer phase is normally fused into the PageRunner batch (the
-        wave materialize is the barrier); only the seed table, which never
-        passes through a runner, needs the standalone offer pass."""
-        if not shard_handles:
-            return cand_ds
-        if need_offer_pass:
-            cand_ds.map_batches(offer_batch, batch_format="pyarrow").materialize()
-        ray.get([s.commit.remote() for s in shard_handles])
-        return cand_ds.map_batches(query_batch, batch_format="pyarrow").materialize()
-
     # ---- seeding ---------------------------------------------------------
     if frontier_ds is None:
         seed_t = seeds_to_table(list(seeds))
         frontier_ds = ray.data.from_arrow(seed_t)
         if shard_handles:
+            # seeds never pass through a runner, so they take the
+            # standalone offer pass; wave 0's runner query-filters them
             ray.get([s.begin_wave.remote() for s in shard_handles])
-            frontier_ds = run_dedup(frontier_ds.materialize(),
-                                    need_offer_pass=True)
+            seeds_mat = frontier_ds.materialize()
+            seeds_mat.map_batches(offer_batch,
+                                  batch_format="pyarrow").materialize()
+            commit_shards()
+            frontier_ds = seeds_mat.map_batches(
+                query_batch, batch_format="pyarrow").materialize()
 
     docs_parts: List = []
     page_parts: List = []
@@ -356,7 +359,12 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             docs_parts.append(emits)
             page_parts.append(pages)
 
-        frontier_ds = run_dedup(cands.materialize())
+        # the runner batches already offered their expand rows (the
+        # materialize above is the barrier); elect winners, then project +
+        # winner-filter candidates in one pass over the materialized output
+        commit_shards()
+        frontier_ds = cands.map_batches(query_batch,
+                                        batch_format="pyarrow").materialize()
 
         wave += 1
         if ckpt:

@@ -31,6 +31,7 @@ from ..origins import to_spec
 from ..runner import PAGINATION_ORDINAL, order_key_str, scout_projection, to_jsonable
 from .keys import canonicalize, dedup_hash, encode_order_key, hash64, host_of
 from .schema import (
+    FRONTIER_SCHEMA,
     KIND_DEFER,
     KIND_EMIT,
     KIND_EXPAND,
@@ -38,6 +39,8 @@ from .schema import (
     UNION_SCHEMA,
     rows_to_table,
 )
+
+_FRONTIER_COL_SET = {f.name for f in FRONTIER_SCHEMA} | {"row_kind"}
 
 
 def frontier_row_from_page(page: Page, key: typing.Tuple[int, ...],
@@ -78,7 +81,8 @@ class PageRunner:
                  scout: bool = False,
                  expand: bool = True,
                  error_policy: str = "record",
-                 simulate_latency: bool = False):
+                 simulate_latency: bool = False,
+                 query_input: bool = False):
         self.registry = registry
         self.client = SyntheticClient(resolver_factory(),
                                       simulate_latency=simulate_latency)
@@ -89,6 +93,10 @@ class PageRunner:
         self.scout = scout
         self.expand = expand
         self.error_policy = error_policy
+        # when True, winner-filter input rows here instead of in the
+        # driver's candidate pass (off by default: frontier arrives
+        # pre-filtered)
+        self.query_input = query_input
         if dep_ref is not None:
             import ray
 
@@ -325,9 +333,41 @@ class PageRunner:
                 for s, hs in by_shard.items()
             ])
 
+    def _filter_seen(self, rows: list) -> list:
+        """Wave-N+1 side of the dedup protocol: drop rows that lost the
+        min-order winner election committed at the end of wave N. Runs as
+        the first step of the runner batch, so the whole query pass costs
+        no extra Dataset execution."""
+        if not self.filter_shards:
+            return rows
+        import ray
+
+        n = len(self.filter_shards)
+        by_shard: typing.Dict[int, list] = {}
+        for i, r in enumerate(rows):
+            if r.get("url") and not r.get("pre_admitted"):
+                by_shard.setdefault(int(r["url_hash"]) % n, []).append(i)
+        if not by_shard:
+            return rows
+        keep = [True] * len(rows)
+        futures, idx_lists = [], []
+        for s, idxs in by_shard.items():
+            futures.append(self.filter_shards[s].query.remote(
+                [int(rows[i]["url_hash"]) for i in idxs],
+                [rows[i]["order_bytes"] for i in idxs]))
+            idx_lists.append(idxs)
+        for idxs, mask in zip(idx_lists, ray.get(futures)):
+            for i, ok in zip(idxs, mask):
+                keep[i] = bool(ok)
+        return [r for r, k in zip(rows, keep) if k]
+
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch):
-        rows = batch.to_pylist()
+        frontier_cols = [c for c in batch.schema.names
+                         if c in _FRONTIER_COL_SET]
+        rows = batch.select(frontier_cols).to_pylist()
+        if self.query_input:
+            rows = self._filter_seen(rows)
         codes = self._admit(rows)
         out_rows: list = []
         for row, code in zip(rows, codes):
