@@ -225,6 +225,14 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     dep_results = resolve_instance_dependencies(registry, resolver_factory)
     dep_ref = ray.put(dep_results) if dep_results else None
 
+    # lineage counters accumulate in a zero-cpu actor fed per runner batch
+    # (no end-of-crawl executions over the page log; resume-safe via the
+    # manifest counters)
+    from .metrics import CrawlStatsCollector
+
+    StatsActor = ray.remote(num_cpus=0)(CrawlStatsCollector)
+    stats_actor = StatsActor.remote(initial=counters)
+
     runner_kwargs = dict(
         registry=registry,
         resolver_factory=resolver_factory,
@@ -235,6 +243,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         expand=cfg.expand,
         error_policy=cfg.error_policy,
         simulate_latency=cfg.simulate_latency,
+        stats=stats_actor,
     )
 
     def task_runner(batch: pa.Table) -> pa.Table:
@@ -316,7 +325,10 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     wave = start_wave
     t0 = time.time()
 
+    verbose = bool(os.environ.get("SPATULA_RAY_WAVE_TIMING"))
+
     while True:
+        tw = time.time()
         n = frontier_ds.count()
         if n == 0 or (cfg.max_waves is not None and wave >= cfg.max_waves):
             break
@@ -339,6 +351,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                 task_runner, batch_format="pyarrow", batch_size=cfg.batch_size,
                 num_cpus=cfg.runner_num_cpus)
         out = out.materialize()
+        t_run = time.time()
 
         emits = out.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
                    .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
@@ -365,6 +378,10 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         commit_shards()
         frontier_ds = cands.map_batches(query_batch,
                                         batch_format="pyarrow").materialize()
+        if verbose:
+            print(f"[wave {wave}] n={n} runner={t_run - tw:.2f}s "
+                  f"cands={time.time() - t_run:.2f}s "
+                  f"next={frontier_ds.count()}", flush=True)
 
         wave += 1
         if ckpt:
@@ -377,7 +394,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                     f.write(snap)
             _write_json_atomic(os.path.join(ckpt, "manifest.json"), {
                 "next_wave": wave,
-                "counters": counters,
+                "counters": ray.get(stats_actor.get.remote()),
                 "elapsed_sec": time.time() - t0,
                 "crawl_id": crawl_id,
             })
@@ -396,16 +413,15 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         docs = _union_parts(docs_parts, DOCS_SCHEMA)
         page_log = _union_parts(page_parts, PAGE_LOG_SCHEMA)
 
-    counters = dict(counters)
-    status_counts = {}
-    try:
-        for row in page_log.groupby("status").count().take_all():
-            status_counts[row["status"]] = row["count()"]
-    except Exception:
-        pass
-    counters["pages"] = sum(status_counts.values())
+    # counters come from the stats actor (per-batch deltas) — no extra
+    # Dataset executions over the page log
+    counters = ray.get(stats_actor.get.remote())
+    counters.setdefault("pages", 0)
+    counters.setdefault("emitted", 0)
+    status_counts = {k.split(":", 1)[1]: v for k, v in counters.items()
+                     if k.startswith("status:")}
     counters["fetched"] = sum(v for k, v in status_counts.items()
-                              if k not in ("robots_denied",))
+                              if k != "robots_denied")
     counters["errors"] = status_counts.get("error", 0) + status_counts.get("handled_error", 0)
     counters["skipped"] = status_counts.get("skipped", 0)
     counters["robots_denied"] = status_counts.get("robots_denied", 0)
@@ -416,10 +432,6 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     for g in gates:
         st = ray.get(g.stats.remote())
         counters["gate_deferred"] = counters.get("gate_deferred", 0) + st["deferred"]
-    try:
-        counters["emitted"] = docs.count()
-    except Exception:
-        counters["emitted"] = 0
     counters["elapsed_sec"] = round(time.time() - t0, 3)
 
     return CrawlResult(docs=docs, page_log=page_log, counters=counters, waves=wave)

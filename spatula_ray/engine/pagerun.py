@@ -82,7 +82,8 @@ class PageRunner:
                  expand: bool = True,
                  error_policy: str = "record",
                  simulate_latency: bool = False,
-                 query_input: bool = False):
+                 query_input: bool = False,
+                 stats=None):
         self.registry = registry
         self.client = SyntheticClient(resolver_factory(),
                                       simulate_latency=simulate_latency)
@@ -97,6 +98,7 @@ class PageRunner:
         # driver's candidate pass (off by default: frontier arrives
         # pre-filtered)
         self.query_input = query_input
+        self.stats = stats  # CrawlStatsCollector handle (counter deltas)
         if dep_ref is not None:
             import ray
 
@@ -381,4 +383,20 @@ class PageRunner:
             else:
                 out_rows.extend(self._run_row(row))
         self._offer_expands(out_rows)
+        if self.stats is not None:
+            import ray
+
+            delta: typing.Dict[str, int] = {"pages": 0, "emitted": 0}
+            for r in out_rows:
+                kind = r.get("row_kind")
+                if kind == KIND_PAGE:
+                    delta["pages"] += 1
+                    delta["status:" + r["status"]] = (
+                        delta.get("status:" + r["status"], 0) + 1)
+                    delta["fetch_attempts"] = (
+                        delta.get("fetch_attempts", 0)
+                        + (r.get("fetch_attempts") or 0))
+                elif kind == KIND_EMIT:
+                    delta["emitted"] += 1
+            ray.get(self.stats.add.remote(delta))
         return rows_to_table(out_rows, UNION_SCHEMA)

@@ -397,3 +397,124 @@ def docweb_seeds(n_docs: int):
     n_hosts = docweb_n_hosts(n_docs)
     return [DocList({"url": f"https://h{i:03d}.docweb.test/list"})
             for i in range(n_hosts)]
+
+
+# ---------------------------------------------------------------------------
+# mixed-content fixture web (JSON listing -> CSV / XML / PDF details,
+# a flaky page for the content-retry loop, a robots-disallowed fetcher,
+# and typed-dataclass-input pages)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+from .model import CsvListPage, JsonListPage, PdfPage, XmlListPage
+
+MIXED_BASE = "https://mixed.test"
+
+
+def mixed_web():
+    import json as _json
+
+    return {
+        f"{MIXED_BASE}/index.json": {
+            "status": 200,
+            "body": _json.dumps([
+                {"kind": "csv", "url": f"{MIXED_BASE}/data.csv"},
+                {"kind": "xml", "url": f"{MIXED_BASE}/feed.xml"},
+                {"kind": "pdf", "url": f"{MIXED_BASE}/doc.pdf"},
+            ]).encode(),
+        },
+        f"{MIXED_BASE}/data.csv": {"status": 200,
+                                   "body": b"name,qty\nax,1\nbx,2\ncx,3"},
+        f"{MIXED_BASE}/feed.xml": {
+            "status": 200,
+            "body": b"<feed><item>alpha</item><item>beta</item></feed>",
+        },
+        f"{MIXED_BASE}/doc.pdf": {"status": 200,
+                                  "body": b"%FAKEPDF\npdf body text"},
+        f"{MIXED_BASE}/flaky": {"status": 200, "body": b"stable at last",
+                                "flaky_until": 1},
+    }
+
+
+class MixedResolverFactory:
+    def __call__(self):
+        from .client import TableResolver
+
+        return TableResolver(mixed_web())
+
+
+class CsvRows(CsvListPage):
+    def get_source_from_input(self):
+        return self.input["url"]
+
+    def process_item(self, item):
+        return {"kind": "csv", **item}
+
+
+class XmlItems(XmlListPage):
+    selector = XPath("//item/text()")
+
+    def get_source_from_input(self):
+        return self.input["url"]
+
+    def process_item(self, item):
+        return {"kind": "xml", "value": item}
+
+
+class PdfText(PdfPage):
+    def get_source_from_input(self):
+        return self.input["url"]
+
+    def process_page(self):
+        return {"kind": "pdf", "text": self.text}
+
+
+class MixedIndex(JsonListPage):
+    source = f"{MIXED_BASE}/index.json"
+
+    def process_item(self, item):
+        cls = {"csv": CsvRows, "xml": XmlItems, "pdf": PdfText}[item["kind"]]
+        return cls({"url": item["url"]})
+
+
+class FlakyPage(HtmlPage):
+    source = f"{MIXED_BASE}/flaky"
+
+    def accept_response(self, response):
+        return not response.content.startswith(b"__FLAKY__")
+
+    def process_page(self):
+        return {"body": self.response.text}
+
+
+class SecretFetcher(HtmlPage):
+    source = f"{EMP_BASE}/private/secret"
+
+    def process_page(self):
+        return {"secret": self.root.text_content()}
+
+
+@_dataclass
+class DocRef:
+    url: str
+    label: str
+
+
+class TypedDetail(HtmlPage):
+    input_type = DocRef
+
+    def get_source_from_input(self):
+        return self.input.url
+
+    def process_page(self):
+        return {"label": self.input.label, "n": len(self.root.text_content())}
+
+
+class TypedIndex(JsonListPage):
+    source = f"{MIXED_BASE}/index.json"
+
+    def process_item(self, item):
+        if item["kind"] != "xml":
+            raise SkipItem("only xml")
+        return TypedDetail(DocRef(url=item["url"], label="feed"))
