@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "ann_topk",
 ]
 
-FORMULA_SPEC = dict(n_hosts=32, pages_per_host=1200, links_per_page=10,
+FORMULA_SPEC = dict(n_hosts=32, pages_per_host=3600, links_per_page=10,
                     text_words=250, media_per_page=3, seed=42)
 
 
@@ -142,20 +142,26 @@ def run_scaling() -> None:
     hi = int(os.environ.get("SCALING_HI", "8"))
     r_lo = one(lo)
     r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    suite_eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     crawl_eff = ((r_lo["queries"]["crawl_formula_web"]
                   / r_hi["queries"]["crawl_formula_web"]) / (hi / lo))
     print(json.dumps({
-        "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        # headline = the north-rule metric: crawl throughput scaling
+        # efficiency between N and 4N parallelism on the same seed list
+        "metric": "crawl_scaling_efficiency",
+        "value": round(crawl_eff, 3),
         "unit": "ratio",
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
-        "crawl_scaling_efficiency": round(crawl_eff, 3),
+        "crawl_sec_lo": r_lo["queries"]["crawl_formula_web"],
+        "crawl_sec_hi": r_hi["queries"]["crawl_formula_web"],
         "crawl_urls_per_sec_lo": r_lo["extra"]["fetched_urls_per_sec"],
         "crawl_urls_per_sec_hi": r_hi["extra"]["fetched_urls_per_sec"],
+        # whole-suite numbers (small fixed-size queries included, so this
+        # is a lower bound; see BASELINE.md)
+        "suite_scaling_efficiency": round(suite_eff, 3),
+        "suite_sec_lo": r_lo["value"],
+        "suite_sec_hi": r_hi["value"],
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
     }))
