@@ -72,6 +72,65 @@ def _project(schema: pa.Schema):
     return fn
 
 
+
+def _priority_select(frontier_ds, k: int):
+    """Deterministic per-host priority queue under a wave quota: keep the
+    top-k fetchable rows per host by (priority, order_bytes); the rest
+    defer to the next wave (already-deduped winners, so they bypass
+    re-dedup). Null-source rows are never deferred.
+
+    The shuffle runs on a narrow (host_hash, priority, order_bytes)
+    projection — the full rows (with list/binary payload columns) never
+    move; the defer decision comes back as a broadcast key set. A
+    politeness-budgeted wave is rate-bound by definition, so the key set
+    stays small relative to the crawl.
+    """
+    import pandas as pd
+    import ray
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host_hash": t["host_hash"],
+            "priority": t["priority"],
+            "order_bytes": t["order_bytes"],
+            "fetchable": pc.not_equal(t["url"], ""),
+        })
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "order_bytes"], kind="mergesort")
+        over = g["fetchable"].cumsum() > k
+        deferred = g[g["fetchable"] & over]
+        return pd.DataFrame({"order_bytes": deferred["order_bytes"]})
+
+    defer_rows = frontier_ds.map_batches(narrow, batch_format="pyarrow") \
+        .groupby("host_hash").map_groups(select, batch_format="pandas") \
+        .take_all()
+    defer_keys = {bytes(r["order_bytes"]) for r in defer_rows}
+    if not defer_keys:
+        return frontier_ds, None
+    keys_ref = ray.put(defer_keys)
+
+    def admitted_fn(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [bytes(o) not in keys for o in t["order_bytes"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    def deferred_fn(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [bytes(o) in keys for o in t["order_bytes"].to_pylist()]
+        d = t.filter(pa.array(mask))
+        if d.num_rows:
+            i = d.schema.get_field_index("pre_admitted")
+            d = d.set_column(i, "pre_admitted", pa.array([True] * d.num_rows))
+        return d
+
+    admitted = frontier_ds.map_batches(admitted_fn,
+                                       batch_format="pyarrow").materialize()
+    deferred = frontier_ds.map_batches(deferred_fn,
+                                       batch_format="pyarrow").materialize()
+    return admitted, deferred
+
+
 @dataclass
 class CrawlConfig:
     dedup: Optional[str] = "cuckoo"          # "cuckoo" | "exact" | None
@@ -338,8 +397,29 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         if shard_handles:
             ray.get([s.begin_wave.remote() for s in shard_handles])
 
+        deferred_ds = None
+        if cfg.per_host_wave_quota:
+            frontier_sel, deferred_ds = _priority_select(
+                frontier_ds, cfg.per_host_wave_quota)
+            n = frontier_sel.count()
+            if n == 0:
+                frontier_ds = deferred_ds
+                wave += 1
+                continue
+        else:
+            frontier_sel = frontier_ds
+
         nblocks = max(cfg.min_parallelism, n // max(1, cfg.batch_size))
-        wave_in = frontier_ds.repartition(min(nblocks, max(1, n)))
+        wave_in = frontier_sel.repartition(min(nblocks, max(1, n)))
+        _wave_no = wave
+
+        def _stamp_wave(t: pa.Table, _w=wave) -> pa.Table:
+            col = pa.array([_w] * t.num_rows, type=pa.int32())
+            if "wave" in t.schema.names:
+                return t.set_column(t.schema.get_field_index("wave"), "wave", col)
+            return t.append_column("wave", col)
+
+        wave_in = wave_in.map_batches(_stamp_wave, batch_format="pyarrow")
 
         if cfg.use_actors:
             out = wave_in.map_batches(
@@ -378,6 +458,11 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         commit_shards()
         frontier_ds = cands.map_batches(query_batch,
                                         batch_format="pyarrow").materialize()
+        if deferred_ds is not None:
+            n_def = deferred_ds.count()
+            if n_def:
+                stats_actor.add.remote({"priority_deferred": n_def})
+                frontier_ds = frontier_ds.union(deferred_ds).materialize()
         if verbose:
             print(f"[wave {wave}] n={n} runner={t_run - tw:.2f}s "
                   f"cands={time.time() - t_run:.2f}s "

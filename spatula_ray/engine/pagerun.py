@@ -40,7 +40,7 @@ from .schema import (
     rows_to_table,
 )
 
-_FRONTIER_COL_SET = {f.name for f in FRONTIER_SCHEMA} | {"row_kind"}
+_FRONTIER_COL_SET = {f.name for f in FRONTIER_SCHEMA} | {"row_kind", "wave"}
 
 
 def frontier_row_from_page(page: Page, key: typing.Tuple[int, ...],
@@ -147,6 +147,7 @@ class PageRunner:
             "fetch_attempts": attempts,
             "n_emitted": n_emitted,
             "error": error,
+            "wave": row.get("wave"),
         }
 
     def _follow_pagination(self, page: Page, row: dict, out: list) -> None:
@@ -179,6 +180,7 @@ class PageRunner:
                      "order_bytes": encode_order_key(key)},
                     "error", error=str(e)))
                 return
+            frow["wave"] = row.get("wave")
             if self.filter_shards and frow["url"]:
                 shard = self.filter_shards[
                     int(frow["url_hash"]) % len(self.filter_shards)]

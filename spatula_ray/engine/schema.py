@@ -66,6 +66,7 @@ PAGE_LOG_FIELDS = [
     ("fetch_attempts", pa.int32()),
     ("n_emitted", pa.int32()),
     ("error", pa.string()),
+    ("wave", pa.int32()),
 ]
 
 PAGE_LOG_SCHEMA = pa.schema(PAGE_LOG_FIELDS)

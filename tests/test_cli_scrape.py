@@ -1,0 +1,35 @@
+"""End-to-end `scrape` CLI: full crawl -> parquet docs + JSON-per-record
+output dir (reference cli.py:383-431 shape)."""
+
+import json
+import os
+
+import pytest
+
+from spatula_ray.cli import main
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_scrape_end_to_end(tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc = main([
+        "scrape", "spatula_ray.web.MixedIndex",
+        "--resolver", "spatula_ray.web:MixedResolverFactory",
+        "-o", out, "--dedup", "exact", "--json-records",
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "success: wrote 6 objects" in stdout
+
+    docs_dir = os.path.join(out, "docs")
+    assert os.path.isdir(docs_dir) and os.listdir(docs_dir)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(docs_dir)
+    assert t.num_rows == 6
+
+    records_dir = os.path.join(out, "records")
+    files = sorted(os.listdir(records_dir))
+    assert len(files) == 6
+    rec = json.load(open(os.path.join(records_dir, files[0])))
+    assert rec["kind"] in ("csv", "xml", "pdf")

@@ -93,3 +93,56 @@ def test_use_actors_mode():
                    CrawlConfig(dedup="cuckoo", n_filter_shards=2,
                                use_actors=True, concurrency=2, batch_size=8))
     assert result.counters["emitted"] == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_single_page_result_recursion():
+    """Non-generator process_page returning a single Page recurses with
+    key+(0,) (reference pages.py:236-238)."""
+    from spatula_ray.web import FlakyPage, MIXED_BASE
+    from spatula_ray import HtmlPage
+
+    class Inner(HtmlPage):
+        def get_source_from_input(self):
+            return self.input["url"]
+
+        def process_page(self):
+            return {"inner": True}
+
+    class Outer(HtmlPage):
+        source = f"{MIXED_BASE}/flaky"
+
+        def accept_response(self, response):
+            return not response.content.startswith(b"__FLAKY__")
+
+        def process_page(self):
+            return Inner({"url": f"{MIXED_BASE}/data.csv"})
+
+    factory = MixedResolverFactory()
+    oracle = run_oracle([Outer()], SyntheticClient(factory()))
+    result = crawl([Outer()], build_registry(Outer, Inner), factory,
+                   CrawlConfig(dedup=None, batch_size=4))
+    rows = result.docs_sorted().take_all()
+    assert len(rows) == len(oracle.docs) == 1
+    assert rows[0]["order_key"] == oracle.docs[0]["order_key"] == [0, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scout_mode_engine_vs_oracle():
+    """Engine scout mode == oracle scout (wave-0 + pagination projections,
+    subpages not followed)."""
+    from spatula_ray.web import EmployeeList, EmployeeDetail, AwardsPage
+
+    factory = EmployeesResolverFactory()
+    oracle = run_oracle([EmployeeList()], SyntheticClient(factory()),
+                        scout=True)
+    result = crawl([EmployeeList()],
+                   build_registry(EmployeeList, EmployeeDetail, AwardsPage),
+                   factory,
+                   CrawlConfig(dedup=None, scout=True, batch_size=16))
+    rows = result.docs_sorted().take_all()
+    assert len(rows) == len(oracle.docs) == 44
+    got = [json.loads(bytes(r["record_json"])) for r in rows]
+    want = [json.loads(r["record_json"]) for r in oracle.docs]
+    assert got == want
+    assert got[0]["__next__"].startswith("EmployeeDetail")
