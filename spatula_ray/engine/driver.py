@@ -205,14 +205,24 @@ def resolve_instance_dependencies(registry: Dict[str, type],
 
     from ..client import SyntheticClient
 
+    import logging
+
     results: dict = {}
     client = SyntheticClient(resolver_factory())
     for cls in registry.values():
         for key, dep in cls.dependencies.items():
             if isinstance(dep, type) or key in results:
                 continue  # class-form deps resolve per input inside the runner
-            dep._fetch_data(client)
-            out = dep.process_page()
+            try:
+                dep._fetch_data(client)
+                out = dep.process_page()
+            except Exception as e:
+                # tolerant: a registry may contain classes whose deps don't
+                # resolve against this crawl's resolver; pages that actually
+                # use the dep will surface an error row at run time
+                logging.getLogger(__name__).warning(
+                    "dependency %r (%s) failed to resolve: %s", key, dep, e)
+                continue
             if isinstance(out, _types.GeneratorType):
                 out = list(out)
             results[key] = out
