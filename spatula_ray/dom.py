@@ -36,6 +36,7 @@ VOID_ELEMENTS = frozenset(
 # attributes that carry URLs, absolutized by make_links_absolute
 _LINK_ATTRS = ("href", "src", "action", "formaction", "poster", "data", "cite",
                "background", "longdesc", "usemap", "codebase")
+_LINK_ATTR_SET = frozenset(_LINK_ATTRS)
 
 # elements whose URL attribute makes them a *media* span (vs. plain text)
 MEDIA_SRC_TAGS = frozenset("img audio video source embed iframe track object".split())
@@ -108,10 +109,13 @@ class Element:
     # -- link handling ----------------------------------------------------
     def make_links_absolute(self, base_url: str) -> None:
         for el in self.iter():
-            for a in _LINK_ATTRS:
-                v = el.attrib.get(a)
-                if v is not None:
-                    el.attrib[a] = urljoin(base_url, v)
+            attrib = el.attrib
+            if not attrib:
+                continue
+            # iterate the (few) attrs present rather than probing all names
+            for a in attrib:
+                if a in _LINK_ATTR_SET:
+                    attrib[a] = urljoin(base_url, attrib[a])
 
 
 # ---------------------------------------------------------------------------

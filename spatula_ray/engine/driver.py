@@ -150,6 +150,7 @@ class CrawlConfig:
     simulate_latency: bool = False
     use_actors: bool = False
     runner_num_cpus: float = 1.0
+    enforce_crawl_delay: bool = False
 
 
 @dataclass
@@ -261,7 +262,8 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     if cfg.n_gates:
         GateActor = ray.remote(num_cpus=0)(HostGate)
         gates = [GateActor.remote(robots=cfg.robots,
-                                  per_host_wave_quota=cfg.per_host_wave_quota)
+                                  per_host_wave_quota=cfg.per_host_wave_quota,
+                                  enforce_crawl_delay=cfg.enforce_crawl_delay)
                  for _ in range(cfg.n_gates)]
 
     # ---- resume ----------------------------------------------------------

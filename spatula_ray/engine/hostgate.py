@@ -34,12 +34,18 @@ class HostGate:
     """One politeness shard (wrapped in ray.remote by the driver)."""
 
     def __init__(self, robots: Optional[Dict[str, dict]] = None,
-                 per_host_wave_quota: Optional[int] = None):
+                 per_host_wave_quota: Optional[int] = None,
+                 enforce_crawl_delay: bool = False):
         self.rules: Dict[str, RobotsRules] = {
             host: RobotsRules(r.get("disallow", ()), r.get("crawl_delay_ms", 0))
             for host, r in (robots or {}).items()
         }
         self.quota = per_host_wave_quota
+        # real-time crawl-delay enforcement (robots Crawl-delay): admits at
+        # most one fetch per host per delay window, defers the rest. Off by
+        # default so tests/bench stay wall-clock-free.
+        self.enforce_crawl_delay = enforce_crawl_delay
+        self._last_fetch: Dict[str, float] = {}
         self.wave_used: Counter = Counter()
         self.fetched: Counter = Counter()
         self.denied = 0
@@ -49,6 +55,8 @@ class HostGate:
         self.wave_used.clear()
 
     def admit(self, hosts: Sequence[str], paths: Sequence[str]) -> List[int]:
+        import time as _time
+
         out = []
         for host, path in zip(hosts, paths):
             rules = self.rules.get(host)
@@ -60,6 +68,15 @@ class HostGate:
                 self.deferred += 1
                 out.append(1)
                 continue
+            if (self.enforce_crawl_delay and rules is not None
+                    and rules.crawl_delay_ms):
+                now = _time.monotonic()
+                delay = rules.crawl_delay_ms / 1000.0
+                if now - self._last_fetch.get(host, -delay) < delay:
+                    self.deferred += 1
+                    out.append(1)
+                    continue
+                self._last_fetch[host] = now
             self.wave_used[host] += 1
             self.fetched[host] += 1
             out.append(0)

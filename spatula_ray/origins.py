@@ -78,6 +78,12 @@ class NullSource(Source):
 
 def to_spec(source: Source) -> bytes:
     if type(source) is URL:
+        if (source.method == "GET" and source.data is None
+                and source.headers is None and source.verify
+                and source.timeout is None and source.retries is None):
+            # hot path: plain GET — avoid building/sorting the full dict
+            return ('{"kind": "url", "url": %s}'
+                    % json.dumps(source.url)).encode()
         return json.dumps(
             {
                 "kind": "url",
@@ -106,6 +112,8 @@ def source_from_spec(spec: Optional[bytes]) -> Optional[Source]:
         return None
     d: Dict[str, Any] = json.loads(spec)
     kind = d.get("kind")
+    if kind == "url" and len(d) == 2:
+        return URL(d["url"])
     if kind == "url":
         return URL(
             d["url"],
