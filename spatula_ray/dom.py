@@ -108,6 +108,10 @@ class Element:
 
     # -- link handling ----------------------------------------------------
     def make_links_absolute(self, base_url: str) -> None:
+        # fast paths: already-absolute refs pass through; root-relative
+        # refs join against the scheme+authority prefix computed once
+        m = re.match(r"^(https?://[^/]+)", base_url)
+        root_prefix = m.group(1) if m else None
         for el in self.iter():
             attrib = el.attrib
             if not attrib:
@@ -115,7 +119,13 @@ class Element:
             # iterate the (few) attrs present rather than probing all names
             for a in attrib:
                 if a in _LINK_ATTR_SET:
-                    attrib[a] = urljoin(base_url, attrib[a])
+                    v = attrib[a]
+                    if v.startswith("http://") or v.startswith("https://"):
+                        continue
+                    if root_prefix and v.startswith("/") and not v.startswith("//"):
+                        attrib[a] = root_prefix + v
+                    else:
+                        attrib[a] = urljoin(base_url, v)
 
 
 # ---------------------------------------------------------------------------

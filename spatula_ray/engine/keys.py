@@ -20,6 +20,12 @@ from urllib.parse import urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# fast path: lowercase scheme+host, no port/userinfo/fragment — the common
+# shape for synthetic and well-formed crawl URLs
+import re as _re
+
+_SIMPLE_URL = _re.compile(r"^(https?)://([a-z0-9.-]+)(/[^#]*)?$")
+
 
 def canonicalize(url: str) -> str:
     """Deterministic, conservative URL canonicalization: lowercase
@@ -28,6 +34,9 @@ def canonicalize(url: str) -> str:
     semantics too often)."""
     if not url:
         return ""
+    m = _SIMPLE_URL.match(url)
+    if m:
+        return f"{m.group(1)}://{m.group(2)}{m.group(3) or '/'}"
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     netloc = parts.netloc.lower()
@@ -44,6 +53,9 @@ def canonicalize(url: str) -> str:
 def host_of(url: str) -> str:
     if not url:
         return ""
+    m = _SIMPLE_URL.match(url)
+    if m:
+        return m.group(2)
     netloc = urlsplit(url).netloc.lower()
     host, _, port = netloc.partition(":")
     return host

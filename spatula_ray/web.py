@@ -220,8 +220,11 @@ class FormulaResolver:
         if h >= self.n_hosts or p >= self.pages_per_host:
             return None
         parts = [f"<html><body><h1>page {h}/{p}</h1>"]
-        words = [_WORDS[self._rng(h, p, 1000 + w) % len(_WORDS)]
-                 for w in range(self.text_words)]
+        import numpy as _np
+
+        rng = _np.random.RandomState(self._rng(h, p, 999) & 0x7FFFFFFF)
+        idx = rng.randint(0, len(_WORDS), size=self.text_words)
+        words = [_WORDS[i] for i in idx]
         parts.append(f"<p>{' '.join(words)}</p>")
         for l in range(self.links_per_page):
             r = self._rng(h, p, l)
