@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "ann_topk",
 ]
 
-FORMULA_SPEC = dict(n_hosts=32, pages_per_host=3600, links_per_page=10,
+FORMULA_SPEC = dict(n_hosts=32, pages_per_host=9000, links_per_page=10,
                     text_words=250, media_per_page=3, seed=42)
 
 

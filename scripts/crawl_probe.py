@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     spec = json.loads(os.environ.get("PROBE_SPEC", "{}")) or dict(
-        n_hosts=32, pages_per_host=3600, links_per_page=10, text_words=250,
+        n_hosts=32, pages_per_host=9000, links_per_page=10, text_words=250,
         media_per_page=3, seed=42)
     import logging
 
