@@ -103,8 +103,16 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
                             _grid(t["revenue"], 100.0))
 
     joined = joined.map_batches(rounded, batch_format="pyarrow")
-    top = joined.sort(["revenue", "o_orderkey"],
-                      descending=[True, False]).limit(k)
+    # top-k without a global sort: per-batch local top-k, then one tiny
+    # single-partition reduce (k << rows; same pattern as topk_cosine)
+    import pandas as pd
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+
+    cand = joined.map_batches(local_topk, batch_format="pandas")
+    top = cand.repartition(1).map_batches(local_topk, batch_format="pandas")
     return top.select_columns(["o_orderkey", "revenue", "o_orderpriority"])
 
 
