@@ -300,8 +300,8 @@ SELECT 'DocList' AS page_class,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        floor(sum(l_quantity) * 100 + 0.5) / 100                          AS sum_qty,
-       floor(sum(l_extendedprice) * 100 + 0.5) / 100                     AS sum_base_price,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100  AS sum_disc_price,
+       floor(sum(l_extendedprice) + 0.5)                     AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) + 0.5)  AS sum_disc_price,
        floor(avg(l_quantity) * 10000 + 0.5) / 10000                          AS avg_qty,
        floor(avg(l_extendedprice) * 10000 + 0.5) / 10000                     AS avg_price,
        count(*)                                           AS count_order

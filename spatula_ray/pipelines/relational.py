@@ -4,9 +4,11 @@ vectorized projection, partial-aggregate groupby, hash-bucket join,
 broadcast lookup, top-k, windowed and sessionized event aggregation), each
 with an exact DuckDB oracle in __ray_entry__.
 
-Float policy for oracle parity: every float aggregate is rounded (sums 2dp,
-averages 4dp) on BOTH sides, so summation-order differences between Ray's
-partial aggregation and DuckDB cannot flip the value hash.
+Float policy for oracle parity: every compared float is snapped to a
+decimal grid with floor(x*scale+0.5)/scale on BOTH sides (plain round()
+differs by 1 ulp between engines). The grid is chosen so summation-order
+error cannot cross a grid boundary: cents for ~1e7 sums, whole units for
+~1e9 sums over 1e5+ addends, 1e-4 for means.
 """
 
 from __future__ import annotations
@@ -66,8 +68,10 @@ def q1_pricing_summary(sf_dir: str):
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             "sum_qty": _grid(t["sum_qty"], 100.0),
-            "sum_base_price": _grid(t["sum_base_price"], 100.0),
-            "sum_disc_price": _grid(t["sum_disc_price"], 100.0),
+            # unit grid: at sf>=0.1 these sums reach ~1e9 over 1e5+ addends,
+            # where summation-order error exceeds a cent
+            "sum_base_price": _grid(t["sum_base_price"], 1.0),
+            "sum_disc_price": _grid(t["sum_disc_price"], 1.0),
             "avg_qty": _grid(t["avg_qty"], 10000.0),
             "avg_price": _grid(t["avg_price"], 10000.0),
             "count_order": t["count_order"],
