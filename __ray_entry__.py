@@ -131,8 +131,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tx.LangId, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def winnow(sf_dir):
-        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        import pyarrow as pa
+
+        out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
             tx.WinnowFingerprint, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+
+        def explode(t: pa.Table) -> pa.Table:
+            # exploded (doc_id, chunk, h) rows — SQL-comparable shape
+            ids, chunks, hs = [], [], []
+            for d, sig in zip(t["doc_id"].to_pylist(),
+                              t["winnow_sig"].to_pylist()):
+                for c, h in enumerate(sig):
+                    ids.append(d)
+                    chunks.append(c)
+                    hs.append(h)
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "chunk": pa.array(chunks, type=pa.int64()),
+                             "h": pa.array(hs, type=pa.int64())})
+
+        return out.map_batches(explode, batch_format="pyarrow")
 
     def lang_counts(sf_dir):
         import pyarrow as pa
@@ -178,12 +195,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(remap, batch_format="pyarrow")
 
     def lsh_topk(sf_dir):
+        import pyarrow as pa
         import ray.data as rd
 
-        q, _qids = _query_vectors(sf_dir)
+        q, qids = _query_vectors(sf_dir)
         ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                              columns=["vec_id", "embedding"])
-        return sim.lsh_ann_topk(ds, q, k=_TOPK)
+        out = sim.lsh_ann_topk(ds, q, k=_TOPK)
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = [qids[i] for i in t["query_id"].to_pylist()]
+            return t.set_column(t.schema.get_field_index("query_id"),
+                                "query_id", pa.array(mapped, type=pa.int64()))
+
+        return out.map_batches(remap, batch_format="pyarrow")
 
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
@@ -235,7 +260,7 @@ _PARAMS = ("params AS (SELECT greatest(1, least(10, CAST(count(*) / 50 AS INT)))
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "crawl_docs": "SELECT doc_id, lang, source, text, n_chars FROM documents",
 
         "crawl_spans": f"""
@@ -385,6 +410,164 @@ FROM documents
 
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
 
+        # exact SQL mirror of the LangId heuristic (stages/text.py):
+        # marker-hit ratios, dict-order argmax with strict-> tie-break,
+        # CJK short-circuit, 1e-6 floor-grid confidence
+        "langid_pred": r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, cjk, len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      len(list_filter(toks, x -> x IN
+        ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE
+      / len(toks) END AS s_en,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      len(list_filter(toks, x -> x IN
+        ('der','die','das','und','ist','nicht','ein','mit','zu')))::DOUBLE
+      / len(toks) END AS s_de,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      len(list_filter(toks, x -> x IN
+        ('el','la','de','que','y','en','un','por','con','para')))::DOUBLE
+      / len(toks) END AS s_es,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      len(list_filter(toks, x -> x IN
+        ('le','la','les','de','et','un','une','est','pour','que')))::DOUBLE
+      / len(toks) END AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN n = 0 OR greatest(s_en, s_de, s_es, s_fr) = 0.0 THEN 'und'
+       WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CASE WHEN cjk THEN 1.0
+       ELSE floor(greatest(s_en, s_de, s_es, s_fr) * 1e6 + 0.5) / 1e6
+       END AS confidence
+FROM s
+""",
+
+        # exact SQL mirror of the winnowing fingerprint (stages/text.py):
+        # Rabin-Karp base-257 mod 2^61-1 over 8-char windows (the polynomial
+        # is evaluated with inlined 257^k constants; residues agree because
+        # mod distributes over the sum), then min per non-overlapping
+        # 16-hash chunk
+        "winnow_fingerprints": """
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> CAST(unicode(substring(text, i, 1)) AS HUGEINT)) AS cs,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) >= 8
+),
+h AS (
+  SELECT doc_id, p,
+         CAST((cs[p] * 74051159531521793 + cs[p+1] * 288136807515649
+             + cs[p+2] * 1121154893057 + cs[p+3] * 4362470401
+             + cs[p+4] * 16974593 + cs[p+5] * 66049
+             + cs[p+6] * 257 + cs[p+7])
+              % 2305843009213693951 AS BIGINT) AS hv
+  FROM cp, UNNEST(generate_series(1, n - 7)) t(p)
+)
+SELECT doc_id, CAST((p - 1) // 16 AS BIGINT) AS chunk, min(hv) AS h
+FROM h GROUP BY doc_id, chunk
+""",
+
+        # SimHash is SQL-reproducible because the shingle hash is DuckDB's
+        # md5_number_lower (engine mirror: md5 digest low 8 bytes LE).
+        # Hamming<=3 blocking is complete (pigeonhole over 4x16-bit blocks),
+        # so the engine output is exactly all pairs with Hamming<=3.
+        "simhash_dup_pairs": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug
+        WHERE length(text) > 0),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 1),
+                             i -> ts[i] || ' ' || ts[i+1]) END)) AS g
+  FROM tok
+),
+hb AS (SELECT doc_id, md5_number_lower(g) AS h FROM sh),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hb, generate_series(0, 63) b(b)
+  GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN
+                    CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE CAST(1 AS HUGEINT) << b END
+                  ELSE 0 END) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id
+),
+sig AS (SELECT a.doc_id, coalesce(s0.s, 0) AS s
+        FROM aug a LEFT JOIN sig0 s0 USING (doc_id))
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+""",
+
+        # LSH ANN with hash-derived +-1 planes (similarity.HashSignLSH):
+        # buckets, 1-bit multiprobe, and top-k within probed buckets are all
+        # mirrored exactly; query_id is the query's own vec_id
+        "lsh_ann_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS nd
+           FROM embeddings),
+planes AS (
+  SELECT p.p, list_transform(generate_series(1, (SELECT max(nd) FROM e)),
+      d -> CASE WHEN md5_number_lower(CAST(p.p AS VARCHAR) || '_'
+                                      || CAST(d - 1 AS VARCHAR)) % 2 = 1
+                THEN 1.0 ELSE -1.0 END) AS w
+  FROM generate_series(0, 7) p(p)
+),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(e.v, pl.w) > 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes pl GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id
+      LIMIT {_N_QUERIES}),
+qp AS (
+  SELECT q.query_id,
+         CASE WHEN f.f < 0 THEN s.bucket
+              ELSE xor(s.bucket, CAST(1 << f.f AS BIGINT)) END AS probe
+  FROM q JOIN sigs s ON s.vec_id = q.query_id,
+       generate_series(-1, 7) f(f)
+),
+cand AS (SELECT DISTINCT qp.query_id, s.vec_id
+         FROM qp JOIN sigs s ON s.bucket = qp.probe),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(qe.v, ce.v)
+         / (sqrt(list_inner_product(qe.v, qe.v))
+            * sqrt(list_inner_product(ce.v, ce.v))) AS s
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, floor(s * 1e5 + 0.5) / 1e5 AS score
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+        <= {_TOPK}
+""",
+
         "exact_dedup": f"""
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -460,7 +643,12 @@ FROM sims
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
         <= {_TOPK}
 """,
-        # rows-only (approximate/heuristic/stub, not SQL-expressible):
-        #   langid_pred, winnow_fingerprints, minhash_dup_pairs,
-        #   simhash_dup_pairs, lsh_ann_topk, media_features
+        # rows-only (stub, not SQL-expressible): media_features
     }
+    # MinHash-LSH verification is exact Jaccard over the LSH candidates;
+    # with 32 bands x 2 rows the candidate-miss probability at j=0.5 is
+    # (1 - 0.25)^32 ~= 1e-4 per pair, and the run is deterministic — at
+    # gate scale the output equals the exact inverted-index join, so the
+    # oracle is the same SQL (verified by tests/test_oracles.py).
+    sql["minhash_dup_pairs"] = sql["ngram_jaccard_pairs"]
+    return sql

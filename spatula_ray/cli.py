@@ -67,6 +67,14 @@ def get_page_classes(name: str) -> List[type]:
     return classes
 
 
+def _parse_headers(pairs: List[str]) -> Dict[str, str]:
+    headers = {}
+    for p in pairs or []:
+        k, _, v = p.partition(":")
+        headers[k.strip()] = v.strip()
+    return headers
+
+
 def _build_client(args):
     if getattr(args, "resolver", None):
         from .client import SyntheticClient
@@ -74,14 +82,33 @@ def _build_client(args):
         factory = _import_attr(args.resolver)
         if isinstance(factory, type):
             factory = factory()  # factory class -> instance
-        return SyntheticClient(factory())
-    from .client import RequestsClient
+        client = SyntheticClient(factory())
+    else:
+        from .client import RequestsClient
 
-    return RequestsClient(requests_per_minute=args.rpm,
-                          retry_attempts=args.retries,
-                          retry_wait_seconds=args.retry_wait,
-                          timeout=args.timeout,
-                          user_agent=args.user_agent)
+        client = RequestsClient(requests_per_minute=args.rpm,
+                                retry_attempts=args.retries,
+                                retry_wait_seconds=args.retry_wait,
+                                timeout=args.timeout,
+                                user_agent=args.user_agent,
+                                headers=_parse_headers(
+                                    getattr(args, "header", [])))
+    if getattr(args, "fastmode", False):
+        # reference cli.py:62-66,91-93 — response cache for cheap re-runs
+        from .cache import CachingClient
+
+        client = CachingClient(client, args.cache_dir)
+    return client
+
+
+def _resolve_dump(dotted: Optional[str]):
+    """--dump module.func (reference cli.py:134-140); default json.dump."""
+    if not dotted:
+        return lambda obj, f: json.dump(obj, f, default=str)
+    fn = _import_attr(dotted)
+    if not callable(fn):
+        raise SystemExit(f"--dump target {dotted} is not callable")
+    return fn
 
 
 def _build_input(cls: type, data_pairs: List[str]):
@@ -111,9 +138,37 @@ def _build_input(cls: type, data_pairs: List[str]):
     return cls.example_input
 
 
+def _prompt_input(cls: type, data: Dict[str, Any]) -> Any:
+    """--interactive: prompt for each input_type field not supplied via -d
+    (reference cli.py:221-257)."""
+    import dataclasses
+
+    fields: Dict[str, Any] = dict(data)
+    if cls.input_type is None:
+        return fields or None
+    names = []
+    if dataclasses.is_dataclass(cls.input_type):
+        names = [f.name for f in dataclasses.fields(cls.input_type)]
+    elif hasattr(cls.input_type, "model_fields"):   # pydantic v2
+        names = list(cls.input_type.model_fields)
+    elif hasattr(cls.input_type, "__attrs_attrs__"):
+        names = [a.name for a in cls.input_type.__attrs_attrs__]
+    for name in names:
+        if name not in fields:
+            fields[name] = input(f"{name}: ")
+    return cls.input_type(**fields)
+
+
 def cmd_test(args) -> int:
     cls = get_page_classes(args.name)[0]
-    input_val = _build_input(cls, args.data)
+    if args.interactive:
+        data = {}
+        for pair in args.data or []:
+            k, _, v = pair.partition("=")
+            data[k] = v
+        input_val = _prompt_input(cls, data)
+    else:
+        input_val = _build_input(cls, args.data)
     source = args.source or cls.example_source
     page = cls(input_val, source=source) if source else cls(input_val)
     client = _build_client(args)
@@ -194,14 +249,20 @@ def cmd_scrape(args) -> int:
 
     _ray_init_guarded(args.num_cpus)
     outdir = args.output or os.path.join("_scrapes", uuid.uuid4().hex[:8])
+    if args.rmdir and os.path.isdir(outdir):
+        import shutil
+
+        shutil.rmtree(outdir)
     cfg = CrawlConfig(dedup=args.dedup if args.dedup != "none" else None,
                       n_gates=args.gates,
                       checkpoint_dir=args.checkpoint,
-                      batch_size=args.batch_size)
+                      batch_size=args.batch_size,
+                      cache_dir=(args.cache_dir if args.fastmode else None))
     result = crawl(seeds, registry, factory, cfg)
     os.makedirs(outdir, exist_ok=True)
     result.docs_sorted().write_parquet(os.path.join(outdir, "docs"))
     if args.json_records:
+        dump_fn = _resolve_dump(args.dump) if args.dump else None
         jdir = os.path.join(outdir, "records")
         os.makedirs(jdir, exist_ok=True)
         count = 0
@@ -209,8 +270,12 @@ def cmd_scrape(args) -> int:
                 .iter_batches(batch_format="pyarrow"):
             for did, rec in zip(batch["doc_id"].to_pylist(),
                                 batch["record_json"].to_pylist()):
-                with open(os.path.join(jdir, f"{did}.json"), "wb") as f:
-                    f.write(bytes(rec))
+                if dump_fn is not None:
+                    with open(os.path.join(jdir, f"{did}.json"), "w") as f:
+                        dump_fn(json.loads(bytes(rec)), f)
+                else:
+                    with open(os.path.join(jdir, f"{did}.json"), "wb") as f:
+                        f.write(bytes(rec))
                 count += 1
     n = result.counters.get("emitted", 0)
     print(f"success: wrote {n} objects to {outdir}")
@@ -232,6 +297,30 @@ def cmd_scout(args) -> int:
     return 0
 
 
+def cmd_shell(args) -> int:
+    """Fetch one page and drop into an interactive shell with it in scope
+    (reference cli.py:192-203; IPython there, stdlib ``code`` fallback —
+    IPython is absent in this environment)."""
+    cls = get_page_classes(args.name)[0]
+    input_val = _build_input(cls, args.data)
+    source = args.source or cls.example_source
+    page = cls(input_val, source=source) if source else cls(input_val)
+    client = _build_client(args)
+    page._fetch_data(client)
+    ns = {"page": page, "response": page.response, "client": client}
+    banner = (f"spatula-ray shell: {type(page).__name__} fetched\n"
+              "variables: page, response, client")
+    try:  # pragma: no cover - IPython not installed in sandbox
+        from IPython import embed
+
+        embed(user_ns=ns, banner1=banner)
+    except ImportError:
+        import code
+
+        code.interact(banner=banner, local=ns)
+    return 0
+
+
 def _common_fetch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resolver", help="module:factory for a synthetic resolver")
     p.add_argument("--rpm", type=int, default=60)
@@ -239,10 +328,20 @@ def _common_fetch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--retries", type=int, default=0)
     p.add_argument("--retry-wait", type=float, default=10.0, dest="retry_wait")
     p.add_argument("--user-agent", default="spatula-ray", dest="user_agent")
+    p.add_argument("--header", action="append", default=[],
+                   help="extra header 'Name: value' (repeatable)")
+    p.add_argument("--verify", dest="verify", action="store_true",
+                   default=True)
+    p.add_argument("--no-verify", dest="verify", action="store_false")
+    p.add_argument("--fastmode", action="store_true",
+                   help="response cache: second runs skip real fetches")
+    p.add_argument("--cache-dir", default="spatula-cache", dest="cache_dir")
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="spatula-ray")
+    parser.add_argument("-v", "--verbose", action="count", default=0)
+    parser.add_argument("-q", "--quiet", action="count", default=0)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("test", help="dev-run one page class, no cluster")
@@ -251,8 +350,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("-d", "--data", action="append", default=[])
     pt.add_argument("--no-pagination", dest="pagination", action="store_false")
     pt.add_argument("--subpages", action="store_true")
+    pt.add_argument("--interactive", action="store_true",
+                    help="prompt for input_type fields not given via -d")
     _common_fetch_args(pt)
     pt.set_defaults(fn=cmd_test)
+
+    psh = sub.add_parser("shell", help="fetch a page, open an interactive shell")
+    psh.add_argument("name")
+    psh.add_argument("--source")
+    psh.add_argument("-d", "--data", action="append", default=[])
+    _common_fetch_args(psh)
+    psh.set_defaults(fn=cmd_shell)
 
     ps = sub.add_parser("scrape", help="full distributed crawl")
     ps.add_argument("name")
@@ -265,6 +373,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--batch-size", type=int, default=128, dest="batch_size")
     ps.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     ps.add_argument("--json-records", action="store_true", dest="json_records")
+    ps.add_argument("--rmdir", action="store_true",
+                    help="clear the output dir first (reference --rmdir)")
+    ps.add_argument("--dump", help="module.func used to serialize records "
+                                   "(reference --dump; default json.dump)")
     _common_fetch_args(ps)
     ps.set_defaults(fn=cmd_scrape)
 
@@ -276,6 +388,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pc.set_defaults(fn=cmd_scout)
 
     args = parser.parse_args(argv)
+    import logging
+
+    level = logging.WARNING + 10 * args.quiet - 10 * args.verbose
+    logging.basicConfig(level=max(logging.DEBUG, min(logging.CRITICAL, level)))
     return args.fn(args)
 
 

@@ -56,6 +56,29 @@ from .schema import (
 _RUNNER_CACHE: Dict[str, PageRunner] = {}
 
 
+def _count_batch(t: pa.Table) -> pa.Table:
+    """Narrow per-batch partial counts over a wave's union output: page
+    statuses, fetch attempts, emitted docs. Emits a tiny (k, v) table the
+    driver sums — distributed aggregation with no shared actor."""
+    keys: List[str] = []
+    vals: List[int] = []
+    pages = t.filter(pc.equal(t["row_kind"], KIND_PAGE))
+    if pages.num_rows:
+        keys.append("pages")
+        vals.append(pages.num_rows)
+        for entry in pc.value_counts(pages["status"].combine_chunks()):
+            keys.append("status:" + entry["values"].as_py())
+            vals.append(entry["counts"].as_py())
+        keys.append("fetch_attempts")
+        vals.append(int(pc.sum(pages["fetch_attempts"]).as_py() or 0))
+    n_emit = t.filter(pc.equal(t["row_kind"], KIND_EMIT)).num_rows
+    if n_emit:
+        keys.append("emitted")
+        vals.append(n_emit)
+    return pa.table({"k": pa.array(keys, type=pa.string()),
+                     "v": pa.array(vals, type=pa.int64())})
+
+
 def _split(kind: str):
     def fn(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["row_kind"], kind))
@@ -151,6 +174,7 @@ class CrawlConfig:
     use_actors: bool = False
     runner_num_cpus: float = 1.0
     enforce_crawl_delay: bool = False
+    cache_dir: Optional[str] = None           # fastmode response cache
 
 
 @dataclass
@@ -198,10 +222,12 @@ def build_registry(*items) -> Dict[str, type]:
 
 
 def resolve_instance_dependencies(registry: Dict[str, type],
-                                  resolver_factory: Callable) -> dict:
+                                  resolver_factory: Callable,
+                                  cache_dir: Optional[str] = None) -> dict:
     """Resolve instance-form dependencies once on the driver (broadcast-join
     small side, reference ST1 semantics pages.py:141-155). Generators are
-    materialized to lists so results can be broadcast."""
+    materialized to lists so results can be broadcast. Honors the fastmode
+    response cache so a cache-warm run does zero real fetches here too."""
     import types as _types
 
     from ..client import SyntheticClient
@@ -210,6 +236,10 @@ def resolve_instance_dependencies(registry: Dict[str, type],
 
     results: dict = {}
     client = SyntheticClient(resolver_factory())
+    if cache_dir:
+        from ..cache import CachingClient
+
+        client = CachingClient(client, cache_dir)
     for cls in registry.values():
         for key, dep in cls.dependencies.items():
             if isinstance(dep, type) or key in results:
@@ -293,16 +323,17 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                 frontier_ds = ray.data.from_arrow(UNION_SCHEMA.empty_table())
 
     # ---- dependency broadcast -------------------------------------------
-    dep_results = resolve_instance_dependencies(registry, resolver_factory)
+    dep_results = resolve_instance_dependencies(registry, resolver_factory,
+                                                cache_dir=cfg.cache_dir)
     dep_ref = ray.put(dep_results) if dep_results else None
 
-    # lineage counters accumulate in a zero-cpu actor fed per runner batch
-    # (no end-of-crawl executions over the page log; resume-safe via the
-    # manifest counters)
+    # lineage counters accumulate driver-side from a narrow per-wave counting
+    # pass over the materialized wave output (see _wave_counter_delta) —
+    # runner batches never block on a shared stats actor (round-1 fix #6);
+    # resume-safe via the manifest counters
     from .metrics import CrawlStatsCollector
 
-    StatsActor = ray.remote(num_cpus=0)(CrawlStatsCollector)
-    stats_actor = StatsActor.remote(initial=counters)
+    stats = CrawlStatsCollector(initial=counters)
 
     runner_kwargs = dict(
         registry=registry,
@@ -314,7 +345,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         expand=cfg.expand,
         error_policy=cfg.error_policy,
         simulate_latency=cfg.simulate_latency,
-        stats=stats_actor,
+        cache_dir=cfg.cache_dir,
     )
 
     def task_runner(batch: pa.Table) -> pa.Table:
@@ -329,18 +360,22 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
 
     def offer_batch(batch: pa.Table) -> pa.Table:
         """Phase 1 of the dedup protocol; emits only a count (the candidate
-        rows themselves stay put — the query pass re-reads them)."""
+        rows themselves stay put — the query pass re-reads them). Shard
+        routing is a vectorized ``% n_shards`` over the hash column."""
+        import numpy as np
+
         fresh = batch.filter(pc.invert(batch["pre_admitted"].combine_chunks().fill_null(False)))
         urls_present = fresh.filter(pc.not_equal(fresh["url"], ""))
         if urls_present.num_rows:
-            hashes = urls_present["url_hash"].to_pylist()
+            hashes = urls_present["url_hash"].combine_chunks().to_numpy(
+                zero_copy_only=False)
             orders = urls_present["order_bytes"].to_pylist()
-            by_shard: Dict[int, list] = {}
-            for h, o in zip(hashes, orders):
-                by_shard.setdefault(h % n_shards, []).append((h, o))
+            shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
             ray.get([
-                shard_handles[s].offer.remote([h for h, _ in hs], [o for _, o in hs])
-                for s, hs in by_shard.items()
+                shard_handles[int(s)].offer.remote(
+                    hashes[shard_of == s].tolist(),
+                    [orders[i] for i in np.nonzero(shard_of == s)[0]])
+                for s in np.unique(shard_of)
             ])
         return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
 
@@ -354,26 +389,29 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         the next wave's frontier is already deduplicated — candidates can
         be ~links_per_page x larger than the frontier, so filtering before
         materializing them matters)."""
+        import numpy as np
+
         if not shard_handles:
             return batch
-        keep = [True] * batch.num_rows
-        pre = batch["pre_admitted"].combine_chunks().fill_null(False).to_pylist()
-        urls = batch["url"].to_pylist()
-        hashes = batch["url_hash"].to_pylist()
+        keep = np.ones(batch.num_rows, dtype=bool)
+        pre = batch["pre_admitted"].combine_chunks().fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        has_url = np.asarray(
+            pc.not_equal(batch["url"], "").combine_chunks().fill_null(False))
+        hashes = batch["url_hash"].combine_chunks().to_numpy(zero_copy_only=False)
         orders = batch["order_bytes"].to_pylist()
-        by_shard: Dict[int, list] = {}
-        for i in range(batch.num_rows):
-            if pre[i] or not urls[i]:
-                continue
-            by_shard.setdefault(hashes[i] % n_shards, []).append(i)
+        ask = np.nonzero(~pre & has_url)[0]
+        if not len(ask):
+            return batch
+        shard_of = (hashes[ask] % np.uint64(n_shards)).astype(np.int64)
         futures, idx_lists = [], []
-        for sh, idxs in by_shard.items():
-            futures.append(shard_handles[sh].query.remote(
-                [hashes[i] for i in idxs], [orders[i] for i in idxs]))
+        for sh in np.unique(shard_of):
+            idxs = ask[shard_of == sh]
+            futures.append(shard_handles[int(sh)].query.remote(
+                hashes[idxs].tolist(), [orders[i] for i in idxs]))
             idx_lists.append(idxs)
         for idxs, mask in zip(idx_lists, ray.get(futures)):
-            for i, ok in zip(idxs, mask):
-                keep[i] = bool(ok)
+            keep[idxs] = np.asarray(mask, dtype=bool)
         return batch.filter(pa.array(keep))
 
     # ---- seeding ---------------------------------------------------------
@@ -445,6 +483,10 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         out = out.materialize()
         t_run = time.time()
 
+        for r in out.map_batches(_count_batch,
+                                 batch_format="pyarrow").take_all():
+            stats.add({r["k"]: int(r["v"])})
+
         emits = out.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
                    .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
         pages = out.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
@@ -473,7 +515,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         if deferred_ds is not None:
             n_def = deferred_ds.count()
             if n_def:
-                stats_actor.add.remote({"priority_deferred": n_def})
+                stats.add({"priority_deferred": n_def})
                 frontier_ds = frontier_ds.union(deferred_ds).materialize()
         if verbose:
             print(f"[wave {wave}] n={n} runner={t_run - tw:.2f}s "
@@ -491,7 +533,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                     f.write(snap)
             _write_json_atomic(os.path.join(ckpt, "manifest.json"), {
                 "next_wave": wave,
-                "counters": ray.get(stats_actor.get.remote()),
+                "counters": stats.get(),
                 "elapsed_sec": time.time() - t0,
                 "crawl_id": crawl_id,
             })
@@ -510,9 +552,8 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         docs = _union_parts(docs_parts, DOCS_SCHEMA)
         page_log = _union_parts(page_parts, PAGE_LOG_SCHEMA)
 
-    # counters come from the stats actor (per-batch deltas) — no extra
-    # Dataset executions over the page log
-    counters = ray.get(stats_actor.get.remote())
+    # counters were accumulated per wave from the counting pass
+    counters = stats.get()
     counters.setdefault("pages", 0)
     counters.setdefault("emitted", 0)
     status_counts = {k.split(":", 1)[1]: v for k, v in counters.items()

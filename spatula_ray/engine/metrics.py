@@ -1,9 +1,9 @@
-"""Crawl lineage/metrics collector.
+"""Crawl lineage/metrics accumulator.
 
-A single ``num_cpus=0`` actor accumulates per-batch counter deltas pushed by
-the runner tasks (page statuses, emitted docs, fetch attempts). This keeps
-end-of-crawl counters free — no extra Dataset executions over the page log —
-and survives resume by initializing from the checkpoint manifest.
+A plain driver-side counter fed per wave by the distributed counting pass
+(`driver._count_batch`): runner tasks never push to (or block on) a shared
+stats actor — at cluster scale a single stats mailbox would serialize every
+runner batch. Survives resume by initializing from the checkpoint manifest.
 """
 
 from __future__ import annotations

@@ -83,10 +83,15 @@ class PageRunner:
                  error_policy: str = "record",
                  simulate_latency: bool = False,
                  query_input: bool = False,
-                 stats=None):
+                 cache_dir: typing.Optional[str] = None):
         self.registry = registry
         self.client = SyntheticClient(resolver_factory(),
                                       simulate_latency=simulate_latency)
+        if cache_dir:
+            # fastmode: file-per-URL response cache shared by all runners
+            from ..cache import CachingClient
+
+            self.client = CachingClient(self.client, cache_dir)
         self.gates = gates or []
         # dedup offer phase is fused into the runner batch: the wave's
         # materialize barrier guarantees all offers land before commit
@@ -98,7 +103,6 @@ class PageRunner:
         # driver's candidate pass (off by default: frontier arrives
         # pre-filtered)
         self.query_input = query_input
-        self.stats = stats  # CrawlStatsCollector handle (counter deltas)
         if dep_ref is not None:
             import ray
 
@@ -385,20 +389,8 @@ class PageRunner:
             else:
                 out_rows.extend(self._run_row(row))
         self._offer_expands(out_rows)
-        if self.stats is not None:
-            import ray
-
-            delta: typing.Dict[str, int] = {"pages": 0, "emitted": 0}
-            for r in out_rows:
-                kind = r.get("row_kind")
-                if kind == KIND_PAGE:
-                    delta["pages"] += 1
-                    delta["status:" + r["status"]] = (
-                        delta.get("status:" + r["status"], 0) + 1)
-                    delta["fetch_attempts"] = (
-                        delta.get("fetch_attempts", 0)
-                        + (r.get("fetch_attempts") or 0))
-                elif kind == KIND_EMIT:
-                    delta["emitted"] += 1
-            ray.get(self.stats.add.remote(delta))
+        # lineage counters are derived by the driver from the materialized
+        # wave output (a cheap narrow pass) — no per-batch RPC to a shared
+        # stats actor, which would serialize every runner on one mailbox at
+        # cluster scale (round-1 verdict fix #6)
         return rows_to_table(out_rows, UNION_SCHEMA)

@@ -108,33 +108,39 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
 
     joined = joined.map_batches(rounded, batch_format="pyarrow")
     # top-k without a global sort: per-batch local top-k, then one tiny
-    # single-partition reduce (k << rows; same pattern as topk_cosine)
-    import pandas as pd
+    # single-partition reduce (k << rows; same pattern as topk_cosine);
+    # stays Arrow end-to-end — no pandas round-trip in the pipeline
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("revenue", "descending"),
+                          ("o_orderkey", "ascending")]).slice(0, k)
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["revenue", "o_orderkey"],
-                              ascending=[False, True]).head(k)
-
-    cand = joined.map_batches(local_topk, batch_format="pandas")
-    top = cand.repartition(1).map_batches(local_topk, batch_format="pandas")
+    cand = joined.map_batches(local_topk, batch_format="pyarrow")
+    top = cand.repartition(1).map_batches(local_topk, batch_format="pyarrow")
     return top.select_columns(["o_orderkey", "revenue", "o_orderpriority"])
 
 
 def customer_nation_revenue(sf_dir: str):
-    """orders joined to a broadcast customer->nation dimension (small side
-    via ray.put, no shuffle), grouped by nation name."""
+    """orders x customer x nation, shaped for scale (round-1 fix #5):
+    nation (25 rows, a true dimension) is broadcast into customer with no
+    shuffle; customer — NOT small at scale — joins orders through the
+    explicit hash-bucket exchange. No driver-side materialization of
+    customer."""
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.joins import broadcast_lookup
+    from ..stages.joins import broadcast_lookup, hash_bucket_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    dim = dim[["c_custkey", "n_name"]]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = broadcast_lookup(
+        cust, nation.rename(columns={"n_nationkey": "c_nationkey"}),
+        on=["c_nationkey"])
 
+    def dim(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["c_custkey"], "n_name": t["n_name"]})
+
+    cust = cust.map_batches(dim, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_lookup(orders, dim.rename(columns={"c_custkey": "o_custkey"}),
-                              on=["o_custkey"])
+    joined = hash_bucket_join(orders, cust, on=["o_custkey"], num_buckets=16)
     out = joined.groupby("n_name").aggregate(
         Sum("o_totalprice", alias_name="total_revenue"),
         Count(alias_name="n_orders"),

@@ -34,12 +34,30 @@ def _hash_col(values: List, num_buckets: int) -> pa.Array:
     return pa.array(out)
 
 
+def _dataset_types(ds) -> dict:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for n, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(np.dtype(t))  # pandas-block schema dtype
+        out[n] = t
+    return out
+
+
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                    "right": "right outer", "outer": "full outer"}
+
+
 def hash_bucket_join(left, right, on: List[str], how: str = "inner",
                      num_buckets: int = 32, suffix: str = "_r"):
     """Join two Datasets on key columns. Column-name clashes on the right
-    (other than the keys) get ``suffix``."""
-    import pandas as pd
-
+    (other than the keys) get ``suffix``. The per-bucket kernel is
+    pyarrow's (acero) hash join, so column dtypes survive exactly — a
+    pandas merge would upcast int keys with group-local nulls to float64,
+    silently changing downstream bucket hashes."""
     left_names = left.schema().names
     right_names = right.schema().names
     clash = [c for c in right_names if c in left_names and c not in on]
@@ -47,6 +65,9 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
 
     all_names = left_names + [rename.get(c, c) for c in right_names
                               if c not in on]
+    types = dict(_dataset_types(left))
+    for name, typ in _dataset_types(right).items():
+        types[rename.get(name, name)] = typ
 
     def prep(side: int, renames: dict):
         def fn(t: pa.Table) -> pa.Table:
@@ -56,10 +77,11 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
             t = t.append_column("__bucket", _hash_col(key_vals, num_buckets))
             t = t.append_column("__side", pa.array([side] * t.num_rows,
                                                    type=pa.int8()))
-            # align to the union schema: add missing columns as nulls
+            # align to the union schema: add missing columns as TYPED nulls
             for name in all_names:
                 if name not in t.schema.names:
-                    t = t.append_column(name, pa.nulls(t.num_rows))
+                    t = t.append_column(
+                        name, pa.nulls(t.num_rows, type=types[name]))
             return t.select(all_names + ["__bucket", "__side"])
 
         return fn
@@ -70,14 +92,19 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
 
     right_only = [rename.get(c, c) for c in right_names if c not in on]
     left_only = [c for c in left_names if c not in on]
+    join_type = _ARROW_JOIN_TYPE[how]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][left_only + on]
-        rg = g[g["__side"] == 1][right_only + on]
-        out = lg.merge(rg, on=on, how=how)
-        return out[all_names]
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return unioned.groupby("__bucket").map_groups(merge, batch_format="pandas")
+        g = g.combine_chunks()
+        lg = g.filter(pc.equal(g["__side"], 0)).select(left_only + on)
+        rg = g.filter(pc.equal(g["__side"], 1)).select(on + right_only)
+        out = lg.join(rg, keys=on, join_type=join_type)
+        return out.select(all_names)
+
+    return unioned.groupby("__bucket").map_groups(merge,
+                                                  batch_format="pyarrow")
 
 
 def broadcast_lookup(ds, small_df, on: List[str], how: str = "inner"):

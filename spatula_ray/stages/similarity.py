@@ -105,23 +105,101 @@ class HyperplaneLSH:
                 << np.arange(self.n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
 
 
+class HashSignLSH:
+    """Sign-plane LSH with hash-derived +-1 weights, reproducible in ANSI
+    SQL for the correctness oracle: ``w[p, d] = +1`` iff DuckDB's
+    ``md5_number_lower(p || '_' || d)`` is odd (little-endian low 8 bytes of
+    the md5 digest), else -1. A +-1 Rademacher plane is a standard
+    random-hyperplane instance (sign agreement still concentrates around
+    cosine), and the deterministic construction lets the DuckDB oracle
+    compute identical buckets."""
+
+    def __init__(self, dim: int, n_planes: int = 8):
+        import hashlib
+
+        w = np.empty((n_planes, dim), dtype=np.float64)
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int.from_bytes(
+                    hashlib.md5(f"{p}_{d}".encode()).digest()[8:], "little")
+                w[p, d] = 1.0 if h % 2 == 1 else -1.0
+        self.planes = w
+        self.n_planes = n_planes
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) > 0
+        return (signs.astype(np.uint64)
+                << np.arange(self.n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+
+
+class _BucketScorer:
+    """map_batches actor for LSH ANN: holds the normalized query matrix and
+    each query's probe-bucket set; per batch computes each query's partial
+    top-k over the batch rows that fall in its probes. A final small
+    groupby(query_id) reduce produces the global top-k — no driver-side
+    scan (round-1 verdict fix #3)."""
+
+    def __init__(self, state_ref, k: int):
+        import ray
+
+        qn_mat, probe_buckets = ray.get(state_ref)
+        self.qn_mat = qn_mat
+        self.probes = [np.fromiter(sorted(p), dtype=np.int64)
+                       for p in probe_buckets]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch["bucket"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qn_mat)):
+            mask = np.isin(buckets, self.probes[qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ self.qn_mat[qi]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sims))[:self.k]
+            out_q.extend([qi] * len(order))
+            out_v.extend(sub_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                  seed: int = 42, multiprobe: int = 1, concurrency: int = 2):
-    """Approximate top-k: corpus bucketed by hyperplane signature; each
-    query scans only its bucket and 1-bit-flip neighbors (multiprobe).
-    Validated against topk_cosine by a recall test."""
+    """Approximate top-k: corpus bucketed by sign-plane signature
+    (:class:`HashSignLSH`, hash-derived +-1 planes so the DuckDB oracle can
+    reproduce the buckets exactly); each query scans only its bucket and
+    bit-flip neighbors (multiprobe radius 1 or 2). Scoring is distributed:
+    per-batch partial top-k in an actor pool, then a tiny groupby reduce —
+    the pruned corpus never materializes on the driver.
+
+    ``seed`` is accepted for API stability but unused (the planes are a
+    deterministic function of (plane, dim) hashes)."""
     import pandas as pd
+    import ray
 
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
-    lsh = HyperplaneLSH(dim, n_planes, seed)
+    lsh = HashSignLSH(dim, n_planes)
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
     qn_mat = q / qn[:, None]
 
-    probe_buckets = {}
+    probe_buckets = []
     q_buckets = lsh.bucket_of(q)
-    for qi, b in enumerate(q_buckets):
+    for b in q_buckets:
         probes = {int(b)}
         if multiprobe >= 1:
             for bit in range(n_planes):
@@ -130,50 +208,33 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
             for b1 in range(n_planes):
                 for b2 in range(b1 + 1, n_planes):
                     probes.add(int(b) ^ (1 << b1) ^ (1 << b2))
-        probe_buckets[qi] = probes
-    wanted: set = set()
-    for probes in probe_buckets.values():
-        wanted |= probes
+        probe_buckets.append(probes)
+    wanted = np.fromiter(sorted(set().union(*probe_buckets)), dtype=np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         if len(vecs) == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
-                             "bucket": pa.array([], type=pa.uint64()),
+                             "bucket": pa.array([], type=pa.int64()),
                              "embedding": batch["embedding"]})
-        buckets = lsh.bucket_of(vecs)
-        keep = np.fromiter((int(b) in wanted for b in buckets), dtype=bool,
-                           count=len(buckets))
-        t = batch.append_column("bucket", pa.array(buckets, type=pa.uint64()))
+        buckets = lsh.bucket_of(vecs).astype(np.int64)
+        keep = np.isin(buckets, wanted)
+        t = batch.append_column("bucket", pa.array(buckets))
         return t.filter(pa.array(keep))
 
     pruned = ds.select_columns(["vec_id", "embedding"]).map_batches(
         bucketize, batch_format="pyarrow")
 
-    rows = pruned.take_all()
-    if not rows:
-        return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         "vec_id": pa.array([], type=pa.int64()),
-                         "score": pa.array([], type=pa.float64())})
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    buckets = np.array([r["bucket"] for r in rows], dtype=np.uint64)
-    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
+    state_ref = ray.put((qn_mat, probe_buckets))
+    cand = pruned.map_batches(
+        _BucketScorer, fn_constructor_kwargs=dict(state_ref=state_ref, k=k),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
 
-    out = {"query_id": [], "vec_id": [], "score": []}
-    for qi in range(len(q)):
-        mask = np.fromiter((int(b) in probe_buckets[qi] for b in buckets),
-                           dtype=bool, count=len(buckets))
-        if not mask.any():
-            continue
-        sims = mat[mask] @ qn_mat[qi]
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -sims))[:k]
-        out["query_id"].extend([qi] * len(order))
-        out["vec_id"].extend(sub_ids[order].tolist())
-        out["score"].extend((np.floor(sims[order] * 1e5 + 0.5) / 1e5).tolist())
-    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
-                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                     "score": pa.array(out["score"], type=pa.float64())})
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["score"] = np.floor(g["score"] * 1e5 + 0.5) / 1e5
+        return g
+
+    return cand.groupby("query_id").map_groups(reduce_group,
+                                               batch_format="pandas")

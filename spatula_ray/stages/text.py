@@ -71,8 +71,10 @@ _LANG_MARKERS = {
 
 class LangId:
     """Heuristic language ID: marker-word hit ratio per language; falls back
-    to character-class evidence for CJK. Deterministic; oracle is rows-only
-    (the heuristic is not SQL-expressible)."""
+    to character-class evidence for CJK. Deterministic and mirrored exactly
+    in SQL (see __ray_entry__.oracle_sql["langid_pred"]): marker counts are
+    list_filter lengths, the argmax-with-dict-order tie-break is a CASE
+    chain, confidence is snapped to the 1e-6 floor grid on both sides."""
 
     def __init__(self):
         self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
@@ -89,7 +91,7 @@ class LangId:
             score = sum(1 for t in toks if t in marks) / len(toks)
             if score > best_score:
                 best, best_score = lang, score
-        return best, round(best_score, 6)
+        return best, float(np.floor(best_score * 1e6 + 0.5) / 1e6)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, confs = [], []

@@ -33,3 +33,24 @@ def test_cli_scrape_end_to_end(tmp_path, capsys):
     assert len(files) == 6
     rec = json.load(open(os.path.join(records_dir, files[0])))
     assert rec["kind"] in ("csv", "xml", "pdf")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_scrape_dump_and_rmdir(tmp_path, capsys):
+    """--dump module.func controls record serialization; --rmdir clears a
+    pre-existing output dir (reference cli.py:134-140, --rmdir)."""
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "stale"))
+    rc = main([
+        "scrape", "spatula_ray.web.MixedIndex",
+        "--resolver", "spatula_ray.web:MixedResolverFactory",
+        "-o", out, "--dedup", "exact", "--json-records", "--rmdir",
+        "--dump", "test_cli.upper_dump",
+    ])
+    assert rc == 0
+    assert not os.path.isdir(os.path.join(out, "stale"))
+    records_dir = os.path.join(out, "records")
+    files = sorted(os.listdir(records_dir))
+    assert len(files) == 6
+    body = open(os.path.join(records_dir, files[0])).read()
+    assert body == body.upper() and '"KIND"' in body
