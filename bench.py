@@ -61,8 +61,13 @@ def run_bench() -> dict:
 
     import ray
 
+    # log_to_driver=False: reduce-task warnings ("Failed to hash the
+    # schemas...", a Ray groupby schema-metadata nit) would otherwise spam
+    # the bench output from worker processes where our logging config
+    # doesn't reach; the bench JSON line is printed by this driver process
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -100,6 +105,7 @@ def run_bench() -> dict:
     extra["frontier_ops_per_sec"] = round(
         (res.counters.get("seen_inserted", 0)
          + res.counters.get("deduped", 0)) / crawl_sec, 1)
+    del res   # release the crawl's materialized page-log before the suite
 
     # -- operator suite over the sf tables ---------------------------------
     import __ray_entry__ as entrymod

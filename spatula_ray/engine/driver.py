@@ -56,25 +56,16 @@ from .schema import (
 _RUNNER_CACHE: Dict[str, PageRunner] = {}
 
 
-def _count_batch(t: pa.Table) -> pa.Table:
-    """Narrow per-batch partial counts over a wave's union output: page
-    statuses, fetch attempts, emitted docs. Emits a tiny (k, v) table the
+def _page_count_batch(t: pa.Table) -> pa.Table:
+    """Narrow per-batch partial counts over a wave's page-log rows: page
+    total, status histogram, fetch attempts. Emits a tiny (k, v) table the
     driver sums — distributed aggregation with no shared actor."""
-    keys: List[str] = []
-    vals: List[int] = []
-    pages = t.filter(pc.equal(t["row_kind"], KIND_PAGE))
-    if pages.num_rows:
-        keys.append("pages")
-        vals.append(pages.num_rows)
-        for entry in pc.value_counts(pages["status"].combine_chunks()):
-            keys.append("status:" + entry["values"].as_py())
-            vals.append(entry["counts"].as_py())
-        keys.append("fetch_attempts")
-        vals.append(int(pc.sum(pages["fetch_attempts"]).as_py() or 0))
-    n_emit = t.filter(pc.equal(t["row_kind"], KIND_EMIT)).num_rows
-    if n_emit:
-        keys.append("emitted")
-        vals.append(n_emit)
+    keys: List[str] = ["pages", "fetch_attempts"]
+    vals: List[int] = [t.num_rows,
+                       int(pc.sum(t["fetch_attempts"]).as_py() or 0)]
+    for entry in pc.value_counts(t["status"].combine_chunks()):
+        keys.append("status:" + entry["values"].as_py())
+        vals.append(entry["counts"].as_py())
     return pa.table({"k": pa.array(keys, type=pa.string()),
                      "v": pa.array(vals, type=pa.int64())})
 
@@ -483,18 +474,28 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         out = out.materialize()
         t_run = time.time()
 
-        for r in out.map_batches(_count_batch,
-                                 batch_format="pyarrow").take_all():
-            stats.add({r["k"]: int(r["v"])})
-
+        # Narrow projections are MATERIALIZED per wave so the wide union
+        # blocks (which include every expand candidate with its payload)
+        # can be released at the end of the wave — retaining lazy views
+        # would pin the entire crawl's raw output in the object store for
+        # the life of the result and force later pipelines to spill.
         emits = out.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
-                   .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
+                   .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow") \
+                   .materialize()
         pages = out.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
-                   .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
+                   .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow") \
+                   .materialize()
         cands = out.map_batches(
             lambda t: t.filter(pc.is_in(t["row_kind"],
                                         value_set=pa.array([KIND_EXPAND, KIND_DEFER]))),
             batch_format="pyarrow")
+
+        for r in pages.map_batches(_page_count_batch,
+                                   batch_format="pyarrow").take_all():
+            stats.add({r["k"]: int(r["v"])})
+        n_emitted = emits.count()
+        if n_emitted:
+            stats.add({"emitted": n_emitted})
 
         if ckpt:
             ddir = os.path.join(ckpt, "docs", f"wave_{wave:05d}")
@@ -502,7 +503,6 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             emits.write_parquet(ddir)
             pages.write_parquet(pdir)
         else:
-            # lazy projections over the already-materialized wave output
             docs_parts.append(emits)
             page_parts.append(pages)
 
@@ -512,6 +512,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         commit_shards()
         frontier_ds = cands.map_batches(query_batch,
                                         batch_format="pyarrow").materialize()
+        out = None  # release the union blocks
         if deferred_ds is not None:
             n_def = deferred_ds.count()
             if n_def:
