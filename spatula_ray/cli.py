@@ -25,7 +25,6 @@ import inspect
 import json
 import os
 import sys
-import uuid
 from typing import Any, Dict, List, Optional
 
 from .model import ListPage, Page
@@ -223,6 +222,17 @@ def _ray_init_guarded(num_cpus: Optional[int]) -> None:
                  logging_level="ERROR")
 
 
+def _default_output_dir() -> str:
+    """Auto-incremented dated output dir, reference cli.py:395-407:
+    ``_scrapes/<iso-date>/<nnn>``."""
+    import datetime
+
+    base = os.path.join("_scrapes", datetime.date.today().isoformat())
+    os.makedirs(base, exist_ok=True)
+    n = max((int(d) for d in os.listdir(base) if d.isdigit()), default=0) + 1
+    return os.path.join(base, f"{n:03d}")
+
+
 def cmd_scrape(args) -> int:
     from .engine import CrawlConfig, crawl
     from .engine.driver import build_registry
@@ -247,12 +257,16 @@ def cmd_scrape(args) -> int:
         else:
             seeds.append(cls())
 
-    _ray_init_guarded(args.num_cpus)
-    outdir = args.output or os.path.join("_scrapes", uuid.uuid4().hex[:8])
+    outdir = args.output or _default_output_dir()
     if args.rmdir and os.path.isdir(outdir):
         import shutil
 
         shutil.rmtree(outdir)
+    if os.path.isdir(outdir) and os.listdir(outdir):
+        # reference cli.py:409-414: refuse a non-empty -o dir unless --rmdir
+        raise SystemExit(f"{outdir} exists and is not empty "
+                         "(use --rmdir to overwrite)")
+    _ray_init_guarded(args.num_cpus)
     cfg = CrawlConfig(dedup=args.dedup if args.dedup != "none" else None,
                       n_gates=args.gates,
                       checkpoint_dir=args.checkpoint,

@@ -19,8 +19,7 @@ Determinism: all hashing is blake2b/crc-based (never builtin hash()).
 from __future__ import annotations
 
 import hashlib
-import itertools
-from typing import Dict, List, Tuple
+from typing import List
 
 import numpy as np
 import pyarrow as pa

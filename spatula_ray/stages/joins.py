@@ -57,7 +57,16 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
     (other than the keys) get ``suffix``. The per-bucket kernel is
     pyarrow's (acero) hash join, so column dtypes survive exactly — a
     pandas merge would upcast int keys with group-local nulls to float64,
-    silently changing downstream bucket hashes."""
+    silently changing downstream bucket hashes.
+
+    Both sides are materialized at entry: the join needs their schemas up
+    front (for typed-null alignment), and probing ``.schema()`` on a lazy
+    dataset executes its whole upstream plan — then the join would execute
+    it AGAIN. A hash join is an all-to-all barrier regardless, so the
+    materialization costs nothing extra at scale (the sort shuffle would
+    pin the same blocks) and halves wall-time for expensive inputs."""
+    left = left.materialize()
+    right = right.materialize()
     left_names = left.schema().names
     right_names = right.schema().names
     clash = [c for c in right_names if c in left_names and c not in on]

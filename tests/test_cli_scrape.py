@@ -54,3 +54,33 @@ def test_cli_scrape_dump_and_rmdir(tmp_path, capsys):
     assert len(files) == 6
     body = open(os.path.join(records_dir, files[0])).read()
     assert body == body.upper() and '"KIND"' in body
+
+
+def test_cli_scrape_refuses_nonempty_output(tmp_path):
+    out = str(tmp_path / "occupied")
+    os.makedirs(out)
+    open(os.path.join(out, "existing.txt"), "w").close()
+    with pytest.raises(SystemExit, match="not empty"):
+        main(["scrape", "spatula_ray.web.MixedIndex",
+              "--resolver", "spatula_ray.web:MixedResolverFactory",
+              "-o", out])
+    assert os.path.exists(os.path.join(out, "existing.txt"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_scrape_default_dated_dir(tmp_path, monkeypatch, capsys):
+    """No -o: dated auto-increment dir (reference cli.py:395-407)."""
+    import datetime
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["scrape", "spatula_ray.web.MixedIndex",
+               "--resolver", "spatula_ray.web:MixedResolverFactory",
+               "--dedup", "exact"])
+    assert rc == 0
+    date = datetime.date.today().isoformat()
+    assert os.path.isdir(os.path.join("_scrapes", date, "001"))
+    rc = main(["scrape", "spatula_ray.web.MixedIndex",
+               "--resolver", "spatula_ray.web:MixedResolverFactory",
+               "--dedup", "exact"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join("_scrapes", date, "002"))
