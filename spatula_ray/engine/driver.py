@@ -56,6 +56,18 @@ from .schema import (
 _RUNNER_CACHE: Dict[str, PageRunner] = {}
 
 
+# columns retained between waves: emit + page rows only, without the wide
+# frontier payload columns (url/input_json/source_spec/...)
+_NARROW_COLUMNS = list(dict.fromkeys(
+    ["row_kind"] + [f.name for f in DOCS_SCHEMA] + [f.name for f in PAGE_LOG_SCHEMA]))
+
+
+def _narrow_fn(t: pa.Table) -> pa.Table:
+    keep = t.filter(pc.is_in(t["row_kind"],
+                             value_set=pa.array([KIND_EMIT, KIND_PAGE])))
+    return keep.select(_NARROW_COLUMNS)
+
+
 def _page_count_batch(t: pa.Table) -> pa.Table:
     """Narrow per-batch partial counts over a wave's page-log rows: page
     total, status histogram, fetch attempts. Emits a tiny (k, v) table the
@@ -474,35 +486,39 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         out = out.materialize()
         t_run = time.time()
 
-        # Narrow projections are MATERIALIZED per wave so the wide union
-        # blocks (which include every expand candidate with its payload)
-        # can be released at the end of the wave — retaining lazy views
-        # would pin the entire crawl's raw output in the object store for
-        # the life of the result and force later pipelines to spill.
-        emits = out.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
-                   .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow") \
-                   .materialize()
-        pages = out.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
-                   .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow") \
-                   .materialize()
+        # ONE narrow materialization per wave (emit + page rows, frontier
+        # payload columns dropped) so the wide union blocks — which include
+        # every expand candidate with its payload — are released at wave
+        # end. Retaining lazy views over the union would pin the entire
+        # crawl's raw output in the object store for the life of the result
+        # and force later pipelines to spill; materializing docs and pages
+        # separately would cost an extra execution per wave.
+        narrow = out.map_batches(_narrow_fn, batch_format="pyarrow") \
+                    .materialize()
+        emits = narrow.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
+                      .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
+        pages = narrow.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
+                      .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
         cands = out.map_batches(
             lambda t: t.filter(pc.is_in(t["row_kind"],
                                         value_set=pa.array([KIND_EXPAND, KIND_DEFER]))),
             batch_format="pyarrow")
 
-        for r in pages.map_batches(_page_count_batch,
-                                   batch_format="pyarrow").take_all():
-            stats.add({r["k"]: int(r["v"])})
-        n_emitted = emits.count()
-        if n_emitted:
-            stats.add({"emitted": n_emitted})
-
         if ckpt:
+            # checkpointed crawls pay a per-wave counting pass so the
+            # manifest always carries exact cumulative counters for resume
+            for r in pages.map_batches(_page_count_batch,
+                                       batch_format="pyarrow").take_all():
+                stats.add({r["k"]: int(r["v"])})
+            n_emitted = emits.count()
+            if n_emitted:
+                stats.add({"emitted": n_emitted})
             ddir = os.path.join(ckpt, "docs", f"wave_{wave:05d}")
             pdir = os.path.join(ckpt, "pages", f"wave_{wave:05d}")
             emits.write_parquet(ddir)
             pages.write_parquet(pdir)
         else:
+            # counters are derived once at crawl end from the page log
             docs_parts.append(emits)
             page_parts.append(pages)
 
@@ -552,8 +568,15 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     else:
         docs = _union_parts(docs_parts, DOCS_SCHEMA)
         page_log = _union_parts(page_parts, PAGE_LOG_SCHEMA)
+        # one counting pass over the whole (narrow, materialized) page log
+        # — no per-wave executions spent on counters
+        for r in page_log.map_batches(_page_count_batch,
+                                      batch_format="pyarrow").take_all():
+            stats.add({r["k"]: int(r["v"])})
+        n_emitted = docs.count()
+        if n_emitted:
+            stats.add({"emitted": n_emitted})
 
-    # counters were accumulated per wave from the counting pass
     counters = stats.get()
     counters.setdefault("pages", 0)
     counters.setdefault("emitted", 0)
