@@ -3,9 +3,9 @@
 ``entry()``   — flagship pipeline (doc-web crawl at sf0.001).
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
                 the training-data extensions); each takes sf_dir.
-``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (tables pre-registered as views). Rows-only entries
-                (approximate sketches, heuristics, media stubs) omit SQL.
+``oracle_sql()`` — DuckDB-equivalent SQL for every query (all 24 are
+                oracle-checked in round 2: hash-derived parameters make
+                even the LSH/simhash/media paths SQL-reproducible).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -212,13 +212,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
-            extract_media_features,
+            DecodeStubExploded,
             media_manifest_from_docs,
         )
 
         result = dw.crawl_docweb(sf_dir)
         manifest = media_manifest_from_docs(result.docs)
-        return extract_media_features(manifest)
+        # decode + feature-extract in the actor pool, keeping media_ref
+        # (the SQL-reconstructible key) and exploding the feature vector so
+        # the DuckDB oracle can value-compare everything
+        return manifest.map_batches(DecodeStubExploded,
+                                    batch_format="pyarrow", batch_size=64,
+                                    concurrency=2, num_cpus=0.5)
 
     return {
         # crawl engine (flagship)
@@ -643,7 +648,46 @@ FROM sims
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
         <= {_TOPK}
 """,
-        # rows-only (stub, not SQL-expressible): media_features
+        # media plumbing: the decode itself is stubbed (no PIL/ffmpeg), but
+        # the deterministic fake bytes are md5(media_ref) and the feature
+        # projection is hash-derived, so the whole output is SQL-checkable
+        "media_features": f"""
+WITH {_PARAMS},
+media AS (
+  SELECT printf('https://h%03d.docweb.test/media/%d.png',
+                CAST(d.doc_id % p.h AS INT), d.doc_id) AS media_ref
+  FROM documents d, params p
+),
+hx AS (SELECT media_ref, md5(media_ref) AS hex FROM media),
+bytes AS (
+  SELECT media_ref, i,
+         strpos('0123456789abcdef', substr(hex, 2*i+1, 1)) * 16
+         + strpos('0123456789abcdef', substr(hex, 2*i+2, 1)) - 17 AS b
+  FROM hx, UNNEST(generate_series(0, 15)) t(i)
+),
+wh AS (
+  SELECT media_ref,
+         CAST(16 + max(CASE WHEN i = 0 THEN b END) % 64 AS INTEGER) AS width,
+         CAST(16 + max(CASE WHEN i = 1 THEN b END) % 64 AS INTEGER) AS height
+  FROM bytes GROUP BY media_ref
+),
+proj AS (
+  SELECT i.i, j.j,
+         (CAST(md5_number_lower(CAST(i.i AS VARCHAR) || '_'
+                                || CAST(j.j AS VARCHAR) || '_proj')
+               % 2001 AS BIGINT) - 1000) / 1000.0 AS w
+  FROM generate_series(0, 15) i(i), generate_series(0, 15) j(j)
+),
+feat AS (
+  SELECT b.media_ref, p.j,
+         floor(sum(b.b * p.w) / 255.0 * 1e6 + 0.5) / 1e6 AS feature
+  FROM bytes b JOIN proj p ON p.i = b.i
+  GROUP BY 1, 2
+)
+SELECT w.media_ref, w.width, w.height,
+       f.j AS feature_idx, f.feature
+FROM wh w JOIN feat f ON f.media_ref = w.media_ref
+""",
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;
     # with 32 bands x 2 rows the candidate-miss probability at j=0.5 is

@@ -32,24 +32,39 @@ _FAKE_HEADER = b"FAKEIMG\x00"
 
 
 def make_fake_media(media_ref: str, kind: str = "image") -> bytes:
-    """Deterministic fake payload: header + width/height + blake2b filler.
-    Stands in for real bytes so the pipeline plumbing is testable."""
-    h = hashlib.blake2b(media_ref.encode(), digest_size=16).digest()
+    """Deterministic fake payload: header + width/height + the md5 digest of
+    the ref as filler bytes. md5 (not blake2b) so the DuckDB oracle can
+    reproduce the exact bytes (md5() hex -> per-byte values) and therefore
+    the decoded width/height/features."""
+    h = hashlib.md5(media_ref.encode()).digest()
     w = 16 + h[0] % 64
     ht = 16 + h[1] % 64
     return _FAKE_HEADER + struct.pack(">HH", w, ht) + h
 
 
+def _hash_proj(n_in: int, n_out: int) -> np.ndarray:
+    """Hash-derived projection matrix, reproducible in SQL:
+    proj[i][j] = ((md5_number_lower(f"{i}_{j}_proj") % 2001) - 1000)/1000."""
+    w = np.empty((n_in, n_out), dtype=np.float64)
+    for i in range(n_in):
+        for j in range(n_out):
+            v = int.from_bytes(
+                hashlib.md5(f"{i}_{j}_proj".encode()).digest()[8:], "little")
+            w[i, j] = ((v % 2001) - 1000) / 1000.0
+    return w
+
+
 class DecodeStub:
     """Actor-pool decode/feature stage. Per-actor state (a real model would
-    load here) is the feature projection matrix, built once in __init__.
+    load here) is the feature projection matrix, built once in __init__
+    (hash-derived so the correctness oracle can mirror it; ``seed`` kept
+    for API stability, unused).
 
     Real decode path intentionally raises NotImplementedError — this
     container has no image/audio libraries (see module docstring)."""
 
     def __init__(self, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.proj = rng.normal(size=(16, FEATURE_DIM))
+        self.proj = _hash_proj(16, FEATURE_DIM)
 
     def decode(self, body: bytes):
         if body.startswith(_FAKE_HEADER):
@@ -66,13 +81,42 @@ class DecodeStub:
             w, h, raw = self.decode(bytes(body))
             widths.append(w)
             heights.append(h)
-            feats.append((raw @ self.proj / 255.0).round(6).tolist())
+            f = raw @ self.proj / 255.0
+            feats.append((np.floor(f * 1e6 + 0.5) / 1e6).tolist())
         return pa.table({
             "media_id": batch["media_id"],
             "doc_id": batch["doc_id"],
             "width": pa.array(widths, type=pa.int32()),
             "height": pa.array(heights, type=pa.int32()),
             "features": pa.array(feats, type=pa.list_(pa.float64())),
+        })
+
+
+class DecodeStubExploded(DecodeStub):
+    """DecodeStub variant that keeps ``media_ref`` (the SQL-reconstructible
+    key) and explodes the feature vector into one row per component —
+    the oracle-comparable shape for the correctness gate."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        rows = {"media_ref": [], "width": [], "height": [],
+                "feature_idx": [], "feature": []}
+        for ref, w, h, fv in zip(batch["media_ref"].to_pylist(),
+                                 out["width"].to_pylist(),
+                                 out["height"].to_pylist(),
+                                 out["features"].to_pylist()):
+            for j, v in enumerate(fv):
+                rows["media_ref"].append(ref)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["feature_idx"].append(j)
+                rows["feature"].append(v)
+        return pa.table({
+            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+            "width": pa.array(rows["width"], type=pa.int32()),
+            "height": pa.array(rows["height"], type=pa.int32()),
+            "feature_idx": pa.array(rows["feature_idx"], type=pa.int64()),
+            "feature": pa.array(rows["feature"], type=pa.float64()),
         })
 
 
