@@ -49,7 +49,7 @@ def _consume(res) -> int:
     return res.materialize().count()
 
 
-def run_bench() -> dict:
+def run_bench(crawl_only: bool = False) -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -107,15 +107,16 @@ def run_bench() -> dict:
          + res.counters.get("deduped", 0)) / crawl_sec, 1)
     del res   # release the crawl's materialized page-log before the suite
 
-    # -- operator suite over the sf tables ---------------------------------
-    import __ray_entry__ as entrymod
+    if not crawl_only:
+        # -- operator suite over the sf tables -----------------------------
+        import __ray_entry__ as entrymod
 
-    qs = entrymod.queries()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = _consume(qs[name](sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        extra[f"{name}_rows"] = n
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            n = _consume(qs[name](sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+            extra[f"{name}_rows"] = n
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -132,9 +133,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    # crawl-only runs: the scaling criterion is crawl throughput (the
+    # north-rule metric), and two full operator suites would take 15+ min
+    # at low cpu counts while adding noise-prone fixed-size queries
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
+                              "--crawl-only"],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -177,4 +182,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(crawl_only="--crawl-only" in sys.argv)))
