@@ -7,10 +7,12 @@ and print ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...,
    "num_cpus": N, "extra": {...}}
 
---scaling: run the same bench twice in fresh processes at num_cpus=8 and 32
-and print both throughputs plus scaling efficiency = (T_8 / T_32) / 4
-(the sandbox stand-in for the N vs 4N cluster-size criterion; see
-BASELINE.md).
+--scaling: run the headline crawl (crawl-only, no operator suite) twice in
+fresh processes at two parallelism levels — $SCALING_LO vs $SCALING_HI
+cpus, default 2 vs 8 — and print both throughputs plus scaling
+efficiency = (T_lo / T_hi) / (hi/lo). Back-to-back crawl-only runs share
+one noise window, which is the sandbox stand-in for the N vs 4N
+cluster-size criterion; see BASELINE.md "Scaling efficiency".
 """
 
 import json
