@@ -28,6 +28,7 @@ from .model import (  # noqa: F401
     XmlListPage,
     XmlPage,
 )
+from .cache import CachingClient, ResponseCache  # noqa: F401
 from .origins import URL, NullSource, Source  # noqa: F401
 from .records import obj_to_dict  # noqa: F401
 from .select import CSS, SelectorError, SimilarLink, XPath  # noqa: F401
