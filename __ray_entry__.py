@@ -3,9 +3,11 @@
 ``entry()``   — flagship pipeline (doc-web crawl at sf0.001).
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
                 the training-data extensions); each takes sf_dir.
-``oracle_sql()`` — DuckDB-equivalent SQL for every query (all 24 are
-                oracle-checked in round 2: hash-derived parameters make
-                even the LSH/simhash/media paths SQL-reproducible).
+``oracle_sql()`` — DuckDB-equivalent SQL for every query except
+                ``ivf_ann_topk`` (k-means training is float-iterative, not
+                SQL-expressible — rows-only + recall test); hash-derived
+                parameters make even the LSH/simhash/media paths
+                SQL-reproducible.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -210,6 +212,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def ivf_topk(sf_dir):
+        import pyarrow as pa
+        import ray.data as rd
+
+        q, qids = _query_vectors(sf_dir)
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        out = sim.ivf_ann_topk(ds, q, k=_TOPK)
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = [qids[i] for i in t["query_id"].to_pylist()]
+            return t.set_column(t.schema.get_field_index("query_id"),
+                                "query_id", pa.array(mapped, type=pa.int64()))
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -254,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_topk,
+        "ivf_ann_topk": ivf_topk,
         # multimodal plumbing
         "media_features": media_features,
     }

@@ -176,6 +176,93 @@ class _BucketScorer:
                          "score": pa.array(out_s, type=pa.float64())})
 
 
+def kmeans_centroids(ds, n_cells: int = 16, sample: int = 2048,
+                     iters: int = 10, seed: int = 42,
+                     emb_col: str = "embedding") -> np.ndarray:
+    """IVF training side: Lloyd's k-means on a BOUNDED sample (driver memory
+    is O(sample x dim), never O(corpus)). Deterministic: seeded init from
+    the sample, fixed iteration count. Returns L2-normalized centroids.
+    At real scale swap the sample for minibatch k-means over iter_batches —
+    the assignment/search stages below are unchanged."""
+    rows = ds.select_columns([emb_col]).limit(sample).take_all()
+    mat = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.permutation(len(mat))[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
+                 nprobe: int = 4, sample: int = 2048, seed: int = 42,
+                 concurrency: int = 2):
+    """IVF-style approximate top-k: corpus vectors are assigned to their
+    nearest k-means centroid cell (one vectorized argmax per batch); each
+    query scans only its ``nprobe`` nearest cells. Same distributed shape
+    as :func:`lsh_ann_topk` — per-batch partial top-k in an actor pool,
+    tiny groupby reduce, nothing materializes on the driver. Approximate;
+    validated by a recall test against :func:`topk_cosine` (k-means is
+    float-iterative, so no SQL oracle — rows-only)."""
+    import pandas as pd
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qn_mat = q / qn[:, None]
+
+    cents = kmeans_centroids(ds, n_cells=n_cells, sample=sample, seed=seed)
+    # per-query probe cells: the nprobe nearest centroids
+    probe_cells = []
+    sims_qc = qn_mat @ cents.T
+    for qi in range(len(q)):
+        order = np.lexsort((np.arange(n_cells), -sims_qc[qi]))[:nprobe]
+        probe_cells.append(set(int(c) for c in order))
+    wanted = np.fromiter(sorted(set().union(*probe_cells)), dtype=np.int64)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if len(vecs) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "embedding": batch["embedding"]})
+        c = ray.get(cents_ref)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((vecs / norms[:, None]) @ c.T, axis=1).astype(np.int64)
+        keep = np.isin(cells, wanted)
+        t = batch.append_column("bucket", pa.array(cells))
+        return t.filter(pa.array(keep))
+
+    pruned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow")
+
+    state_ref = ray.put((qn_mat, probe_cells))
+    cand = pruned.map_batches(
+        _BucketScorer, fn_constructor_kwargs=dict(state_ref=state_ref, k=k),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["score"] = np.floor(g["score"] * 1e5 + 0.5) / 1e5
+        return g
+
+    return cand.groupby("query_id").map_groups(reduce_group,
+                                               batch_format="pandas")
+
+
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                  seed: int = 42, multiprobe: int = 1, concurrency: int = 2):
     """Approximate top-k: corpus bucketed by sign-plane signature

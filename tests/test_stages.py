@@ -220,3 +220,31 @@ def test_rolling_hash_properties():
     text = "abcdefgh" * 4
     hs = rolling_hashes(text, window=8)
     assert hs[0] == hs[8] == hs[16]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_ann_recall():
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from spatula_ray.stages.similarity import ivf_ann_topk, topk_cosine
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    q = np.asarray(t["embedding"].to_pylist()[:5], dtype=np.float64)
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = topk_cosine(ds, q, k=10).to_pandas()
+    # 8 cells / probe 4 scans ~half the corpus; recall must beat that
+    # coverage baseline decisively if the cells are informative
+    approx = ivf_ann_topk(ds, q, k=10, n_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        want = set(exact[exact["query_id"] == qi]["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.6, recalls
+    # deterministic: same inputs -> same result
+    again = ivf_ann_topk(ds, q, k=10, n_cells=8, nprobe=4).to_pandas()
+    a = approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
