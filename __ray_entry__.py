@@ -3,11 +3,12 @@
 ``entry()``   — flagship pipeline (doc-web crawl at sf0.001).
 ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
                 the training-data extensions); each takes sf_dir.
-``oracle_sql()`` — DuckDB-equivalent SQL for every query except
-                ``ivf_ann_topk`` (k-means training is float-iterative, not
-                SQL-expressible — rows-only + recall test); hash-derived
-                parameters make even the LSH/simhash/media paths
-                SQL-reproducible.
+``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query (25/25):
+                hash-derived parameters make the LSH/simhash/media paths
+                SQL-reproducible, and ``ivf_ann_topk`` trains its k-means
+                on an integer grid (exact sums < 2^53 + single-IEEE-op
+                normalization chains) so even the iterative training is
+                mirrored bit-for-bit by an unrolled CTE chain.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -281,6 +282,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # SQL fragments shared by the doc-web oracles
 _PARAMS = ("params AS (SELECT greatest(1, least(10, CAST(count(*) / 50 AS INT)))"
            " AS h FROM documents)")
+
+
+def _ivf_oracle_sql(n_cells: int = 16, iters: int = 5, nprobe: int = 4,
+                    sample: int = 2048, q_scale: int = 1000) -> str:
+    """Exact mirror of stages/similarity.py ``kmeans_centroids`` +
+    ``ivf_ann_topk``: the Lloyd iterations are unrolled as a CTE chain.
+    Reproducibility argument (same as the engine docstring): vectors live
+    on an integer grid (floor(x*Q+0.5)); every SUM is a sum of integers
+    below 2^53 (exact in IEEE doubles in any order); every non-sum step —
+    x/sqrt(nsq)*Q+0.5 then floor — is a chain of single IEEE ops on
+    identical operands, so numpy and DuckDB produce identical integers.
+    Final scoring is raw-double cosine snapped to the 1e-5 grid (the
+    proven lsh_ann_topk pattern)."""
+    def norm_cv(vec: str, prev: str) -> str:
+        return (f"CASE WHEN {vec} IS NULL OR list_inner_product({vec}, {vec}) = 0 "
+                f"THEN {prev} ELSE list_transform({vec}, "
+                f"x -> floor(x / sqrt(list_inner_product({vec}, {vec})) "
+                f"* {q_scale}.0 + 0.5)) END")
+
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xi AS (SELECT vec_id, v,
+              list_transform(v, x -> floor(x * {q_scale}.0 + 0.5)) AS xv
+       FROM e),
+samp AS (SELECT vec_id, xv, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         FROM xi ORDER BY vec_id LIMIT {sample}),
+sc AS (SELECT count(*) AS s FROM samp),
+c0 AS (
+  SELECT j.j AS cell,
+         {norm_cv('s.xv', 's.xv')} AS cv
+  FROM generate_series(0, {n_cells - 1}) j(j), sc, samp s
+  WHERE s.rn = (j.j * sc.s) // {n_cells}
+)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+a{t} AS (
+  SELECT s.rn, s.xv, c.cell,
+         row_number() OVER (PARTITION BY s.rn
+             ORDER BY list_inner_product(s.xv, c.cv) DESC, c.cell) AS rk
+  FROM samp s CROSS JOIN c{p} c
+),
+v{t} AS (
+  SELECT cell, list(sv ORDER BY d) AS sv FROM (
+    SELECT cell, d, sum(val) AS sv
+    FROM (SELECT cell, unnest(xv) AS val,
+                 unnest(generate_series(1, len(xv))) AS d
+          FROM a{t} WHERE rk = 1)
+    GROUP BY cell, d)
+  GROUP BY cell
+),
+c{t} AS (
+  SELECT p.cell,
+         {norm_cv('v.sv', 'p.cv')} AS cv
+  FROM c{p} p LEFT JOIN v{t} v USING (cell)
+)""")
+    parts.append(f""",
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY list_inner_product(x.xv, c.cv) DESC, c.cell) AS rk
+    FROM xi x CROSS JOIN c{iters} c) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id
+      LIMIT {_N_QUERIES}),
+qprob AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_inner_product(x.xv, c.cv) DESC, c.cell) AS rk
+    FROM q JOIN xi x ON x.vec_id = q.query_id CROSS JOIN c{iters} c)
+  WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, cl.vec_id FROM qprob p JOIN cells cl ON cl.cell = p.cell
+),
+sims AS (
+  SELECT c.query_id, c.vec_id,
+         list_inner_product(qe.v, ce.v)
+         / (sqrt(list_inner_product(qe.v, qe.v))
+            * sqrt(list_inner_product(ce.v, ce.v))) AS s
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, floor(s * 1e5 + 0.5) / 1e5 AS score
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+        <= {_TOPK}
+""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -714,4 +807,7 @@ FROM wh w JOIN feat f ON f.media_ref = w.media_ref
     # gate scale the output equals the exact inverted-index join, so the
     # oracle is the same SQL (verified by tests/test_oracles.py).
     sql["minhash_dup_pairs"] = sql["ngram_jaccard_pairs"]
+    # IVF ANN: integer-grid k-means training unrolled as a CTE chain —
+    # bit-exact mirror of the engine's quantized trainer (see helper)
+    sql["ivf_ann_topk"] = _ivf_oracle_sql()
     return sql

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "simhash_dup_pairs", "minhash_dup_pairs",
-                      "lsh_ann_topk", "media_features"]
+                      "lsh_ann_topk", "media_features", "ivf_ann_topk"]
 
 
 def _duck(sf_dir):
