@@ -190,26 +190,50 @@ def events_hourly(sf_dir: str):
     return out.map_batches(rounder, batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Sessionization: per-user sorted event stream split at >30-min gaps;
-    one groupby(user).map_groups pass (the guide's streaming-shaped
-    pattern — ordering within group established by an in-group sort)."""
+def user_sessions(sf_dir: str, gap_minutes: int = 30,
+                  num_buckets: int = 32):
+    """Sessionization: per-user sorted event stream split at >30-min gaps.
+
+    Shuffle pattern (round-2 verdict fix #3 — the former per-user
+    ``groupby(user_id).map_groups`` paid one Python call per user, the
+    per-key anti-pattern at millions of users): coarse-bucket by
+    ``hash(user_id) % B`` so each bucket holds MANY users, then ONE
+    vectorized kernel per bucket — sort by (user, ts), np.diff gap flags,
+    user-boundary flags, and a single C-path pandas groupby-agg."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        if len(ts) == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_sessions": [int(new_session.sum())],
-            "n_events": [len(ts)],
-        })
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        mixed = u * np.uint64(0x9E3779B97F4A7C15)
+        mixed ^= mixed >> np.uint64(33)
+        b = (mixed % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ev = ev.map_batches(bucketize, batch_format="pyarrow")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap
+        out = (pd.DataFrame({"user_id": uid, "ns": new_sess})
+               .groupby("user_id", sort=False)
+               .agg(n_sessions=("ns", "sum"), n_events=("ns", "size"))
+               .reset_index())
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ev.groupby("__bucket").map_groups(sessions, batch_format="pandas")
 
 
 def supplier_part_join(sf_dir: str):

@@ -7,31 +7,31 @@ small-side case."""
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
 
 
-def _hash_col(values: List, num_buckets: int) -> pa.Array:
-    if values and all(isinstance(v, tuple) and
-                      all(isinstance(x, (int, np.integer)) for x in v)
-                      for v in values[:8]):
-        # numeric keys: vectorized multiply-mix (same buckets either way —
-        # only co-location matters, not the hash function)
-        arr = np.asarray(values, dtype=np.uint64)
-        mixed = np.zeros(len(arr), dtype=np.uint64)
-        for c in range(arr.shape[1]):
-            mixed = mixed * np.uint64(0x9E3779B97F4A7C15) + arr[:, c]
-        mixed ^= mixed >> np.uint64(33)
-        mixed *= np.uint64(0xFF51AFD7ED558CCD)
-        return pa.array((mixed % np.uint64(num_buckets)).astype(np.int64))
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
-        h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "big") % num_buckets
-    return pa.array(out)
+def _bucket_of(t: pa.Table, on: List[str], num_buckets: int) -> pa.Array:
+    """Vectorized bucket assignment over key columns: integer columns go
+    straight through a multiply-mix; everything else through pandas'
+    C-vectorized deterministic ``hash_array`` (fixed siphash key, so
+    buckets agree across processes). Only co-location matters, not the
+    hash function. No per-row Python (round-2 verdict fix #6)."""
+    import pandas as pd
+
+    mixed = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in on:
+        col = t[k].combine_chunks()
+        if pa.types.is_integer(col.type) and col.null_count == 0:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            vals = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+        mixed = mixed * np.uint64(0x9E3779B97F4A7C15) + vals
+    mixed ^= mixed >> np.uint64(33)
+    mixed *= np.uint64(0xFF51AFD7ED558CCD)
+    return pa.array((mixed % np.uint64(num_buckets)).astype(np.int64))
 
 
 def _dataset_types(ds) -> dict:
@@ -82,8 +82,7 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
         def fn(t: pa.Table) -> pa.Table:
             if renames:
                 t = t.rename_columns([renames.get(c, c) for c in t.schema.names])
-            key_vals = list(zip(*[t[k].to_pylist() for k in on]))
-            t = t.append_column("__bucket", _hash_col(key_vals, num_buckets))
+            t = t.append_column("__bucket", _bucket_of(t, on, num_buckets))
             t = t.append_column("__side", pa.array([side] * t.num_rows,
                                                    type=pa.int8()))
             # align to the union schema: add missing columns as TYPED nulls
