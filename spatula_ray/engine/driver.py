@@ -99,52 +99,68 @@ def _project(schema: pa.Schema):
 
 
 
-def _priority_select(frontier_ds, k: int):
+def _priority_select(frontier_ds, k: int, shards: list):
     """Deterministic per-host priority queue under a wave quota: keep the
     top-k fetchable rows per host by (priority, order_bytes); the rest
     defer to the next wave (already-deduped winners, so they bypass
     re-dedup). Null-source rows are never deferred.
 
-    The shuffle runs on a narrow (host_hash, priority, order_bytes)
-    projection — the full rows (with list/binary payload columns) never
-    move; the defer decision comes back as a broadcast key set. A
-    politeness-budgeted wave is rate-bound by definition, so the key set
-    stays small relative to the crawl.
+    The election runs in the sharded :class:`PriorityShard` actors via the
+    same offer / seal / query shape as the URL-seen filter (round-2
+    verdict fix #4): batches offer their narrow (host_hash, priority,
+    order_bytes, fetchable) projections to the owning shard — the full
+    rows (list/binary payload columns) never move and the deferred key
+    set never touches the driver.
     """
-    import pandas as pd
+    import numpy as np
     import ray
 
-    def narrow(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "host_hash": t["host_hash"],
-            "priority": t["priority"],
-            "order_bytes": t["order_bytes"],
-            "fetchable": pc.not_equal(t["url"], ""),
-        })
+    n_shards = len(shards)
 
-    def select(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["priority", "order_bytes"], kind="mergesort")
-        over = g["fetchable"].cumsum() > k
-        deferred = g[g["fetchable"] & over]
-        return pd.DataFrame({"order_bytes": deferred["order_bytes"]})
+    def _route(t: pa.Table):
+        hh = t["host_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        return (hh % np.uint64(n_shards)).astype(np.int64)
 
-    defer_rows = frontier_ds.map_batches(narrow, batch_format="pyarrow") \
-        .groupby("host_hash").map_groups(select, batch_format="pandas") \
-        .take_all()
-    defer_keys = {bytes(r["order_bytes"]) for r in defer_rows}
-    if not defer_keys:
+    def offer_fn(t: pa.Table) -> pa.Table:
+        shard_of = _route(t)
+        pri = t["priority"].to_pylist()
+        orders = t["order_bytes"].to_pylist()
+        fetchable = pc.not_equal(t["url"], "").to_pylist()
+        hh = t["host_hash"].to_pylist()
+        ray.get([
+            shards[int(s)].offer.remote(
+                [hh[i] for i in idxs], [pri[i] for i in idxs],
+                [orders[i] for i in idxs], [fetchable[i] for i in idxs])
+            for s in np.unique(shard_of)
+            for idxs in [np.nonzero(shard_of == s)[0]]
+        ])
+        return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
+
+    ray.get([s.begin_wave.remote() for s in shards])
+    frontier_ds.map_batches(offer_fn, batch_format="pyarrow").materialize()
+    n_deferred = sum(ray.get([s.seal.remote(k) for s in shards]))
+    if n_deferred == 0:
         return frontier_ds, None
-    keys_ref = ray.put(defer_keys)
+
+    def _defer_mask(t: pa.Table) -> "np.ndarray":
+        shard_of = _route(t)
+        orders = t["order_bytes"].to_pylist()
+        mask = np.zeros(t.num_rows, dtype=bool)
+        futures, idx_lists = [], []
+        for s in np.unique(shard_of):
+            idxs = np.nonzero(shard_of == s)[0]
+            futures.append(shards[int(s)].query.remote(
+                [orders[i] for i in idxs]))
+            idx_lists.append(idxs)
+        for idxs, verdicts in zip(idx_lists, ray.get(futures)):
+            mask[idxs] = verdicts
+        return mask
 
     def admitted_fn(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [bytes(o) not in keys for o in t["order_bytes"].to_pylist()]
-        return t.filter(pa.array(mask))
+        return t.filter(pa.array(~_defer_mask(t)))
 
     def deferred_fn(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [bytes(o) in keys for o in t["order_bytes"].to_pylist()]
-        d = t.filter(pa.array(mask))
+        d = t.filter(pa.array(_defer_mask(t)))
         if d.num_rows:
             i = d.schema.get_field_index("pre_admitted")
             d = d.set_column(i, "pre_admitted", pa.array([True] * d.num_rows))
@@ -298,6 +314,12 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                                   per_host_wave_quota=cfg.per_host_wave_quota,
                                   enforce_crawl_delay=cfg.enforce_crawl_delay)
                  for _ in range(cfg.n_gates)]
+    prio_shards = []
+    if cfg.per_host_wave_quota:
+        from .priority import PriorityShard
+
+        PrioActor = ray.remote(num_cpus=0)(PriorityShard)
+        prio_shards = [PrioActor.remote() for _ in range(cfg.n_filter_shards)]
 
     # ---- resume ----------------------------------------------------------
     ckpt = cfg.checkpoint_dir
@@ -453,7 +475,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         deferred_ds = None
         if cfg.per_host_wave_quota:
             frontier_sel, deferred_ds = _priority_select(
-                frontier_ds, cfg.per_host_wave_quota)
+                frontier_ds, cfg.per_host_wave_quota, prio_shards)
             n = frontier_sel.count()
             if n == 0:
                 frontier_ds = deferred_ds

@@ -43,6 +43,85 @@ from .schema import (
 _FRONTIER_COL_SET = {f.name for f in FRONTIER_SCHEMA} | {"row_kind", "wave"}
 
 
+class _UnionBuilder:
+    """Columnar accumulator for the runner's union output (round-2 verdict
+    fix #5 — dict rows + per-column ``r.get`` conversion were 9% of
+    per-page cost): emit/page rows append straight into per-column lists
+    and convert once via ``pa.array``; columns a row kind doesn't carry
+    become ``pa.nulls`` (one C allocation, not a Python None list).
+    Frontier/defer rows stay dicts — they thread through the pagination
+    control flow — and convert via ``rows_to_table`` as before. Intra-batch
+    row order across kinds is not significant (downstream splits by
+    row_kind; final ordering is by order_bytes)."""
+
+    _PAGE_COLS = ("page_class", "source_url", "status", "order_key",
+                  "order_bytes", "fetch_attempts", "n_emitted", "error",
+                  "wave")
+    _EMIT_COLS = ("doc_id", "spans", "page_class", "source_url",
+                  "order_key", "order_bytes", "record_json")
+
+    def __init__(self):
+        self.pg = {c: [] for c in self._PAGE_COLS}
+        self.em = {c: [] for c in self._EMIT_COLS}
+        self.fr: list = []          # frontier/defer dict rows
+
+    def page(self, row: dict, status: str, *, attempts: int = 0,
+             n_emitted: int = 0, error: str = "") -> None:
+        p = self.pg
+        p["page_class"].append(row["page_class"])
+        p["source_url"].append(row["url"])
+        p["status"].append(status)
+        p["order_key"].append(row["order_key"])
+        p["order_bytes"].append(row["order_bytes"])
+        p["fetch_attempts"].append(attempts)
+        p["n_emitted"].append(n_emitted)
+        p["error"].append(error)
+        p["wave"].append(row.get("wave"))
+
+    def emit(self, doc_id: str, spans, page_class: str, source_url: str,
+             child_key, record_json: bytes) -> None:
+        e = self.em
+        e["doc_id"].append(doc_id)
+        e["spans"].append(spans)
+        e["page_class"].append(page_class)
+        e["source_url"].append(source_url)
+        e["order_key"].append(list(child_key))
+        e["order_bytes"].append(encode_order_key(child_key))
+        e["record_json"].append(record_json)
+
+    def frontier(self, row: dict) -> None:
+        self.fr.append(row)
+
+    def _part(self, kind: str, cols: dict, n: int) -> "pa.Table":
+        import pyarrow as pa
+
+        out = {}
+        for f in UNION_SCHEMA:
+            if f.name == "row_kind":
+                out[f.name] = pa.array([kind] * n, type=f.type)
+            elif f.name in cols:
+                out[f.name] = pa.array(cols[f.name], type=f.type)
+            else:
+                out[f.name] = pa.nulls(n, type=f.type)
+        return pa.Table.from_pydict(out, schema=UNION_SCHEMA)
+
+    def table(self) -> "pa.Table":
+        import pyarrow as pa
+
+        parts = []
+        if self.fr:
+            parts.append(rows_to_table(self.fr, UNION_SCHEMA))
+        n_pg = len(self.pg["status"])
+        if n_pg:
+            parts.append(self._part(KIND_PAGE, self.pg, n_pg))
+        n_em = len(self.em["doc_id"])
+        if n_em:
+            parts.append(self._part(KIND_EMIT, self.em, n_em))
+        if not parts:
+            return UNION_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+
 def frontier_row_from_page(page: Page, key: typing.Tuple[int, ...],
                            depth: int) -> dict:
     """Enqueue-time projection of a Page instance to a frontier row.
@@ -139,22 +218,7 @@ class PageRunner:
         return codes
 
     # -- per-row execution -------------------------------------------------
-    def _page_row(self, row: dict, status: str, *, attempts: int = 0,
-                  n_emitted: int = 0, error: str = "") -> dict:
-        return {
-            "row_kind": KIND_PAGE,
-            "page_class": row["page_class"],
-            "source_url": row["url"],
-            "status": status,
-            "order_key": row["order_key"],
-            "order_bytes": row["order_bytes"],
-            "fetch_attempts": attempts,
-            "n_emitted": n_emitted,
-            "error": error,
-            "wave": row.get("wave"),
-        }
-
-    def _follow_pagination(self, page: Page, row: dict, out: list) -> None:
+    def _follow_pagination(self, page: Page, row: dict, b: _UnionBuilder) -> None:
         """Follow the pagination chain *inline* in this task.
 
         A chain is inherently sequential (reference pages.py:197-204:
@@ -179,10 +243,9 @@ class PageRunner:
             except MissingSourceError as e:
                 if self.error_policy == "raise":
                     raise
-                out.append(self._page_row(
-                    {**row, "order_key": list(key),
-                     "order_bytes": encode_order_key(key)},
-                    "error", error=str(e)))
+                b.page({**row, "order_key": list(key),
+                        "order_bytes": encode_order_key(key)},
+                       "error", error=str(e))
                 return
             frow["wave"] = row.get("wave")
             if self.filter_shards and frow["url"]:
@@ -193,53 +256,38 @@ class PageRunner:
                     return  # already seen: dedup ends the chain
             code = self._admit([frow])[0]
             if code == 2:
-                out.append(self._page_row(frow, "robots_denied"))
+                b.page(frow, "robots_denied")
                 return
             if code == 1:
                 frow["row_kind"] = KIND_DEFER
                 frow["pre_admitted"] = True
-                out.append(frow)
+                b.frontier(frow)
                 return
             page = next_page
             row = frow
-            page, row = self._exec_page(page, row, out)
+            page, row = self._exec_page(page, row, b)
             if page is None:
                 return
 
-    def _emit_row(self, item, page: Page, row: dict, child_key, spans) -> dict:
-        return {
-            "row_kind": KIND_EMIT,
-            "doc_id": order_key_str(child_key),
-            "spans": spans,
-            "page_class": row["page_class"],
-            "source_url": row["url"],
-            "order_key": list(child_key),
-            "order_bytes": encode_order_key(child_key),
-            "record_json": json.dumps(to_jsonable(item), sort_keys=True,
-                                      default=str).encode(),
-        }
-
-    def _run_row(self, row: dict) -> list:
-        out: list = []
+    def _run_row(self, row: dict, b: _UnionBuilder) -> None:
         cls = self.registry.get(row["page_class"])
         if cls is None:
-            out.append(self._page_row(row, "error",
-                                      error=f"unknown page class {row['page_class']}"))
-            return out
+            b.page(row, "error",
+                   error=f"unknown page class {row['page_class']}")
+            return
         from ..records import decode_input
         from ..origins import source_from_spec
 
         page = cls(decode_input(row["input_json"]),
                    source=source_from_spec(row["source_spec"]))
-        cont, crow = self._exec_page(page, row, out)
+        cont, crow = self._exec_page(page, row, b)
         if cont is not None:
-            self._follow_pagination(cont, crow, out)
-        return out
+            self._follow_pagination(cont, crow, b)
 
-    def _exec_page(self, page: Page, row: dict, out: list):
+    def _exec_page(self, page: Page, row: dict, b: _UnionBuilder):
         """Fetch + process one page, appending emit/expand/page rows to
-        ``out``. Returns (page, row) when the pagination chain should be
-        followed (ok and handled-error outcomes), (None, row) otherwise
+        the builder. Returns (page, row) when the pagination chain should
+        be followed (ok and handled-error outcomes), (None, row) otherwise
         (SkipItem / rejected / error end the chain, pages.py:218-222)."""
         key = tuple(row["order_key"])
         before = self.client.fetch_count
@@ -248,23 +296,21 @@ class PageRunner:
             page._fetch_data(self.client)
         except HandledError as e:
             # reference pages.py:212-215 — nothing to emit, pagination proceeds
-            out.append(self._page_row(row, "handled_error",
-                                      attempts=self.client.fetch_count - before,
-                                      error=str(e)))
+            b.page(row, "handled_error",
+                   attempts=self.client.fetch_count - before, error=str(e))
             return page, row
         except RejectedResponse as e:
             if self.error_policy == "raise":
                 raise
-            out.append(self._page_row(row, "rejected",
-                                      attempts=self.client.fetch_count - before,
-                                      error=str(e)))
+            b.page(row, "rejected",
+                   attempts=self.client.fetch_count - before, error=str(e))
             return None, row
         except Exception as e:  # uncaught HTTPError, MissingSourceError, parse
             if self.error_policy == "raise":
                 raise
-            out.append(self._page_row(row, "error",
-                                      attempts=self.client.fetch_count - before,
-                                      error=f"{type(e).__name__}: {e}"))
+            b.page(row, "error",
+                   attempts=self.client.fetch_count - before,
+                   error=f"{type(e).__name__}: {e}")
             return None, row
 
         attempts = self.client.fetch_count - before
@@ -272,14 +318,13 @@ class PageRunner:
             result = page.process_page()
         except SkipItem as e:
             # detail-level SkipItem: no output, no pagination (pages.py:218-222)
-            out.append(self._page_row(row, "skipped", attempts=attempts,
-                                      error=str(e)))
+            b.page(row, "skipped", attempts=attempts, error=str(e))
             return None, row
         except Exception as e:
             if self.error_policy == "raise":
                 raise
-            out.append(self._page_row(row, "error", attempts=attempts,
-                                      error=f"{type(e).__name__}: {e}"))
+            b.page(row, "error", attempts=attempts,
+                   error=f"{type(e).__name__}: {e}")
             return None, row
 
         spans = None
@@ -289,7 +334,10 @@ class PageRunner:
             nonlocal spans, n_emitted
             if spans is None:
                 spans = page.to_spans()
-            out.append(self._emit_row(item, page, row, child_key, spans))
+            b.emit(order_key_str(child_key), spans, row["page_class"],
+                   row["url"], child_key,
+                   json.dumps(to_jsonable(item), sort_keys=True,
+                              default=str).encode())
             n_emitted += 1
 
         try:
@@ -300,7 +348,7 @@ class PageRunner:
                         emit(scout_projection(item), child_key)
                     elif isinstance(item, Page):
                         if self.expand:
-                            out.append(frontier_row_from_page(
+                            b.frontier(frontier_row_from_page(
                                 item, child_key, row["depth"] + 1))
                     else:
                         emit(item, child_key)
@@ -308,19 +356,18 @@ class PageRunner:
                 emit(scout_projection(result), key + (0,))
             elif isinstance(result, Page):
                 if self.expand:
-                    out.append(frontier_row_from_page(result, key + (0,),
+                    b.frontier(frontier_row_from_page(result, key + (0,),
                                                       row["depth"] + 1))
             else:
                 emit(result, key + (0,))
         except Exception as e:
             if self.error_policy == "raise":
                 raise
-            out.append(self._page_row(row, "error", attempts=attempts,
-                                      error=f"{type(e).__name__}: {e}"))
+            b.page(row, "error", attempts=attempts,
+                   error=f"{type(e).__name__}: {e}")
             return None, row
 
-        out.append(self._page_row(row, "ok", attempts=attempts,
-                                  n_emitted=n_emitted))
+        b.page(row, "ok", attempts=attempts, n_emitted=n_emitted)
         return page, row
 
     def _offer_expands(self, out_rows: list) -> None:
@@ -377,20 +424,20 @@ class PageRunner:
         if self.query_input:
             rows = self._filter_seen(rows)
         codes = self._admit(rows)
-        out_rows: list = []
+        b = _UnionBuilder()
         for row, code in zip(rows, codes):
             if code == 1:  # defer to next wave, already deduped
                 defer = dict(row)
                 defer["row_kind"] = KIND_DEFER
                 defer["pre_admitted"] = True
-                out_rows.append(defer)
+                b.frontier(defer)
             elif code == 2:
-                out_rows.append(self._page_row(row, "robots_denied"))
+                b.page(row, "robots_denied")
             else:
-                out_rows.extend(self._run_row(row))
-        self._offer_expands(out_rows)
+                self._run_row(row, b)
+        self._offer_expands(b.fr)
         # lineage counters are derived by the driver from the materialized
         # wave output (a cheap narrow pass) — no per-batch RPC to a shared
         # stats actor, which would serialize every runner on one mailbox at
         # cluster scale (round-1 verdict fix #6)
-        return rows_to_table(out_rows, UNION_SCHEMA)
+        return b.table()
