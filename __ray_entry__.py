@@ -33,10 +33,10 @@ _TOPK = 10
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from spatula_ray.ioutil import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=columns)
 
 
 def _docs_with_copies(sf_dir: str):
@@ -78,10 +78,11 @@ def _docs_with_neardups(sf_dir: str):
 def _embeddings_with_copies(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
-    base = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    from spatula_ray.ioutil import read_parquet_clean
+
+    base = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
 
     def shift(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["vec_id"], _EMB_COPY_N))
@@ -123,21 +124,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def text_stats(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.TextStats, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+            tx.TextStats, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
 
     def doc_quality(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+            tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
 
     def langid_pred(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.LangId, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+            tx.LangId, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
 
     def winnow(sf_dir):
         import pyarrow as pa
 
         out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            tx.WinnowFingerprint, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+            tx.WinnowFingerprint, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
 
         def explode(t: pa.Table) -> pa.Table:
             # exploded (doc_id, chunk, h) rows — SQL-comparable shape
@@ -182,11 +187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_topk(sf_dir):
         import pyarrow as pa
-        import ray.data as rd
+
+        from spatula_ray.ioutil import read_parquet_clean
 
         q, qids = _query_vectors(sf_dir)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
         out = sim.topk_cosine(ds, q, k=_TOPK, self_ids=qids)
 
         def remap(t: pa.Table) -> pa.Table:
@@ -199,11 +205,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def lsh_topk(sf_dir):
         import pyarrow as pa
-        import ray.data as rd
+
+        from spatula_ray.ioutil import read_parquet_clean
 
         q, qids = _query_vectors(sf_dir)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
         out = sim.lsh_ann_topk(ds, q, k=_TOPK)
 
         def remap(t: pa.Table) -> pa.Table:
@@ -215,11 +222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ivf_topk(sf_dir):
         import pyarrow as pa
-        import ray.data as rd
+
+        from spatula_ray.ioutil import read_parquet_clean
 
         q, qids = _query_vectors(sf_dir)
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
         out = sim.ivf_ann_topk(ds, q, k=_TOPK)
 
         def remap(t: pa.Table) -> pa.Table:
@@ -242,7 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the DuckDB oracle can value-compare everything
         return manifest.map_batches(DecodeStubExploded,
                                     batch_format="pyarrow", batch_size=64,
-                                    concurrency=2, num_cpus=0.5)
+                                    concurrency=2, num_cpus=0.5,
+        max_restarts=0)
 
     return {
         # crawl engine (flagship)

@@ -128,7 +128,7 @@ def minhash_signatures(ds, n_perm: int = 64, k_shingle: int = 3,
     return ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
         n_perm=n_perm, k_shingle=k_shingle, seed=seed),
         batch_format="pyarrow", concurrency=(concurrency, 8), num_cpus=0.5,
-        batch_size=512)
+        batch_size=512, max_restarts=0)
 
 
 def lsh_candidate_pairs(sig_ds, bands: int = 32, rows: int = 2):
@@ -180,6 +180,7 @@ def lsh_candidate_pairs(sig_ds, bands: int = 32, rows: int = 2):
     def bucket_pair(t: pa.Table) -> pa.Table:
         import numpy as _np
 
+        t = t.replace_schema_metadata(None)   # pandas-block conversion relic
         b = ((_np.asarray(t["a"].to_pylist(), dtype=_np.int64) * 1000003
               + _np.asarray(t["b"].to_pylist(), dtype=_np.int64)) % NB)
         return t.append_column("__b2", pa.array(b.astype(_np.int32)))
@@ -298,6 +299,7 @@ def minhash_dup_pairs(ds, threshold: float = 0.5, n_perm: int = 64,
         attach_text, batch_format="pandas")
 
     def bucket_pair(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)   # pandas-block conversion relic
         b = ((np.asarray(t["a"].to_pylist(), dtype=np.int64) * 1000003
               + np.asarray(t["b"].to_pylist(), dtype=np.int64))
              % num_buckets)
@@ -316,7 +318,8 @@ def minhash_dup_pairs(ds, threshold: float = 0.5, n_perm: int = 64,
     return joined.map_batches(
         _JaccardVerify,
         fn_constructor_kwargs=dict(k_shingle=k_shingle, threshold=threshold),
-        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +388,7 @@ def exact_jaccard_pairs(ds, threshold: float = 0.5, k_shingle: int = 3,
                                                   batch_format="pandas")
 
     def bucket_pair(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)   # pandas-block conversion relic
         b = ((np.asarray(t["a"].to_pylist(), dtype=np.int64) * 1000003
               + np.asarray(t["b"].to_pylist(), dtype=np.int64)) % num_buckets)
         return t.append_column("__b2", pa.array(b.astype(np.int32)))
@@ -449,7 +453,8 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, k_shingle: int = 2):
     import pandas as pd
 
     sh = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(k_shingle=k_shingle),
-                        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+                        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        max_restarts=0)
 
     def explode(batch: pa.Table) -> pa.Table:
         block_id, block_val, doc_id, sim = [], [], [], []
@@ -498,6 +503,7 @@ def simhash_dup_pairs(ds, max_hamming: int = 3, k_shingle: int = 2):
                                                    batch_format="pandas")
 
     def bucket_pair(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)   # pandas-block conversion relic
         b = ((np.asarray(t["a"].to_pylist(), dtype=np.int64) * 1000003
               + np.asarray(t["b"].to_pylist(), dtype=np.int64)) % NB)
         return t.append_column("__b2", pa.array(b.astype(np.int32)))
@@ -569,7 +575,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.999,
     exploded = ds.select_columns([id_col, emb_col]).map_batches(
         _MultiprobeBucketize,
         fn_constructor_kwargs=dict(n_planes=n_planes, seed=seed),
-        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
@@ -592,6 +599,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.999,
                                                   batch_format="pandas")
 
     def bucket_pair(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)   # pandas-block conversion relic
         b = ((np.asarray(t["a"].to_pylist(), dtype=np.int64) * 1000003
               + np.asarray(t["b"].to_pylist(), dtype=np.int64)) % num_buckets)
         return t.append_column("__b2", pa.array(b.astype(np.int32)))

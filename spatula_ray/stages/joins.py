@@ -80,6 +80,7 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
 
     def prep(side: int, renames: dict):
         def fn(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)   # pandas-block relic
             if renames:
                 t = t.rename_columns([renames.get(c, c) for c in t.schema.names])
             t = t.append_column("__bucket", _bucket_of(t, on, num_buckets))
@@ -116,19 +117,19 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
 
 
 def broadcast_lookup(ds, small_df, on: List[str], how: str = "inner"):
-    """Small-side join: put the dimension table in the object store once and
-    merge per batch — no shuffle."""
+    """Small-side join: ship the dimension table once per actor as a
+    constructor value (Ray auto-puts large ctor args in the object store,
+    so this is the broadcast pattern either way; by-value keeps actor
+    state reconstructible — ray#53727) and merge per batch — no shuffle."""
     import pandas as pd
-    import ray
-
-    ref = ray.put(small_df)
 
     class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+        def __init__(self, small):
+            self.small = small
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=2,
-                          num_cpus=0.5)
+    return ds.map_batches(Joiner, fn_constructor_kwargs=dict(small=small_df),
+                          batch_format="pandas", concurrency=2,
+                          num_cpus=0.5, max_restarts=0)

@@ -1,9 +1,12 @@
 """Similarity search over an embedding column (list<float>).
 
-* brute-force cosine top-k — baseline: the query matrix is broadcast once
-  (ray.put), each batch computes sims with a double-precision matmul and
-  emits per-batch top-k candidates; a final tiny groupby reduces to global
-  top-k. Exactly reproducible in SQL (double-precision inner products).
+* brute-force cosine top-k — baseline: the query matrix ships once per
+  actor as a constructor value (Ray auto-puts large args in the object
+  store, so this is the broadcast pattern either way; by-value keeps
+  restarts reconstructible — ray#53727), each batch computes sims with a
+  double-precision matmul and emits per-batch top-k candidates; a final
+  tiny groupby reduces to global top-k. Exactly reproducible in SQL
+  (double-precision inner products).
 * LSH-bucketed ANN — scale path: random-hyperplane signatures bucket the
   corpus; queries probe only their bucket (+ multiprobe neighbors).
   Approximate; validated by a recall test against the brute-force baseline.
@@ -18,15 +21,16 @@ import pyarrow as pa
 
 
 class CosineTopK:
-    """map_batches actor: holds the normalized query matrix (fetched from
-    the object store once per actor)."""
+    """map_batches actor: holds the normalized query matrix (shipped once
+    per actor as a constructor value)."""
 
-    def __init__(self, queries_ref=None, queries: Optional[np.ndarray] = None,
-                 k: int = 10):
-        import ray
+    def __init__(self, queries: Optional[np.ndarray] = None, k: int = 10,
+                 queries_ref=None):
+        if queries_ref is not None:   # back-compat: explicit ObjectRef
+            import ray
 
-        q = ray.get(queries_ref) if queries_ref is not None else queries
-        q = np.asarray(q, dtype=np.float64)
+            queries = ray.get(queries_ref)
+        q = np.asarray(queries, dtype=np.float64)
         qn = np.linalg.norm(q, axis=1)
         qn[qn == 0] = 1.0
         self.q = q / qn[:, None]
@@ -66,14 +70,14 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10,
     NOTE: partial top-k per batch needs k+exclusions headroom, so the
     per-batch k is k + (1 if self_ids else 0) + len(exclude_ids or ())."""
     import pandas as pd
-    import ray
 
     pad = (1 if self_ids else 0) + len(exclude_ids or ())
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
     cand = ds.map_batches(CosineTopK,
-                          fn_constructor_kwargs=dict(queries_ref=qref, k=k + pad),
+                          fn_constructor_kwargs=dict(
+                              queries=np.asarray(queries, dtype=np.float64),
+                              k=k + pad),
                           batch_format="pyarrow", concurrency=concurrency,
-                          num_cpus=0.5)
+                          num_cpus=0.5, max_restarts=0)
     excl = exclude_ids or set()
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -139,11 +143,8 @@ class _BucketScorer:
     groupby(query_id) reduce produces the global top-k — no driver-side
     scan (round-1 verdict fix #3)."""
 
-    def __init__(self, state_ref, k: int):
-        import ray
-
-        qn_mat, probe_buckets = ray.get(state_ref)
-        self.qn_mat = qn_mat
+    def __init__(self, qn_mat, probe_buckets, k: int):
+        self.qn_mat = np.asarray(qn_mat)
         self.probes = [np.fromiter(sorted(p), dtype=np.int64)
                        for p in probe_buckets]
         self.k = k
@@ -250,7 +251,6 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     candidate set bit-for-bit; final scoring is raw-double cosine snapped
     to a 1e-5 grid, the same proven-reproducible pattern as lsh_ann_topk."""
     import pandas as pd
-    import ray
 
     q = np.asarray(queries, dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
@@ -268,7 +268,6 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
         order = np.lexsort((np.arange(n_cells), -sims_qc[qi]))[:nprobe]
         probe_cells.append(set(int(c) for c in order))
     wanted = np.fromiter(sorted(set().union(*probe_cells)), dtype=np.int64)
-    cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
@@ -276,8 +275,7 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "bucket": pa.array([], type=pa.int64()),
                              "embedding": batch["embedding"]})
-        c = ray.get(cents_ref)
-        cells = np.argmax(_quantize(vecs, q_scale) @ c.T, axis=1) \
+        cells = np.argmax(_quantize(vecs, q_scale) @ cents.T, axis=1) \
             .astype(np.int64)
         keep = np.isin(cells, wanted)
         t = batch.append_column("bucket", pa.array(cells))
@@ -286,10 +284,12 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     pruned = ds.select_columns(["vec_id", "embedding"]).map_batches(
         assign, batch_format="pyarrow")
 
-    state_ref = ray.put((qn_mat, probe_cells))
     cand = pruned.map_batches(
-        _BucketScorer, fn_constructor_kwargs=dict(state_ref=state_ref, k=k),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+        _BucketScorer,
+        fn_constructor_kwargs=dict(qn_mat=qn_mat, probe_buckets=probe_cells,
+                                   k=k),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
+        max_restarts=0)
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -313,7 +313,6 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     ``seed`` is accepted for API stability but unused (the planes are a
     deterministic function of (plane, dim) hashes)."""
     import pandas as pd
-    import ray
 
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
@@ -350,10 +349,12 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     pruned = ds.select_columns(["vec_id", "embedding"]).map_batches(
         bucketize, batch_format="pyarrow")
 
-    state_ref = ray.put((qn_mat, probe_buckets))
     cand = pruned.map_batches(
-        _BucketScorer, fn_constructor_kwargs=dict(state_ref=state_ref, k=k),
-        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
+        _BucketScorer,
+        fn_constructor_kwargs=dict(qn_mat=qn_mat,
+                                   probe_buckets=probe_buckets, k=k),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
+        max_restarts=0)
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
