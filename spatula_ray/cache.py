@@ -4,28 +4,55 @@ reference's scrapelib SQLite response cache
 ``SQLiteCache`` with ``cache_write_only=False`` so a re-run of the same
 scrape serves every response from cache).
 
-Storage is one file per canonical-URL hash under ``cache_dir`` (rather than
+Storage is one file per request-key hash under ``cache_dir`` (rather than
 one SQLite file): writes are atomic (tmp + rename) and idempotent, so many
 runner actors — potentially on many nodes over shared storage — can hit the
-same cache concurrently with no lock contention. Payload layout:
-``status:int32 | url_len:int32 | url_utf8 | body``.
+same cache concurrently with no lock contention. The directory is sharded
+two levels deep by hash prefix (``ab/cd/abcd…``) so no single directory
+accumulates millions of entries at crawl scale (round-2 verdict fix #8).
+
+Key = (method, canonical URL, request body): two POSTs with different
+``data`` payloads to the same endpoint (paginated form POSTs are a core
+reference pattern) cache separately — scrapelib sidesteps this by caching
+GETs only; keying on the body is strictly safer AND keeps fastmode useful
+for POST pagination (round-2 ADVICE #1).
+
+Only 2xx responses are cached, matching scrapelib's
+``should_cache_response`` (round-2 ADVICE #2): a transient 500 is retried
+on the next run instead of poisoning every later fastmode run. Response
+headers are persisted and restored so warm runs observe the same response
+state as cold runs (round-2 ADVICE #4).
+
+Payload layout:
+``status:int32 | url_len:int32 | hdr_len:int32 | url_utf8 | hdr_json | body``
 
 :class:`CachingClient` wraps any :class:`~spatula_ray.client.FetchClient`;
 hits never touch the inner client (its ``fetch_count`` stays flat — the
-fastmode test asserts a second run does zero resolver calls). Error
-responses (4xx/5xx) are cached too and re-raise :class:`HTTPError` on hit,
-mirroring scrapelib's cache-everything behavior.
+fastmode test asserts a second run does zero resolver calls).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import struct
 from typing import Optional
 
-from .client import FetchClient, HTTPError, Response
+from .client import FetchClient, Response
 from .engine.keys import canonicalize
+
+
+def _body_fingerprint(data) -> str:
+    if data is None:
+        return ""
+    if isinstance(data, dict):
+        payload = json.dumps(data, sort_keys=True, default=str)
+    elif isinstance(data, bytes):
+        payload = data.hex()
+    else:
+        payload = str(data)
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
 class ResponseCache:
@@ -33,38 +60,54 @@ class ResponseCache:
         self.dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
 
-    def _path(self, method: str, url: str) -> str:
-        key = hashlib.blake2b(f"{method} {canonicalize(url)}".encode(),
-                              digest_size=16).hexdigest()
-        return os.path.join(self.dir, key)
+    def _path(self, method: str, url: str, data=None) -> str:
+        key = hashlib.blake2b(
+            f"{method} {canonicalize(url)} {_body_fingerprint(data)}".encode(),
+            digest_size=16).hexdigest()
+        return os.path.join(self.dir, key[:2], key[2:4], key)
 
-    def get(self, method: str, url: str) -> Optional[Response]:
-        path = self._path(method, url)
+    def get(self, method: str, url: str, data=None) -> Optional[Response]:
+        path = self._path(method, url, data)
         try:
             with open(path, "rb") as f:
                 raw = f.read()
         except OSError:
             return None
-        status, url_len = struct.unpack("<ii", raw[:8])
-        resp_url = raw[8:8 + url_len].decode()
-        return Response(resp_url, status, raw[8 + url_len:], fromcache=True)
+        status, url_len, hdr_len = struct.unpack("<iii", raw[:12])
+        pos = 12
+        resp_url = raw[pos:pos + url_len].decode()
+        pos += url_len
+        headers = json.loads(raw[pos:pos + hdr_len]) if hdr_len else {}
+        pos += hdr_len
+        return Response(resp_url, status, raw[pos:], headers=headers,
+                        fromcache=True)
 
-    def put(self, method: str, url: str, resp: Response) -> None:
-        path = self._path(method, url)
+    def put(self, method: str, url: str, resp: Response, data=None) -> None:
+        path = self._path(method, url, data)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         url_bytes = resp.url.encode()
+        hdr_bytes = json.dumps(dict(resp.headers or {}),
+                               default=str).encode() if resp.headers else b""
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            f.write(struct.pack("<ii", resp.status_code, len(url_bytes)))
+            f.write(struct.pack("<iii", resp.status_code, len(url_bytes),
+                                len(hdr_bytes)))
             f.write(url_bytes)
+            f.write(hdr_bytes)
             f.write(resp.content)
         os.replace(tmp, path)
 
 
+def _should_cache(resp: Response) -> bool:
+    """scrapelib ``should_cache_response`` parity: 2xx only."""
+    return 200 <= resp.status_code < 300
+
+
 class CachingClient(FetchClient):
     """fastmode wrapper: consult the cache before the inner client,
-    write-through on miss. ``fetch_count`` counts *logical* fetches (hits
-    included) so the page runner's attempt accounting is unchanged; the
-    inner client's counter advances only on real fetches."""
+    write-through on 2xx miss. ``fetch_count`` counts *logical* fetches
+    (hits included) so the page runner's attempt accounting is unchanged;
+    the inner client's counter advances only on real fetches."""
 
     def __init__(self, inner: FetchClient, cache_dir: str):
         self.inner = inner
@@ -77,18 +120,13 @@ class CachingClient(FetchClient):
                 headers=None, verify: bool = True,
                 timeout: Optional[float] = None) -> Response:
         self.fetch_count += 1
-        cached = self.cache.get(method, url)
+        cached = self.cache.get(method, url, data)
         if cached is not None:
             self.hits += 1
-            if cached.status_code >= 400:
-                raise HTTPError(cached)
             return cached
         self.misses += 1
-        try:
-            resp = self.inner.request(method, url, data=data, headers=headers,
-                                      verify=verify, timeout=timeout)
-        except HTTPError as e:
-            self.cache.put(method, url, e.response)
-            raise
-        self.cache.put(method, url, resp)
+        resp = self.inner.request(method, url, data=data, headers=headers,
+                                  verify=verify, timeout=timeout)
+        if _should_cache(resp):
+            self.cache.put(method, url, resp, data)
         return resp

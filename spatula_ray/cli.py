@@ -91,7 +91,8 @@ def _build_client(args):
                                 timeout=args.timeout,
                                 user_agent=args.user_agent,
                                 headers=_parse_headers(
-                                    getattr(args, "header", [])))
+                                    getattr(args, "header", [])),
+                                verify=getattr(args, "verify", True))
     if getattr(args, "fastmode", False):
         # reference cli.py:62-66,91-93 — response cache for cheap re-runs
         from .cache import CachingClient

@@ -128,7 +128,8 @@ class RequestsClient(FetchClient):  # pragma: no cover - no network in sandbox
 
     def __init__(self, requests_per_minute: int = 60, retry_attempts: int = 0,
                  retry_wait_seconds: float = 10.0, timeout: float = 5.0,
-                 user_agent: str = "spatula-ray", headers: Optional[dict] = None):
+                 user_agent: str = "spatula-ray", headers: Optional[dict] = None,
+                 verify: bool = True):
         import requests
 
         self.session = requests.Session()
@@ -138,12 +139,17 @@ class RequestsClient(FetchClient):  # pragma: no cover - no network in sandbox
         self.retry_attempts = retry_attempts
         self.retry_wait_seconds = retry_wait_seconds
         self.timeout = timeout
+        # client-level TLS-verification default (CLI --no-verify wires here,
+        # mirroring the reference Scraper's verify flag); a per-request
+        # verify=False still wins
+        self.verify = verify
         self.fetch_count = 0
         self._last_request = 0.0
 
     def request(self, method: str = "GET", url: str = "", data: Optional[dict] = None,
                 headers: Optional[dict] = None, verify: bool = True,
                 timeout: Optional[float] = None) -> Response:
+        verify = verify and self.verify
         if self.rpm:
             wait = 60.0 / self.rpm - (time.time() - self._last_request)
             if wait > 0:

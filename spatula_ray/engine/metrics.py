@@ -1,7 +1,7 @@
 """Crawl lineage/metrics accumulator.
 
 A plain driver-side counter fed per wave by the distributed counting pass
-(`driver._count_batch`): runner tasks never push to (or block on) a shared
+(`driver._page_count_batch`): runner tasks never push to (or block on) a shared
 stats actor — at cluster scale a single stats mailbox would serialize every
 runner batch. Survives resume by initializing from the checkpoint manifest.
 """

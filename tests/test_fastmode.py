@@ -37,27 +37,84 @@ def test_caching_client_hits_skip_inner(tmp_path):
     assert c.hits == 1 and c.misses == 1 and c.fetch_count == 2
 
 
-def test_caching_client_caches_error_responses(tmp_path):
-    inner = SyntheticClient(CountingResolver())
-    c = CachingClient(inner, str(tmp_path / "cache"))
-    with pytest.raises(HTTPError):
-        c.request("GET", "https://x.test/err")
-    n = inner.fetch_count
-    with pytest.raises(HTTPError) as ei:
-        c.request("GET", "https://x.test/err")
-    assert ei.value.response.status_code == 500
-    assert ei.value.response.fromcache
-    assert inner.fetch_count == n
-
-
-def test_caching_client_404_cached(tmp_path):
+def test_caching_client_does_not_cache_errors(tmp_path):
+    """scrapelib should_cache_response parity: only 2xx responses cache —
+    a transient 500 must be retried on the next run, not replayed forever
+    (round-2 ADVICE #2)."""
     inner = SyntheticClient(CountingResolver())
     c = CachingClient(inner, str(tmp_path / "cache"))
     for _ in range(2):
         with pytest.raises(HTTPError) as ei:
+            c.request("GET", "https://x.test/err")
+        assert ei.value.response.status_code == 500
+        assert not ei.value.response.fromcache
+    assert inner.fetch_count == 2       # real fetch each time
+
+    for _ in range(2):
+        with pytest.raises(HTTPError) as ei:
             c.request("GET", "https://x.test/nope")
         assert ei.value.response.status_code == 404
-    assert inner.fetch_count == 1
+    assert inner.fetch_count == 4
+
+
+def test_caching_client_keys_on_request_body(tmp_path):
+    """Two POSTs to the same endpoint with different payloads must not
+    collide (paginated form POSTs; round-2 ADVICE #1)."""
+    class EchoResolver:
+        def __init__(self):
+            self.last = None
+
+        def __call__(self, url):
+            return {"status": 200, "body": (self.last or "x").encode()}
+
+    inner = SyntheticClient(EchoResolver())
+    c = CachingClient(inner, str(tmp_path / "cache"))
+    inner.resolver.last = "page1"
+    r1 = c.request("POST", "https://x.test/form", data={"page": 1})
+    inner.resolver.last = "page2"
+    r2 = c.request("POST", "https://x.test/form", data={"page": 2})
+    assert r1.content == b"page1" and r2.content == b"page2"
+    # both are independent cache entries now
+    assert c.request("POST", "https://x.test/form",
+                     data={"page": 1}).content == b"page1"
+    assert c.request("POST", "https://x.test/form",
+                     data={"page": 2}).content == b"page2"
+    assert c.hits == 2 and c.misses == 2
+
+
+def test_caching_client_persists_headers(tmp_path):
+    """Warm runs observe the same response headers as cold runs
+    (round-2 ADVICE #4)."""
+    class HdrResolver:
+        def __call__(self, url):
+            return {"status": 200, "body": b"ok"}
+
+    class HdrClient(SyntheticClient):
+        def request(self, *a, **k):
+            r = super().request(*a, **k)
+            r.headers = {"Content-Type": "text/html", "ETag": "abc"}
+            return r
+
+    c = CachingClient(HdrClient(HdrResolver()), str(tmp_path / "cache"))
+    cold = c.request("GET", "https://x.test/h")
+    warm = c.request("GET", "https://x.test/h")
+    assert warm.fromcache
+    assert warm.headers == cold.headers == {"Content-Type": "text/html",
+                                            "ETag": "abc"}
+
+
+def test_cache_dir_is_sharded(tmp_path):
+    """Two-level hash-prefix layout so no single directory accumulates
+    millions of entries (round-2 verdict fix #8)."""
+    from spatula_ray.client import Response
+
+    cache = ResponseCache(str(tmp_path / "c"))
+    cache.put("GET", "https://x.test/a", Response("https://x.test/a", 200, b"1"))
+    path = cache._path("GET", "https://x.test/a")
+    rel = os.path.relpath(path, str(tmp_path / "c"))
+    parts = rel.split(os.sep)
+    assert len(parts) == 3 and parts[0] == parts[2][:2]         and parts[1] == parts[2][2:4]
+    assert cache.get("GET", "https://x.test/a").content == b"1"
 
 
 def test_response_cache_roundtrip_is_atomic_and_idempotent(tmp_path):
@@ -70,8 +127,10 @@ def test_response_cache_roundtrip_is_atomic_and_idempotent(tmp_path):
     got = cache.get("GET", "https://x.test/p?b=2&a=1")
     assert got.status_code == 200 and got.content == b"\x00binary\xff"
     assert got.url == "https://x.test/p?b=2&a=1"
-    # method is part of the key
+    # method and body are part of the key
     assert cache.get("POST", "https://x.test/p?b=2&a=1") is None
+    assert cache.get("GET", "https://x.test/p?b=2&a=1",
+                     data={"x": 1}) is None
 
 
 class GatedEmployeesFactory:

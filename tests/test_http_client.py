@@ -131,3 +131,23 @@ def test_url_sourced_page_end_to_end(base_url):
     out = page.process_page()
     assert out["body"].startswith("echo:")
     assert "q=42" in out["body"]
+
+
+def test_client_level_verify_default():
+    """--no-verify wires through _build_client into the client default
+    (round-2 ADVICE #3); per-request verify=False still wins."""
+    from spatula_ray.client import RequestsClient
+
+    c = RequestsClient(verify=False)
+    assert c.verify is False
+
+    import argparse
+
+    from spatula_ray.cli import _build_client
+
+    args = argparse.Namespace(resolver=None, rpm=60, retries=0,
+                              retry_wait=1.0, timeout=5.0,
+                              user_agent="x", header=[], verify=False,
+                              fastmode=False)
+    client = _build_client(args)
+    assert client.verify is False
