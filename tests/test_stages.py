@@ -248,3 +248,63 @@ def test_ivf_ann_recall():
     a = approx.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     b = again.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# minimal valid single-page PDF with one text-draw op (hand-written so the
+# test needs no PDF library; only runs where pdftotext exists)
+_MINI_PDF = b"""%PDF-1.1
+1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200]
+  /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj
+4 0 obj << /Length 44 >> stream
+BT /F1 12 Tf 20 100 Td (hello real pdf) Tj ET
+endstream endobj
+5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+trailer << /Root 1 0 R >>
+"""
+
+
+@pytest.mark.skipif(__import__("shutil").which("pdftotext") is None,
+                    reason="pdftotext not installed (container); the real "
+                           "path self-activates where it exists")
+def test_pdfpage_real_pdftotext_path():
+    from spatula_ray.client import Response
+    from spatula_ray.model import PdfPage
+
+    class P(PdfPage):
+        def process_page(self):
+            return {"text": self.text}
+
+    p = P({})
+    p.response = Response("https://x.test/doc.pdf", 200, _MINI_PDF)
+    p.postprocess_response()
+    assert "hello real pdf" in p.text
+
+
+def _pil_or_none():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_pil_or_none() is None,
+                    reason="PIL not installed (container); the real decode "
+                           "branch self-activates where it exists")
+def test_decode_stub_real_pil_branch():
+    import io
+
+    from spatula_ray.stages.multimodal import FEATURE_DIM, DecodeStub
+
+    Image = _pil_or_none()
+    img = Image.new("RGB", (20, 12), (120, 30, 200))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    stub = DecodeStub()
+    w, h, raw = stub.decode(buf.getvalue())
+    assert (w, h) == (20, 12)
+    assert raw.shape == (16,)
+    feats = raw @ stub.proj / 255.0
+    assert feats.shape == (FEATURE_DIM,)
