@@ -134,6 +134,100 @@ def run_bench(crawl_only: bool = False) -> dict:
     return out
 
 
+SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
+                    "ann_topk", "lsh_ann_topk", "ivf_ann_topk"]
+
+
+def _build_10x(src_dir: str, dst_dir: str) -> None:
+    """Deterministically synthesize a 10x-scale input dir from src_dir
+    (no RNG, no external data): documents replicated 10x with shifted
+    doc_ids and a per-replica VOCABULARY remap (every token gets a
+    '~r{r}' suffix — a bijection, so within-replica similarity structure
+    is exactly the original's, while cross-replica token sets are
+    disjoint and jaccard is exactly 0). Unsalted replicas would pair
+    across replicas and grow the dedup output quadratically in the
+    replication factor; a shared inserted salt token would concentrate
+    the shingle space and flood the LSH banding with false candidates —
+    both would measure fixture artifacts, not engine scaling. Embeddings
+    replicate with shifted vec_ids (top-k output size is fixed, so exact
+    copies are fine)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(dst_dir, ".complete")
+    if os.path.exists(marker):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    shift = 1_000_000
+
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    parts = []
+    for r in range(10):
+        salted = []
+        for txt in t["text"].to_pylist():
+            toks = (txt or "").split(" ")
+            salted.append(" ".join(f"{w}~r{r}" for w in toks))
+        tt = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                          pc.add(t["doc_id"], r * shift))
+        tt = tt.set_column(tt.schema.get_field_index("text"), "text",
+                           pa.array(salted, type=pa.string()))
+        parts.append(tt)
+    pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
+                   os.path.join(dst_dir, "documents.parquet"))
+
+    e = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    parts = [e.set_column(e.schema.get_field_index("vec_id"), "vec_id",
+                          pc.add(e["vec_id"], r * shift))
+             for r in range(10)]
+    pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
+                   os.path.join(dst_dir, "embeddings.parquet"))
+    open(marker, "w").close()
+
+
+def run_suite10x() -> None:
+    """Operator-suite scaling trend (round-2 verdict #9): the distributed
+    dedup/ANN stages at sf0.1 vs a deterministic 10x replication of the
+    same tables, same cpu count. Prints one JSON line with per-query
+    timings at both scales and the time ratio (ideal ~10x input -> <=10x
+    time for linear stages; top-k stages are sublinear in output)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big_dir = os.environ.get("GRAFT_10X_DIR", "/tmp/graft_suite10x")
+    _build_10x(sf_dir, big_dir)
+
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {"metric": "suite10x", "unit": "sec", "num_cpus": ncpu,
+           "sf_dir": sf_dir, "big_dir": big_dir, "queries": {}}
+    for name in SUITE10X_QUERIES:
+        t0 = time.time()
+        n1 = _consume(qs[name](sf_dir))
+        t1 = round(time.time() - t0, 3)
+        t0 = time.time()
+        n10 = _consume(qs[name](big_dir))
+        t10 = round(time.time() - t0, 3)
+        out["queries"][name] = {
+            "sec_1x": t1, "sec_10x": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+            "rows_1x": n1, "rows_10x": n10,
+        }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def run_scaling() -> None:
     # crawl-only runs: the scaling criterion is crawl throughput (the
     # north-rule metric), and two full operator suites would take 15+ min
@@ -183,5 +277,7 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--suite10x" in sys.argv:
+        run_suite10x()
     else:
         print(json.dumps(run_bench(crawl_only="--crawl-only" in sys.argv)))

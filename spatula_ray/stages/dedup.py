@@ -531,10 +531,10 @@ class _MultiprobeBucketize:
         self.lsh = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from .similarity import HyperplaneLSH
+        from .similarity import HyperplaneLSH, _int_col, _list_col_to_matrix
 
-        ids = np.asarray(t.column(0).to_pylist(), dtype=np.int64)
-        vecs = np.asarray(t.column(1).to_pylist(), dtype=np.float64)
+        ids = _int_col(t.column(0))
+        vecs = _list_col_to_matrix(t.column(1))
         if len(ids) == 0:
             return pa.table({"bucket": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),

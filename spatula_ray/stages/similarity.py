@@ -20,6 +20,28 @@ import numpy as np
 import pyarrow as pa
 
 
+
+def _list_col_to_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix via the flat values
+    buffer (one C reshape, no per-row Python). Falls back to to_pylist for
+    ragged lists."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if (widths == widths[0]).all() and arr.null_count == 0:
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat[offsets[0]:offsets[-1]].reshape(n, int(widths[0]))
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def _int_col(col) -> np.ndarray:
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 class CosineTopK:
     """map_batches actor: holds the normalized query matrix (shipped once
     per actor as a constructor value)."""
@@ -37,8 +59,8 @@ class CosineTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = _int_col(batch["vec_id"])
+        m = _list_col_to_matrix(batch["embedding"])
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
@@ -155,9 +177,9 @@ class _BucketScorer:
                           "score": pa.array([], type=pa.float64())})
         if batch.num_rows == 0:
             return empty
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        buckets = np.asarray(batch["bucket"].to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = _int_col(batch["vec_id"])
+        buckets = _int_col(batch["bucket"])
+        mat = _list_col_to_matrix(batch["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]
@@ -270,7 +292,7 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     wanted = np.fromiter(sorted(set().union(*probe_cells)), dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = _list_col_to_matrix(batch["embedding"])
         if len(vecs) == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "bucket": pa.array([], type=pa.int64()),
@@ -336,7 +358,7 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     wanted = np.fromiter(sorted(set().union(*probe_buckets)), dtype=np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = _list_col_to_matrix(batch["embedding"])
         if len(vecs) == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "bucket": pa.array([], type=pa.int64()),
