@@ -237,6 +237,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def repetition_stats(sf_dir):
+        from spatula_ray.stages.curate import RepetitionStats
+
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            RepetitionStats, batch_format="pyarrow", concurrency=(2, 8),
+            num_cpus=0.5, max_restarts=0)
+
+    def hash_sample_q(sf_dir):
+        from spatula_ray.stages.curate import hash_sample
+
+        return hash_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                           rate_permille=100)
+
+    def pack_sequences_q(sf_dir):
+        from spatula_ray.stages.curate import pack_sequences
+
+        return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget=512)
+
+    def dup_clusters(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.curate import connected_components
+
+        aug = _docs_with_neardups(sf_dir)
+        nodes = aug.map_batches(
+            lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow")
+        pairs = dd.minhash_dup_pairs(_docs_with_neardups(sf_dir),
+                                     threshold=0.5).select_columns(["a", "b"])
+        return connected_components(nodes, pairs)
+
+    def tfidf_top(sf_dir):
+        import pyarrow.parquet as pq
+
+        from spatula_ray.stages.curate import tfidf_top_terms
+
+        n_docs = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")).num_rows
+        return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                               n_docs=n_docs, k=_TOPK)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -285,6 +325,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": ivf_topk,
         # multimodal plumbing
         "media_features": media_features,
+        # curation layer (repetition filters, sampling, packing,
+        # fuzzy-dedup clustering, corpus term weighting)
+        "repetition_stats": repetition_stats,
+        "hash_sample": hash_sample_q,
+        "pack_sequences": pack_sequences_q,
+        "dup_clusters": dup_clusters,
+        "tfidf_top_terms": tfidf_top,
     }
 
 
@@ -808,6 +855,117 @@ feat AS (
 SELECT w.media_ref, w.width, w.height,
        f.j AS feature_idx, f.feature
 FROM wh w JOIN feat f ON f.media_ref = w.media_ref
+""",
+
+        # Gopher-style repetition signals; tokenization is the repo-wide
+        # string_split(text, ' ') convention, fracs on the 1e-6 grid
+        "repetition_stats": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+base AS (SELECT doc_id, ts, len(ts) AS n FROM tok),
+top AS (
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(ts) AS tok FROM tok) GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+  floor(t.m::DOUBLE / b.n * 1e6 + 0.5) / 1e6 AS top_token_frac,
+  CASE WHEN b.n < 2 THEN 0.0
+       ELSE floor((1 - len(list_distinct(list_transform(
+                generate_series(1, b.n - 1),
+                i -> b.ts[i] || ' ' || b.ts[i+1])))::DOUBLE / (b.n - 1))
+            * 1e6 + 0.5) / 1e6 END AS dup_2gram_frac,
+  CASE WHEN b.n < 3 THEN 0.0
+       ELSE floor((1 - len(list_distinct(list_transform(
+                generate_series(1, b.n - 2),
+                i -> b.ts[i] || ' ' || b.ts[i+1] || ' ' || b.ts[i+2])))::DOUBLE
+                / (b.n - 2)) * 1e6 + 0.5) / 1e6 END AS dup_3gram_frac
+FROM base b JOIN top t USING (doc_id)
+""",
+
+        # deterministic Bernoulli sample by key — int64-safe arithmetic
+        # (key folded below 2^31 so key*2654435761 < 2^63)
+        "hash_sample": """
+SELECT doc_id, lang,
+       ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+         AS sample_key
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000 < 100
+""",
+
+        # streaming chunk-packing: bin = exclusive prefix sum // budget in
+        # doc_id order (engine: two-pass distributed prefix sum)
+        "pack_sequences": """
+WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 512 AS BIGINT) AS seq_bin
+FROM n
+""",
+
+        # fuzzy-dedup cluster assignment: connected components over the
+        # verified near-dup pairs (engine: hash-min label propagation;
+        # oracle: recursive transitive closure + min reachable id)
+        "dup_clusters": f"""
+WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT a, b FROM pairs
+  JOIN cnt ca ON ca.doc_id = a
+  JOIN cnt cb ON cb.doc_id = b
+  WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.5
+),
+edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y
+)
+SELECT a.doc_id,
+       least(a.doc_id, coalesce(min(r.y), a.doc_id)) AS cluster_id
+FROM aug a LEFT JOIN reach r ON r.x = a.doc_id
+GROUP BY a.doc_id
+""",
+
+        # per-language top terms by smoothed reciprocal-df weight
+        # (log-free so tf*(N+1) stays an exact int64 and the single IEEE
+        # division reproduces bit-for-bit; ties broken on term asc, order
+        # taken on the SAME 1e-6-grid score the engine sorts on)
+        "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+dt AS (SELECT doc_id, lang, term, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+tfx AS (SELECT lang, term, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT t.lang, t.term, t.tf, d.df,
+       floor(t.tf * (nn.n + 1) / (d.df + 1) * 1e6 + 0.5) / 1e6 AS score
+FROM tfx t JOIN dfx d USING (term), nn
+QUALIFY row_number() OVER (PARTITION BY t.lang
+    ORDER BY floor(t.tf * (nn.n + 1) / (d.df + 1) * 1e6 + 0.5) / 1e6 DESC,
+             t.term) <= {_TOPK}
 """,
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;

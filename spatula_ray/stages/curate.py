@@ -1,0 +1,320 @@
+"""Training-data curation stages beyond the reference's surface: the
+operations a 100 TB LLM-data pipeline runs after the crawl — repetition
+filtering, deterministic sampling, sequence packing, fuzzy-dedup cluster
+assignment, and corpus-level term weighting.
+
+Design rules (same as the rest of the repo):
+  * every stage is a ``map_batches`` transform (actor pool only where
+    per-actor state exists) over Arrow batches; no per-row Python in the
+    hot path — flattened token arrays go through pandas' C groupby paths;
+  * every wide step is an explicit ``groupby`` with a documented key, with
+    partial aggregation pushed into the batches wherever semantics allow;
+  * every float that reaches a compared column is snapped to a fixed grid
+    so partial-aggregation order cannot flip a value hash, and every
+    definition is exactly reproducible in ANSI SQL (DuckDB) — see
+    ``__ray_entry__.oracle_sql``.
+
+These have no counterpart in the reference (jamesturk/spatula stops at
+scrape output); they are the curation layer the north-star pipeline feeds.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _grid(arr, scale: float):
+    """floor(x*scale + 0.5)/scale on a numpy array — the repo float policy."""
+    a = np.asarray(arr, dtype=np.float64)
+    return pa.array(np.floor(a * scale + 0.5) / scale)
+
+
+def _flat_tokens(texts):
+    """Split a batch of texts on single spaces (the repo-wide SQL-parity
+    convention: ``string_split(text, ' ')``, empty text -> ['']) and return
+    (doc_index_repeats, flat_token_array, tokens_per_doc)."""
+    splits = [t.split(" ") if t else [""] for t in texts]
+    lens = np.fromiter((len(s) for s in splits), dtype=np.int64,
+                       count=len(splits))
+    flat = np.fromiter(chain.from_iterable(splits), dtype=object,
+                       count=int(lens.sum()))
+    idx = np.repeat(np.arange(len(splits), dtype=np.int64), lens)
+    return idx, flat, lens
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per document: the fraction of tokens
+    accounted for by the single most frequent token, and the duplicate
+    fraction of 2-grams / 3-grams.
+
+    SQL-parity definitions (n = len(string_split(text, ' '))):
+      top_token_frac = max per-token count / n
+      dup_2gram_frac = n < 2 ? 0 : 1 - distinct_2grams / (n - 1)
+      dup_3gram_frac = n < 3 ? 0 : 1 - distinct_3grams / (n - 2)
+    all snapped to the 1e-6 grid.
+
+    Vectorization: one flattened (doc, token) frame per batch; counts and
+    distincts run through pandas' C groupby kernels, n-grams through
+    ``Series.str.cat`` on shifted views — no per-document Python loops.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        idx, flat, lens = _flat_tokens(texts)
+        n_docs = len(texts)
+
+        # top token count per doc
+        df = pd.DataFrame({"d": idx, "t": flat})
+        per = df.groupby(["d", "t"], sort=False).size()
+        top = per.groupby(level=0, sort=False).max()
+        top_cnt = np.zeros(n_docs, dtype=np.int64)
+        top_cnt[top.index.to_numpy()] = top.to_numpy()
+
+        def dup_frac(k: int) -> np.ndarray:
+            # k-grams: join k shifted views of the flat token array, valid
+            # where all k positions fall inside the same document
+            m = max(len(flat) - k + 1, 0)
+            valid = idx[:m] == idx[k - 1: k - 1 + m]
+            if not valid.any():
+                return np.zeros(n_docs, dtype=np.float64)
+            g = pd.Series(flat[:m][valid])
+            for j in range(1, k):
+                g = g.str.cat(pd.Series(flat[j: j + m][valid]), sep=" ")
+            gd = pd.DataFrame({"d": idx[:m][valid], "g": g.to_numpy()})
+            uniq = gd.groupby("d", sort=False)["g"].nunique()
+            total = np.maximum(lens - (k - 1), 1)
+            u = np.zeros(n_docs, dtype=np.int64)
+            u[uniq.index.to_numpy()] = uniq.to_numpy()
+            out = 1.0 - u / total
+            out[lens < k] = 0.0
+            return out
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "top_token_frac": _grid(top_cnt / np.maximum(lens, 1), 1e6),
+            "dup_2gram_frac": _grid(dup_frac(2), 1e6),
+            "dup_3gram_frac": _grid(dup_frac(3), 1e6),
+        })
+
+
+# -- deterministic sampling --------------------------------------------------
+
+_SAMPLE_MULT = 2654435761       # Knuth multiplicative constant
+_SAMPLE_ADD = 40503
+_SAMPLE_DOM = 2 ** 31           # key folded below 2^31 so key*MULT < 2^63
+_SAMPLE_MOD = 2 ** 32
+
+
+def hash_sample(ds, rate_permille: int = 100, key: str = "doc_id"):
+    """Deterministic Bernoulli sample by key: keep rows where
+    ``((key % 2^31) * 2654435761 + 40503) % 2^32 % 1000 < rate_permille``.
+
+    Pure per-batch filter — no shuffle, no RNG, no driver state; the same
+    row set survives at any parallelism, which is what makes a sample
+    resumable and auditable at 100 TB. All arithmetic stays below 2^63 by
+    folding the key into [0, 2^31) first, so the identical expression runs
+    in int64 SQL without overflow."""
+    def pick(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        keep = bucket < rate_permille
+        t = t.append_column("sample_key", pa.array(bucket))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# -- sequence packing --------------------------------------------------------
+
+def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):
+    """Assign each document (ordered by doc_id) to a training-sequence bin:
+    ``bin = exclusive_prefix_sum(n_tokens) // budget`` — streaming
+    chunk-packing with a global deterministic order.
+
+    Distributed prefix sum in two passes over ONE partitioning key
+    (``doc_id // bucket_span``):
+      1. per-bucket token totals via groupby-sum — the per-bucket table is
+         #docs/bucket_span rows, exclusively scanned on the driver (at
+         1e9 docs and span 4096 that is ~250k rows of two ints; for more,
+         make the scan hierarchical by re-bucketing the bucket table);
+      2. per-bucket vectorized cumsum + the bucket's exclusive offset, one
+         C kernel per multi-thousand-doc bucket via groupby.map_groups.
+
+    Input ``ds`` must have columns (doc_id, text)."""
+    from ray.data.aggregate import Sum
+
+    def tokens(t: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")).cast(pa.int64())
+        # SQL-parity: string_split('', ' ') = [''] -> 1 token, matching
+        # pyarrow split_pattern on '' (one empty element)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": nt,
+            "__bucket": pc.divide(t["doc_id"], bucket_span),
+        })
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    per_bucket = toks.groupby("__bucket").aggregate(
+        Sum("n_tokens", alias_name="tok")).take_all()
+    per_bucket.sort(key=lambda r: r["__bucket"])
+    offsets: Dict[int, int] = {}
+    run = 0
+    for r in per_bucket:
+        offsets[r["__bucket"]] = run
+        run += r["tok"]
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        base = offsets[int(g["__bucket"].iloc[0])]
+        excl = base + np.cumsum(n) - n
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "n_tokens": n,
+                             "seq_bin": (excl // budget).astype(np.int64)})
+
+    return toks.groupby("__bucket").map_groups(pack, batch_format="pandas")
+
+
+# -- fuzzy-dedup cluster assignment ------------------------------------------
+
+def connected_components(nodes, pairs, max_iters: int = 12,
+                         num_buckets: int = 32):
+    """Label every node with the minimum node id reachable through the
+    pair graph (hash-min label propagation) — the canonical fuzzy-dedup
+    step: near-dup pairs from MinHash/SimHash/embedding blocking become
+    clusters, and ``doc_id == cluster_id`` selects one canonical document
+    per cluster.
+
+    ``nodes``: Dataset with int64 column ``node`` (every doc id, including
+    singletons). ``pairs``: Dataset with int64 columns ``a``, ``b``.
+
+    Each iteration is one bucketed hash join (edges x labels on the
+    neighbor end) plus one groupby-min — all-to-all over edge-sized data,
+    repeated until the label sum stops falling (near-dup clusters are
+    near-cliques, so 2-3 iterations in practice; ``max_iters`` bounds
+    pathological chains). No driver-side graph state: the driver sees one
+    scalar per iteration.
+
+    Self-labels ride as self-loop edges built ONCE, instead of a
+    per-iteration ``labels.union(prop)``: a union grows the label
+    dataset's block count every iteration (4 -> 8 -> ... -> 2^k blocks of
+    tiny data), which turns an O(diameter) loop into exponentially growing
+    per-iteration task overhead. With self-loops the per-iteration block
+    count is bounded by the join's bucket count and iterations stay
+    flat-cost."""
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_bucket_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"x": pa.concat_arrays([a, b]),
+                         "node": pa.concat_arrays([b, a])})
+
+    def self_loops(t: pa.Table) -> pa.Table:
+        n = t["node"].combine_chunks().cast(pa.int64())
+        return pa.table({"x": n, "node": n})
+
+    edges = (pairs.map_batches(both_dirs, batch_format="pyarrow")
+             .union(nodes.map_batches(self_loops, batch_format="pyarrow"))
+             .materialize())
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "label": t["node"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    prev_sum: Optional[int] = None
+
+    for _ in range(max_iters):
+        nbr = hash_bucket_join(edges, labels, on=["node"],
+                               num_buckets=num_buckets)
+        labels = (nbr.map_batches(
+                      lambda t: pa.table({"node": t["x"],
+                                          "label": t["label"]}),
+                      batch_format="pyarrow")
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")
+
+
+# -- corpus term weighting ---------------------------------------------------
+
+def tfidf_top_terms(docs, n_docs: int, k: int = 10):
+    """Per-language top-``k`` terms by smoothed reciprocal-df weight:
+    ``score = tf * (N + 1) / (df + 1)`` where tf counts occurrences within
+    the language and df counts documents (any language) containing the
+    term. The weight is log-free on purpose: tf*(N+1) is an exact int64
+    (< 2^53 documented bound) and the single IEEE division reproduces
+    bit-for-bit in SQL, so ranking and values are cross-engine exact.
+
+    Shuffle plan: one explode pass emits per-(doc, term) counts (distinct
+    by construction, so df is a plain count), then two partial-aggregated
+    groupbys (term key), one bucketed join on term, and a per-batch
+    partial top-k so the final per-language groups are k-bounded."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_bucket_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        idx, flat, _ = _flat_tokens(texts)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        per = (pd.DataFrame({"d": idx, "term": flat})
+               .groupby(["d", "term"], sort=False).size().reset_index(name="c"))
+        d = per["d"].to_numpy()
+        return pa.table({
+            "lang": pa.array(langs[d]),
+            "term": pa.array(per["term"].to_numpy(), type=pa.string()),
+            "c": pa.array(per["c"].to_numpy().astype(np.int64)),
+        })
+
+    dt = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    tf = dt.groupby(["lang", "term"]).aggregate(Sum("c", alias_name="tf"))
+    df = dt.groupby("term").aggregate(Count(alias_name="df"))
+    joined = hash_bucket_join(tf, df, on=["term"], num_buckets=16)
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].combine_chunks().to_numpy().astype(np.int64)
+        dfv = t["df"].combine_chunks().to_numpy().astype(np.int64)
+        s = np.floor((tfv * (n_docs + 1)) / (dfv + 1) * 1e6 + 0.5) / 1e6
+        return pa.table({"lang": t["lang"], "term": t["term"],
+                         "tf": pa.array(tfv), "df": pa.array(dfv),
+                         "score": pa.array(s)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g = (g.sort_values(["lang", "score", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+             .groupby("lang", sort=False).head(k))
+        # strip pandas metadata: an unhashable schema defeats Ray's
+        # shuffle-side schema dedup (same reason ioutil.read_parquet_clean
+        # exists)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    pruned = scored.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.groupby("lang").map_groups(local_topk,
+                                             batch_format="pyarrow")

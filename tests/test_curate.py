@@ -1,0 +1,122 @@
+"""Unit tests for the curation stages (stages/curate.py) covering the
+shapes the sf fixtures don't exercise: multi-hop components, batch-size
+invariance of the deterministic sample, prefix-sum packing vs a naive
+oracle, and repetition-stat edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spatula_ray.stages import curate
+
+
+def _ds(table: pa.Table, parallelism=4):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(parallelism)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_chain_and_singleton():
+    # chain 0-1-...-9 (diameter 9 forces multi-iteration hash-min
+    # propagation), a separate triangle {20,21,22}, singleton 30
+    pairs = pa.table({"a": pa.array(list(range(9)) + [20, 20, 21],
+                                    type=pa.int64()),
+                      "b": pa.array(list(range(1, 10)) + [21, 22, 22],
+                                    type=pa.int64())})
+    nodes = pa.table({"node": pa.array(list(range(10)) + [20, 21, 22, 30],
+                                       type=pa.int64())})
+    out = curate.connected_components(_ds(nodes), _ds(pairs),
+                                      num_buckets=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(got[i] == 0 for i in range(10))
+    assert got[20] == got[21] == got[22] == 20
+    assert got[30] == 30
+    assert len(out) == 14
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_respects_max_iters():
+    pairs = pa.table({"a": pa.array(list(range(5)), type=pa.int64()),
+                      "b": pa.array(list(range(1, 6)), type=pa.int64())})
+    nodes = pa.table({"node": pa.array(list(range(6)), type=pa.int64())})
+    out = curate.connected_components(_ds(nodes, 2), _ds(pairs, 2),
+                                      max_iters=1, num_buckets=2).to_pandas()
+    # one iteration propagates labels one hop only
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got[1] == 0 and got[5] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_sample_batch_invariant():
+    t = pa.table({"doc_id": pa.array(range(1000), type=pa.int64()),
+                  "lang": pa.array(["en"] * 1000)})
+    a = curate.hash_sample(_ds(t, 1), rate_permille=100).to_pandas()
+    b = curate.hash_sample(_ds(t, 16), rate_permille=100).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # rate sanity: 10% +- generous slack on 1000 keys
+    assert 50 <= len(a) <= 200
+    # exact arithmetic mirror
+    for d in a["doc_id"].to_numpy()[:5]:
+        h = ((int(d) % 2**31) * 2654435761 + 40503) % 2**32 % 1000
+        assert h < 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_sequences_matches_naive():
+    rng = np.random.RandomState(7)
+    n = 500
+    words = [" ".join("w" * 1 for _ in range(rng.randint(1, 40)))
+             for _ in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array(words)})
+    out = (curate.pack_sequences(_ds(t, 8), budget=64, bucket_span=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ntok = np.array([len(w.split(" ")) for w in words], dtype=np.int64)
+    excl = np.cumsum(ntok) - ntok
+    assert (out["n_tokens"].to_numpy() == ntok).all()
+    assert (out["seq_bin"].to_numpy() == excl // 64).all()
+    # bins are contiguous from 0
+    bins = np.unique(out["seq_bin"].to_numpy())
+    assert bins[0] == 0 and (np.diff(bins) == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_edges():
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": pa.array(["", "solo", "a a a", "a b a b"])})
+    out = (_ds(t, 1).map_batches(curate.RepetitionStats,
+                                 batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # "" -> 1 token ([''])
+    assert out.loc[0, "top_token_frac"] == 1.0
+    assert out.loc[0, "dup_2gram_frac"] == 0.0
+    assert out.loc[1, "top_token_frac"] == 1.0
+    # "a a a": top 3/3, 2grams ['a a','a a'] -> dup 0.5, 3grams 1 -> dup 0
+    assert out.loc[2, "top_token_frac"] == 1.0
+    assert out.loc[2, "dup_2gram_frac"] == 0.5
+    assert out.loc[2, "dup_3gram_frac"] == 0.0
+    # "a b a b": top 2/4, 2grams [ab,ba,ab] -> 1-2/3, 3grams [aba,bab] -> 0
+    assert out.loc[3, "top_token_frac"] == 0.5
+    assert out.loc[3, "dup_2gram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out.loc[3, "dup_3gram_frac"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_scores_and_ties():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "lang": pa.array(["en", "en", "de"]),
+        "text": pa.array(["x x y", "x z", "y y"]),
+    })
+    out = curate.tfidf_top_terms(_ds(t, 2), n_docs=3, k=2).to_pandas()
+    en = out[out["lang"] == "en"].set_index("term")
+    # x: tf=3, df=2 -> 3*4/3 = 4.0 ; z: tf=1, df=1 -> 2.0 ; y: tf=1, df=2
+    assert en.loc["x", "tf"] == 3 and en.loc["x", "df"] == 2
+    assert en.loc["x", "score"] == 4.0
+    assert list(en.index) == ["x", "z"]
+    de = out[out["lang"] == "de"].set_index("term")
+    assert de.loc["y", "tf"] == 2 and de.loc["y", "df"] == 2

@@ -13,7 +13,10 @@ SF = "/root/testdata/sf0.001"
 
 NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "simhash_dup_pairs", "minhash_dup_pairs",
-                      "lsh_ann_topk", "media_features", "ivf_ann_topk"]
+                      "lsh_ann_topk", "media_features", "ivf_ann_topk",
+                      # round-3 curation layer
+                      "repetition_stats", "hash_sample", "pack_sequences",
+                      "dup_clusters", "tfidf_top_terms"]
 
 
 def _duck(sf_dir):
