@@ -260,10 +260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from spatula_ray.stages.curate import connected_components
 
-        aug = _docs_with_neardups(sf_dir)
+        # materialize the augmented docs ONCE: nodes and the minhash pair
+        # chain are separate consumers, and two lazy lineages would run
+        # the projection + perturbation twice
+        aug = _docs_with_neardups(sf_dir).materialize()
         nodes = aug.map_batches(
             lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow")
-        pairs = dd.minhash_dup_pairs(_docs_with_neardups(sf_dir),
+        pairs = dd.minhash_dup_pairs(aug,
                                      threshold=0.5).select_columns(["a", "b"])
         return connected_components(nodes, pairs)
 
