@@ -280,6 +280,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text", "lang"]),
                                n_docs=n_docs, k=_TOPK)
 
+    def decontaminate_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from spatula_ray.stages.curate import (
+            _SAMPLE_ADD,
+            _SAMPLE_DOM,
+            _SAMPLE_MOD,
+            _SAMPLE_MULT,
+            Decontaminate,
+            eval_shingle_set,
+        )
+
+        # eval set = deterministic 100-permille hash sample of the corpus
+        # (stands in for a benchmark suite); train side = the complement
+        def side(t: pa.Table, want_eval: bool) -> pa.Table:
+            k = t["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+                 + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+            is_eval = (h % np.uint64(1000)) < 100
+            return t.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+        ev = eval_shingle_set(
+            docs.map_batches(lambda t: side(t, True), batch_format="pyarrow"))
+        train = docs.map_batches(lambda t: side(t, False),
+                                 batch_format="pyarrow")
+        return train.map_batches(
+            Decontaminate, fn_constructor_kwargs={
+                "eval_shingles": ray.put(ev), "threshold": 0.5},
+            batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+            max_restarts=0)
+
+    def mix_head(sf_dir):
+        from spatula_ray.stages.curate import weighted_mix_head
+
+        return weighted_mix_head(
+            _docs(sf_dir, ["doc_id", "source"]),
+            weights={"src0": 3, "src1": 2, "src2": 2}, n=100)
+
+    def cap_per_source(sf_dir):
+        from spatula_ray.stages.curate import cap_per_key
+
+        return cap_per_key(_docs(sf_dir, ["doc_id", "source"]),
+                           key="source", n=10)
+
+    def dedup_reps(sf_dir):
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+
+        labels = dup_clusters(sf_dir)
+        sizes = labels.groupby("cluster_id").aggregate(
+            Count(alias_name="cluster_size"))
+        # the cluster label IS the representative doc id (min reachable id,
+        # self-labels included), so the kept-corpus manifest is one tiny
+        # groupby over the label table — no join back to the docs needed
+        return sizes.map_batches(
+            lambda t: pa.table({"doc_id": t["cluster_id"],
+                                "cluster_size": t["cluster_size"]}),
+            batch_format="pyarrow")
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -335,6 +398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences_q,
         "dup_clusters": dup_clusters,
         "tfidf_top_terms": tfidf_top,
+        "decontaminate": decontaminate_q,
+        "mix_head": mix_head,
+        "cap_per_source": cap_per_source,
+        "dedup_representatives": dedup_reps,
     }
 
 
@@ -970,6 +1037,68 @@ QUALIFY row_number() OVER (PARTITION BY t.lang
     ORDER BY floor(t.tf * (nn.n + 1) / (d.df + 1) * 1e6 + 0.5) / 1e6 DESC,
              t.term) <= {_TOPK}
 """,
+
+        # benchmark decontamination: eval side = 100-permille hash sample,
+        # shingles = distinct 3-grams (docs < 3 tokens -> whole text), train
+        # docs scored by eval-shingle overlap (engine: broadcast eval set +
+        # vectorized isin — pure streaming map, no shuffle)
+        "decontaminate": """
+WITH b AS (
+  SELECT doc_id, text,
+         ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+           AS bk
+  FROM documents
+),
+tok AS (SELECT doc_id, bk, string_split(text, ' ') AS ts FROM b),
+sh AS (
+  SELECT doc_id, bk, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+esh AS (SELECT DISTINCT g FROM sh WHERE bk < 100),
+tsh AS (SELECT doc_id, g FROM sh WHERE bk >= 100),
+cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
+ov AS (SELECT t.doc_id, count(*) AS overlap
+       FROM tsh t JOIN esh e USING (g) GROUP BY 1)
+SELECT c.doc_id,
+       c.n_shingles,
+       coalesce(o.overlap, 0) AS overlap,
+       floor(coalesce(o.overlap, 0)::DOUBLE / c.n_shingles * 1e6 + 0.5) / 1e6
+         AS overlap_frac,
+       CAST(CASE WHEN coalesce(o.overlap, 0)::DOUBLE / c.n_shingles >= 0.5
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM cnt c LEFT JOIN ov o USING (doc_id)
+""",
+
+        # deterministic weighted source interleave, head of the stream:
+        # mix_pos = hash(doc_id) * (LCM(weights) / weight(source)); weights
+        # src0=3, src1=2, src2=2, default 1 -> LCM 6, inv 2/3/3/6 (engine:
+        # per-batch partial top-n + one tiny reduce, no global sort)
+        "mix_head": """
+SELECT doc_id, source,
+       (((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296)
+         * (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+                        WHEN 'src2' THEN 3 ELSE 6 END) AS mix_pos
+FROM documents
+ORDER BY mix_pos, doc_id
+LIMIT 100
+""",
+
+        # per-source quota: keep <= 10 rows per source in deterministic
+        # hash order of doc_id (engine: hash-bucket co-location + one
+        # vectorized cumcount per bucket — no per-key Python)
+        "cap_per_source": """
+SELECT doc_id, source, quota_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY ((doc_id % 2147483648) * 2654435761 + 40503)
+                      % 4294967296, doc_id) AS quota_rank
+  FROM documents)
+WHERE quota_rank <= 10
+""",
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;
     # with 32 bands x 2 rows the candidate-miss probability at j=0.5 is
@@ -977,6 +1106,12 @@ QUALIFY row_number() OVER (PARTITION BY t.lang
     # gate scale the output equals the exact inverted-index join, so the
     # oracle is the same SQL (verified by tests/test_oracles.py).
     sql["minhash_dup_pairs"] = sql["ngram_jaccard_pairs"]
+    # kept-corpus manifest after fuzzy dedup: the cluster label IS the
+    # representative doc id, so representatives = one group-count over the
+    # dup_clusters labels
+    sql["dedup_representatives"] = (
+        "SELECT cluster_id AS doc_id, count(*) AS cluster_size FROM ("
+        + sql["dup_clusters"] + ") GROUP BY 1")
     # IVF ANN: integer-grid k-means training unrolled as a CTE chain —
     # bit-exact mirror of the engine's quantized trainer (see helper)
     sql["ivf_ann_topk"] = _ivf_oracle_sql()

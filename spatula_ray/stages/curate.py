@@ -186,6 +186,165 @@ def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):
     return toks.groupby("__bucket").map_groups(pack, batch_format="pandas")
 
 
+# -- eval-set decontamination -------------------------------------------------
+
+def _distinct_shingles(texts, k: int = 3):
+    """Per-doc distinct k-gram shingles under the repo-wide tokenization
+    (split on single spaces; docs shorter than k tokens contribute their
+    whole text as one shingle — same rule as the MinHash shingler and the
+    dup_clusters SQL oracle). Returns (doc_index_repeats, flat_shingles)."""
+    idx_parts, sh_parts = [], []
+    for i, t in enumerate(texts):
+        ts = t.split(" ") if t else [""]
+        if len(ts) < k:
+            grams = {" ".join(ts)}
+        else:
+            grams = {" ".join(ts[j: j + k]) for j in range(len(ts) - k + 1)}
+        idx_parts.append(np.full(len(grams), i, dtype=np.int64))
+        sh_parts.append(np.fromiter(grams, dtype=object, count=len(grams)))
+    return (np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64),
+            np.concatenate(sh_parts) if sh_parts else np.empty(0, object))
+
+
+def eval_shingle_set(eval_ds, k: int = 3) -> frozenset:
+    """Collect the distinct shingles of an *eval/benchmark* corpus.
+
+    Per-batch distinct pushdown, then a driver-side set union — bounded by
+    the eval set, which is small by construction (benchmarks are 1e4-1e6
+    docs, not the 100 TB training corpus). For an eval set too big for one
+    driver set, swap the frozenset for a sharded-actor membership filter
+    (the cuckoo URL-seen protocol in engine/cuckoo.py is exactly that
+    shape)."""
+    def batch_shingles(t: pa.Table) -> pa.Table:
+        _, flat = _distinct_shingles(t["text"].to_pylist(), k)
+        return pa.table({"g": pa.array(pd.unique(flat), type=pa.string())})
+
+    parts = eval_ds.map_batches(
+        batch_shingles, batch_format="pyarrow").take_all()
+    return frozenset(r["g"] for r in parts)
+
+
+class Decontaminate:
+    """Flag training documents whose shingles overlap an eval set — the
+    benchmark-decontamination pass every LLM training pipeline runs.
+
+    The eval shingle set is broadcast once (``ray.put`` by the caller /
+    Ray's implicit closure capture of by-value args) and read per actor in
+    ``__init__``; each batch flattens to one (doc, shingle) frame and
+    membership-tests through pandas' vectorized ``isin`` — no per-row
+    Python, no shuffle: a pure streaming map over the 100 TB side.
+
+    Emits per doc: n_shingles, overlap (count of eval-hit shingles),
+    overlap_frac on the 1e-6 grid, contaminated (int64 0/1 at
+    ``threshold``)."""
+
+    def __init__(self, eval_shingles, k: int = 3, threshold: float = 0.5):
+        import ray
+
+        if isinstance(eval_shingles, ray.ObjectRef):
+            eval_shingles = ray.get(eval_shingles)
+        self._set = (eval_shingles if isinstance(eval_shingles, frozenset)
+                     else frozenset(eval_shingles))
+        self._k = k
+        self._thr = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        idx, flat = _distinct_shingles(texts, self._k)
+        n_docs = len(texts)
+        hit = pd.Series(flat).isin(self._set).to_numpy()
+        n_sh = np.bincount(idx, minlength=n_docs).astype(np.int64)
+        ov = np.bincount(idx, weights=hit, minlength=n_docs).astype(np.int64)
+        frac = ov / np.maximum(n_sh, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(n_sh),
+            "overlap": pa.array(ov),
+            "overlap_frac": _grid(frac, 1e6),
+            "contaminated": pa.array((frac >= self._thr).astype(np.int64)),
+        })
+
+
+# -- deterministic weighted source interleaving -------------------------------
+
+def weighted_mix_head(ds, weights: Dict[str, int], n: int,
+                      default_weight: int = 1, key: str = "doc_id",
+                      source_col: str = "source"):
+    """The first ``n`` rows of a deterministic weighted interleave of
+    sources — the data-mixing step that turns per-source corpora into one
+    training stream at fixed ratios.
+
+    Each row gets ``mix_pos = hash(key) * (LCM(weights) // weight(source))``:
+    a source with weight w lands rows at 1/w the key density of a weight-1
+    source, so a scan in mix_pos order consumes sources in ratio
+    ``w_a : w_b`` in expectation, deterministically (no RNG — the same
+    stream at any parallelism, resumable mid-epoch by remembering the last
+    mix_pos). All arithmetic stays below 2^63 (hash < 2^32, multiplier
+    small), so the identical expression runs in int64 SQL.
+
+    No global sort: the head of the stream is a per-batch partial top-n
+    plus one single-partition reduce (the top_orders_by_revenue pattern) —
+    an O(n) reduce instead of an all-to-all sort shuffle. A full-epoch
+    scan at scale would instead range-partition on mix_pos; this operator
+    covers the common "draw the next n" consumption."""
+    lcm = int(np.lcm.reduce([default_weight] + list(weights.values())))
+
+    def pos(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        src = t[source_col].to_pylist()
+        inv = np.fromiter((lcm // weights.get(s, default_weight)
+                           for s in src), dtype=np.uint64, count=len(src))
+        mix = (h * inv).astype(np.int64)
+        return pa.table({key: t[key], source_col: t[source_col],
+                         "mix_pos": pa.array(mix)})
+
+    def local_head(t: pa.Table) -> pa.Table:
+        return t.sort_by([("mix_pos", "ascending"),
+                          (key, "ascending")]).slice(0, n)
+
+    cand = (ds.map_batches(pos, batch_format="pyarrow")
+              .map_batches(local_head, batch_format="pyarrow"))
+    return cand.repartition(1).map_batches(local_head, batch_format="pyarrow")
+
+
+# -- per-key quotas -----------------------------------------------------------
+
+def cap_per_key(ds, key: str, n: int, order_key: str = "doc_id",
+                num_buckets: int = 32):
+    """Keep at most ``n`` rows per key (per-domain / per-source quotas),
+    chosen in deterministic hash order of ``order_key`` — quota selection
+    that is stable under resume and independent of parallelism.
+
+    Two-level plan (the exact_dedup pattern): coarse-bucket rows by
+    ``hash(key) % num_buckets`` so all rows of a key co-locate, then ONE
+    vectorized pandas rank per bucket (sort + groupby.cumcount — C
+    kernels, no per-key Python ``map_groups``). The shuffle moves only
+    (key, order hash, payload) rows once; skewed keys are capped at n by
+    construction so no bucket output exceeds n x keys_in_bucket."""
+    from .joins import _bucket_of
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[order_key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        t = t.append_column("__h", pa.array(h.astype(np.int64)))
+        return t.append_column("__bucket", _bucket_of(t, [key], num_buckets))
+
+    def rank_and_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "__h", order_key], kind="mergesort")
+        g["quota_rank"] = g.groupby(key, sort=False).cumcount() + 1
+        g = g[g["quota_rank"] <= n]
+        return g.drop(columns=["__h", "__bucket"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("__bucket").map_groups(rank_and_cap,
+                                                 batch_format="pandas")
+
+
 # -- fuzzy-dedup cluster assignment ------------------------------------------
 
 def connected_components(nodes, pairs, max_iters: int = 12,

@@ -106,6 +106,72 @@ def test_repetition_stats_edges():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_decontaminate_overlap_and_flag():
+    # eval doc "a b c d" -> shingles {abc, bcd}; train docs overlap 2/2,
+    # 1/3 and 0/1 (short doc -> whole-text shingle)
+    ev = curate.eval_shingle_set(
+        _ds(pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                      "text": pa.array(["a b c d"])}), 1))
+    assert ev == {"a b c", "b c d"}
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d", "z a b c q", "a b"]),
+    })
+    out = (_ds(train, 2)
+           .map_batches(curate.Decontaminate,
+                        fn_constructor_kwargs={"eval_shingles": ev,
+                                               "threshold": 0.5},
+                        batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_shingles"]) == [2, 3, 1]
+    assert list(out["overlap"]) == [2, 1, 0]
+    assert list(out["contaminated"]) == [1, 0, 0]
+    assert out.loc[1, "overlap_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_mix_head_ratio_and_determinism():
+    n = 3000
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "source": pa.array(["a" if i % 3 == 0 else "b"
+                                      for i in range(n)])})
+    w = {"a": 3}  # a is drawn at ~3x the per-row rate of b
+    h1 = curate.weighted_mix_head(_ds(t, 1), w, n=300).to_pandas()
+    h16 = curate.weighted_mix_head(_ds(t, 16), w, n=300).to_pandas()
+    a = h1.sort_values("doc_id").reset_index(drop=True)
+    b = h16.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(h1) == 300
+    # source 'a' holds 1/3 of rows but weight 3 -> ~60% of the head
+    frac_a = (h1["source"] == "a").mean()
+    assert 0.45 <= frac_a <= 0.75
+    # mix_pos matches the documented formula (lcm=3, inv: a->1, b->3)
+    for _, r in h1.head(5).iterrows():
+        h = ((int(r["doc_id"]) % 2**31) * 2654435761 + 40503) % 2**32
+        inv = 1 if r["source"] == "a" else 3
+        assert r["mix_pos"] == h * inv
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cap_per_key_quota_and_order():
+    n = 400
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "source": pa.array([f"s{i % 4}" for i in range(n)])})
+    out = (curate.cap_per_key(_ds(t, 8), key="source", n=7)
+           .to_pandas().sort_values(["source", "quota_rank"])
+           .reset_index(drop=True))
+    assert len(out) == 28
+    assert (out.groupby("source").size() == 7).all()
+    assert set(out["quota_rank"]) == set(range(1, 8))
+    # selection = the 7 smallest sample-hashes within each source
+    df = t.to_pandas()
+    df["h"] = ((df["doc_id"] % 2**31) * 2654435761 + 40503) % 2**32
+    want = (df.sort_values(["source", "h", "doc_id"])
+            .groupby("source").head(7))
+    assert set(out["doc_id"]) == set(want["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_tfidf_scores_and_ties():
     t = pa.table({
         "doc_id": pa.array([0, 1, 2], type=pa.int64()),
