@@ -16,7 +16,9 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "lsh_ann_topk", "media_features", "ivf_ann_topk",
                       # round-3 curation layer
                       "repetition_stats", "hash_sample", "pack_sequences",
-                      "dup_clusters", "tfidf_top_terms"]
+                      "dup_clusters", "tfidf_top_terms",
+                      "decontaminate", "mix_head", "cap_per_source",
+                      "dedup_representatives"]
 
 
 def _duck(sf_dir):
