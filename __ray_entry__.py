@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_join": rel.supplier_part_join,
         "events_hourly": rel.events_hourly,
         "user_sessions": rel.user_sessions,
+        "purchase_attribution": rel.purchase_attribution,
+        "value_quantiles": rel.value_quantiles,
         # text analysis
         "text_stats": text_stats,
         "doc_quality": doc_quality,
@@ -1036,6 +1038,32 @@ FROM tfx t JOIN dfx d USING (term), nn
 QUALIFY row_number() OVER (PARTITION BY t.lang
     ORDER BY floor(t.tf * (nn.n + 1) / (d.df + 1) * 1e6 + 0.5) / 1e6 DESC,
              t.term) <= {_TOPK}
+""",
+
+        # point-in-time as-of join: each purchase matched to the user's
+        # most recent click at-or-before it (engine: hash-bucket
+        # co-location on user_id + one vectorized cummax predecessor scan
+        # per bucket); gap is exact integer microseconds
+        "purchase_attribution": """
+WITH l AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id AS click_event_id, ts AS click_ts, user_id
+      FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.ts, l.user_id, r.click_ts, r.click_event_id,
+       date_diff('microsecond', r.click_ts, l.ts) AS gap_us
+FROM l ASOF JOIN r
+  ON l.user_id = r.user_id AND r.click_ts <= l.ts
+""",
+
+        # exact per-type value quantiles, quantile_disc convention
+        # (sorted element at ceil(q*n)-1 — an actual element, so equality
+        # is exact with no float grid)
+        "value_quantiles": """
+SELECT event_type, count(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
 """,
 
         # benchmark decontamination: eval side = 100-permille hash sample,

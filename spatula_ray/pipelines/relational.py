@@ -264,3 +264,71 @@ def supplier_part_join(sf_dir: str):
         })
 
     return out.map_batches(rounder, batch_format="pyarrow")
+
+
+def purchase_attribution(sf_dir: str):
+    """As-of join demo: every purchase event matched to the user's most
+    recent click at-or-before it (marketing attribution / point-in-time
+    correctness — the lookup every feature-store backfill needs). Inner
+    semantics here so every compared column is null-free and keeps its
+    exact non-nullable dtype; the operator's left path (typed nulls for
+    never-clicked users) is unit-tested. Oracle: DuckDB ``ASOF JOIN``."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def split(kind: str, rename: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            t = t.drop_columns(["event_type"])
+            return t.rename_columns([rename.get(c, c)
+                                     for c in t.schema.names])
+        return fn
+
+    purchases = ev.map_batches(split("purchase", {}), batch_format="pyarrow")
+    clicks = ev.map_batches(
+        split("click", {"event_id": "click_event_id", "ts": "click_ts"}),
+        batch_format="pyarrow")
+
+    joined = asof_join(purchases, clicks, by="user_id",
+                       left_on="ts", right_on="click_ts", how="inner")
+
+    def gap(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer microseconds — no float in the compared column
+        td = (df["ts"].astype("datetime64[us]")
+              - df["click_ts"].astype("datetime64[us]"))
+        df["gap_us"] = td.to_numpy().view("int64")
+        return df
+
+    return joined.map_batches(gap, batch_format="pandas")
+
+
+def value_quantiles(sf_dir: str):
+    """Exact per-type quantiles of the event value (p50/p90/p99, DuckDB
+    ``quantile_disc`` convention: sorted element at ceil(q*n)-1 — an
+    actual data element, so cross-engine equality is exact with no float
+    grid).
+
+    Partitioning assumption: the group key is a bounded enum (event
+    types), so one group per key co-locates safely at any scale — the
+    exact-selection shuffle is over (key, value) pairs only. For
+    high-cardinality keys swap in the cap_per_key bucket pattern with a
+    per-bucket multi-key kernel; for 100 TB single-key streams, exact
+    selection needs a distributed k-th-element pass (or a t-digest if
+    approximation is acceptable)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+
+        def pick(quant: float) -> float:
+            return float(v[max(int(np.ceil(quant * n)) - 1, 0)])
+
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], dtype="int64"),
+            "p50": [pick(0.5)], "p90": [pick(0.9)], "p99": [pick(0.99)],
+        })
+
+    return ev.groupby("event_type").map_groups(q, batch_format="pandas")

@@ -133,3 +133,109 @@ def broadcast_lookup(ds, small_df, on: List[str], how: str = "inner"):
     return ds.map_batches(Joiner, fn_constructor_kwargs=dict(small=small_df),
                           batch_format="pandas", concurrency=2,
                           num_cpus=0.5, max_restarts=0)
+
+
+def asof_join(left, right, by: str, left_on: str, right_on: str,
+              how: str = "left", num_buckets: int = 32):
+    """Point-in-time (as-of) join — an operator Ray Data lacks: for every
+    left row, attach the right row with the greatest ``right_on`` value
+    satisfying ``right_on <= left_on`` within the same ``by`` key (``how``:
+    "left" keeps unmatched left rows with typed nulls, "inner" drops
+    them). Mirrors DuckDB's ``ASOF [LEFT] JOIN`` (inclusive bound); when several right rows share
+    the boundary (by, right_on) the one latest in (right_on, row order
+    after the stable sort) wins — with unique (by, right_on) pairs, which
+    the events fixtures guarantee, the match is unambiguous.
+
+    Partitioning assumption (documented per the custom-operator rule): all
+    rows of a ``by`` key co-locate in one hash bucket — the same exchange
+    as ``hash_bucket_join``; time-ordering happens per bucket, so bucket
+    memory must hold both sides of its keys (salt/b-split a pathological
+    hot key by range-partitioning ``left_on`` within the key if needed).
+
+    Per-bucket kernel is pure vectorized numpy: one stable sort by
+    (by, on, side) with right rows preceding left at equal timestamps,
+    then a single ``np.maximum.accumulate`` over group-encoded right-row
+    indices yields every left row's predecessor — no per-key Python."""
+    import pandas as pd
+
+    left = left.materialize()
+    right = right.materialize()
+    lnames = left.schema().names
+    rnames = right.schema().names
+    rpayload = [c for c in rnames if c not in (by, right_on)]
+    clash = set(lnames) & set(rpayload)
+    if clash:
+        raise ValueError(f"right payload columns clash with left: {clash}")
+    ltypes = _dataset_types(left)
+    rtypes = _dataset_types(right)
+    if ltypes[by] != rtypes[by] or ltypes[left_on] != rtypes[right_on]:
+        raise ValueError("by/on column types must match across sides")
+    all_names = lnames + [right_on] + rpayload
+    types = dict(ltypes)
+    types.update({rename: rtypes[rename] for rename in [right_on] + rpayload})
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            t = t.append_column("__bucket", _bucket_of(t, [by], num_buckets))
+            t = t.append_column("__side", pa.array([side] * t.num_rows,
+                                                   type=pa.int8()))
+            on_src = left_on if side == 1 else right_on
+            t = t.append_column("__on", t[on_src])
+            for name in all_names:
+                if name not in t.schema.names:
+                    t = t.append_column(
+                        name, pa.nulls(t.num_rows, type=types[name]))
+            return t.select(all_names + ["__bucket", "__side", "__on"])
+
+        return fn
+
+    # right side = 0 so it sorts BEFORE left at equal __on (inclusive <=)
+    unioned = (left.map_batches(prep(1), batch_format="pyarrow")
+               .union(right.map_batches(prep(0), batch_format="pyarrow")))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, "__on", "__side"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        side = g["__side"].to_numpy()
+        gid = pd.factorize(g[by].to_numpy())[0].astype(np.int64)
+        arange = np.arange(n, dtype=np.int64)
+        # encode (group, last-right-row) so one cumulative max never leaks
+        # a match across the group boundary: earlier groups encode strictly
+        # below the current group's floor
+        enc = gid * np.int64(n + 1) + np.where(side == 0, arange + 1, 0)
+        run = np.maximum.accumulate(enc)
+        m = run % np.int64(n + 1)
+        ridx = m - 1                       # -1 = no right row yet
+        is_left = side == 1
+        lrows = g.loc[is_left, [c for c in lnames]].reset_index(drop=True)
+        for c in lnames:   # undo the union-null float upcast on left ints
+            if pa.types.is_integer(types[c]) and lrows[c].dtype.kind == "f":
+                lrows[c] = lrows[c].to_numpy().astype("int64")
+        src = ridx[is_left]
+        matched = src >= 0
+        # the union carries typed nulls on the opposite side, so pandas
+        # upcasts int columns to float64 inside the group frame — cast
+        # back from the authoritative Arrow types on the way out
+        if how == "inner":
+            lrows = lrows[matched].reset_index(drop=True)
+            take = src[matched]
+            for c in [right_on] + rpayload:
+                arr = g[c].to_numpy()[take]
+                if pa.types.is_integer(types[c]):
+                    arr = arr.astype("int64")   # exact: ids < 2^53
+                lrows[c] = arr
+            return lrows
+        gather = np.where(matched, src, 0)
+        for c in [right_on] + rpayload:
+            col = g[c].to_numpy()[gather]
+            out = pd.Series(col).where(pd.Series(matched), other=pd.NA)
+            if pa.types.is_integer(types[c]):
+                lrows[c] = pd.array(out, dtype="Int64")
+            else:
+                lrows[c] = pd.array(out, dtype=g[c].dtype)
+        return lrows
+
+    return unioned.groupby("__bucket").map_groups(kernel,
+                                                  batch_format="pandas")

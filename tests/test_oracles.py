@@ -18,7 +18,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "repetition_stats", "hash_sample", "pack_sequences",
                       "dup_clusters", "tfidf_top_terms",
                       "decontaminate", "mix_head", "cap_per_source",
-                      "dedup_representatives"]
+                      "dedup_representatives",
+                      "purchase_attribution", "value_quantiles"]
 
 
 def _duck(sf_dir):

@@ -157,6 +157,58 @@ def test_hash_bucket_join_matches_pandas():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_asof_join_semantics():
+    import ray.data as rd
+
+    from spatula_ray.stages.joins import asof_join
+
+    # user 1: clicks at t=10, 20; purchases at t=5 (no match), 10 (equal ts
+    # -> inclusive match), 25 (latest prior = 20).  user 2: no clicks.
+    def ts(*vals):
+        return pa.array(np.array(vals, dtype="datetime64[s]")
+                        .astype("datetime64[us]"))
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([100, 101, 102, 103], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": ts(5, 10, 25, 30)})).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "click_event_id": pa.array([7, 8], type=pa.int64()),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "click_ts": ts(10, 20)})).repartition(2)
+
+    out = asof_join(left, right, by="user_id", left_on="ts",
+                    right_on="click_ts", num_buckets=4).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == 4
+    assert out["click_event_id"].isna().tolist() == [True, False, False, True]
+    assert out.loc[1, "click_event_id"] == 7      # equal-ts inclusive
+    assert out.loc[2, "click_event_id"] == 8      # latest prior wins
+    assert out.loc[2, "click_ts"] == pd.Timestamp("1970-01-01 00:00:20")
+
+    inner = asof_join(left, right, by="user_id", left_on="ts",
+                      right_on="click_ts", how="inner").to_pandas()
+    assert sorted(inner["event_id"]) == [101, 102]
+    assert inner["click_event_id"].dtype == np.int64   # non-nullable path
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_quantiles_disc_convention():
+    import __ray_entry__ as entrymod
+    import duckdb
+
+    got = entrymod.queries()["value_quantiles"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(entrymod.oracle_sql()["value_quantiles"]).df()
+    g = got.sort_values("event_type").reset_index(drop=True)
+    w = want.sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[sorted(g.columns)],
+                                  w[sorted(w.columns)])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_text_stats_basics():
     from spatula_ray.stages.text import TextStats
 
