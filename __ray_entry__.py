@@ -280,6 +280,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text", "lang"]),
                                n_docs=n_docs, k=_TOPK)
 
+    def new_docs(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.curate import (
+            _SAMPLE_ADD,
+            _SAMPLE_DOM,
+            _SAMPLE_MOD,
+            _SAMPLE_MULT,
+        )
+        from spatula_ray.stages.dedup import add_text_hash
+        from spatula_ray.stages.joins import hash_bucket_anti_join
+
+        # incremental ingest: snapshot = 300-permille hash sample standing
+        # in for yesterday's corpus; new docs = the rest, anti-joined on
+        # CONTENT hash (md5 of text) so re-crawled identical bodies drop
+        # even under different ids
+        def side(t: pa.Table, want_snap: bool) -> pa.Table:
+            k = t["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+                 + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+            is_snap = (h % np.uint64(1000)) < 300
+            return t.filter(pa.array(is_snap if want_snap else ~is_snap))
+
+        docs = add_text_hash(_docs(sf_dir, ["doc_id", "text"])).materialize()
+        snap = docs.map_batches(lambda t: side(t, True),
+                                batch_format="pyarrow") \
+            .select_columns(["text_hash"])
+        rest = docs.map_batches(lambda t: side(t, False),
+                                batch_format="pyarrow") \
+            .select_columns(["doc_id", "text_hash"])
+        return hash_bucket_anti_join(rest, snap, on=["text_hash"])
+
     def decontaminate_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -375,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": rel.user_sessions,
         "purchase_attribution": rel.purchase_attribution,
         "value_quantiles": rel.value_quantiles,
+        "events_3h_sliding": rel.events_3h_sliding,
+        "new_docs": new_docs,
         # text analysis
         "text_stats": text_stats,
         "doc_quality": doc_quality,
@@ -1064,6 +1100,37 @@ SELECT event_type, count(*) AS n,
        quantile_disc(value, 0.9) AS p90,
        quantile_disc(value, 0.99) AS p99
 FROM events GROUP BY event_type
+""",
+
+        # trailing 3-hour sliding window per type over the hourly
+        # aggregate; hourly float sums snap to the 1e-4 grid and scale to
+        # int64 so the window sums are integer-exact in both engines
+        "events_3h_sliding": """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         count(*) AS n_events,
+         CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT event_type, window_start,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_3h,
+       CAST(SUM(sv) OVER w AS BIGINT) / 10000.0 AS sum_value_3h
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+             RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+""",
+
+        # incremental anti-join: docs outside the 300-permille snapshot
+        # whose md5 content hash is absent from the snapshot
+        "new_docs": """
+WITH h AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+           AS bk
+  FROM documents)
+SELECT doc_id, text_hash FROM h
+WHERE bk >= 300
+  AND text_hash NOT IN (SELECT text_hash FROM h WHERE bk < 300)
 """,
 
         # benchmark decontamination: eval side = 100-permille hash sample,

@@ -332,3 +332,54 @@ def value_quantiles(sf_dir: str):
         })
 
     return ev.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
+def events_3h_sliding(sf_dir: str):
+    """Trailing 3-hour sliding window per event_type over the hourly
+    aggregate — the windowed-aggregate operator Ray Data lacks, built as
+    tumbling partials (one grouped aggregate, the wide step) + a tiny
+    per-type vectorized rolling pass.
+
+    Exactness: the hourly float sum is snapped to the 1e-4 grid and
+    SCALED TO INT64, so the 3-hour sums are integer arithmetic — immune
+    to float summation order — and the final division by 10^4 is a single
+    identical IEEE op in both engines.
+
+    Scale shape: the rolling pass groups by event_type only, but its
+    input is the HOURLY table (rows = types x hours — time-range-bounded,
+    not data-bounded), so one group per type is safe at any corpus size;
+    the searchsorted + prefix-sum kernel is O(hours) C code."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        hour = pc.multiply(pc.divide(epoch, 3600), 3600)
+        return pa.table({"event_type": t["event_type"],
+                         "window_start": hour, "value": t["value"]})
+
+    hourly = (ev.map_batches(win, batch_format="pyarrow")
+              .groupby(["event_type", "window_start"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("value", alias_name="sum_value")))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("window_start", kind="mergesort")
+        ws = g["window_start"].to_numpy().astype(np.int64)
+        n = g["n_events"].to_numpy().astype(np.int64)
+        sv = np.floor(g["sum_value"].to_numpy() * 10000 + 0.5) \
+            .astype(np.int64)
+        lo = np.searchsorted(ws, ws - 7200, side="left")
+        cn = np.concatenate([[0], np.cumsum(n)])
+        cs = np.concatenate([[0], np.cumsum(sv)])
+        idx = np.arange(len(g)) + 1
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "window_start": ws,
+            "n_events_3h": cn[idx] - cn[lo],
+            "sum_value_3h": (cs[idx] - cs[lo]) / 10000.0,
+        })
+
+    return hourly.groupby("event_type").map_groups(roll,
+                                                   batch_format="pandas")

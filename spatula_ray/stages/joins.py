@@ -239,3 +239,28 @@ def asof_join(left, right, by: str, left_on: str, right_on: str,
 
     return unioned.groupby("__bucket").map_groups(kernel,
                                                   batch_format="pandas")
+
+
+def hash_bucket_anti_join(left, right, on: List[str], num_buckets: int = 32):
+    """Rows of ``left`` whose key does NOT appear in ``right`` — the
+    incremental-ingest primitive (new content vs a reference snapshot).
+    Both sides large: right is first reduced to distinct keys (partial
+    pre-combine in Ray's hash aggregate), then one bucketed left join on
+    the key and a vectorized null filter. For a small snapshot, a
+    broadcast membership set (the Decontaminate shape) avoids the shuffle
+    entirely."""
+    from ray.data.aggregate import Count
+
+    marker = "__present"
+    keys = right.select_columns(list(on)).groupby(list(on)).aggregate(
+        Count(alias_name=marker))
+    joined = hash_bucket_join(left, keys, on=list(on), how="left",
+                              num_buckets=num_buckets)
+
+    def only_missing(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_null(t[marker]))
+        return t.drop_columns([marker])
+
+    return joined.map_batches(only_missing, batch_format="pyarrow")

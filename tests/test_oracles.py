@@ -19,7 +19,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "dup_clusters", "tfidf_top_terms",
                       "decontaminate", "mix_head", "cap_per_source",
                       "dedup_representatives",
-                      "purchase_attribution", "value_quantiles"]
+                      "purchase_attribution", "value_quantiles",
+                      "events_3h_sliding", "new_docs"]
 
 
 def _duck(sf_dir):

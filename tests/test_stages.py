@@ -193,6 +193,47 @@ def test_asof_join_semantics():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hash_bucket_anti_join():
+    import ray.data as rd
+
+    from spatula_ray.stages.joins import hash_bucket_anti_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "d", "b"], type=pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], type=pa.int64())})).repartition(3)
+    # right has duplicate keys — must not duplicate surviving left rows
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["b", "b", "d"], type=pa.string()),
+        "extra": pa.array([9, 9, 9], type=pa.int64())})).repartition(2)
+    out = hash_bucket_anti_join(left, right, on=["k"],
+                                num_buckets=4).to_pandas()
+    assert sorted(out["v"]) == [1, 3]
+    assert sorted(out.columns) == ["k", "v"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_3h_sliding_gap_aware():
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["events_3h_sliding"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(entrymod.oracle_sql()["events_3h_sliding"]).df()
+    key = ["event_type", "window_start"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(g, w)
+    # window is trailing: first hour of each type equals its own count
+    first = g.groupby("event_type").first()
+    hourly = entrymod.queries()["events_hourly"](SF).to_pandas()
+    h1 = (hourly.sort_values(key).groupby("event_type").first())
+    assert (first["n_events_3h"] == h1["n_events"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_value_quantiles_disc_convention():
     import __ray_entry__ as entrymod
     import duckdb
