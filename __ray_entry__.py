@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": rel.value_quantiles,
         "events_3h_sliding": rel.events_3h_sliding,
         "new_docs": new_docs,
+        "props_k_stats": rel.props_k_stats,
         # text analysis
         "text_stats": text_stats,
         "doc_quality": doc_quality,
@@ -1099,6 +1100,18 @@ SELECT event_type, count(*) AS n,
        quantile_disc(value, 0.5) AS p50,
        quantile_disc(value, 0.9) AS p90,
        quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+
+        # semi-structured extraction: integer k out of the JSON props
+        # column (engine: pyarrow RE2 extract_regex, zero-Python);
+        # avg_k = one IEEE division of exact int64s
+        "props_k_stats": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         / (count(*))::DOUBLE AS avg_k
 FROM events GROUP BY event_type
 """,
 

@@ -383,3 +383,34 @@ def events_3h_sliding(sf_dir: str):
 
     return hourly.groupby("event_type").map_groups(roll,
                                                    batch_format="pandas")
+
+
+def props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    JSON ``props`` column (pyarrow ``extract_regex`` — an RE2 kernel over
+    the Arrow string array, zero Python in the hot path) and aggregate
+    per event_type. The regex path is the structural fast path for the
+    fixture's flat ``{"k": int}`` payloads; a general nested-JSON decode
+    would swap in a per-actor ``json.loads`` stage at the same seam.
+    avg_k is one IEEE division of exact int64s — identical in SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    agg = (ev.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_k"].combine_chunks().to_numpy().astype(np.int64)
+        n = t["n"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "n": pa.array(n), "sum_k": pa.array(s),
+                         "avg_k": pa.array(s / n)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

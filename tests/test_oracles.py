@@ -20,7 +20,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "decontaminate", "mix_head", "cap_per_source",
                       "dedup_representatives",
                       "purchase_attribution", "value_quantiles",
-                      "events_3h_sliding", "new_docs"]
+                      "events_3h_sliding", "new_docs", "props_k_stats"]
 
 
 def _duck(sf_dir):
