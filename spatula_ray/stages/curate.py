@@ -358,62 +358,112 @@ def connected_components(nodes, pairs, max_iters: int = 12,
     ``nodes``: Dataset with int64 column ``node`` (every doc id, including
     singletons). ``pairs``: Dataset with int64 columns ``a``, ``b``.
 
-    Each iteration is one bucketed hash join (edges x labels on the
-    neighbor end) plus one groupby-min — all-to-all over edge-sized data,
-    repeated until the label sum stops falling (near-dup clusters are
-    near-cliques, so 2-3 iterations in practice; ``max_iters`` bounds
-    pathological chains). No driver-side graph state: the driver sees one
-    scalar per iteration.
+    The iteration runs over the ACTIVE subgraph only — the nodes that
+    appear in at least one pair. Singletons (the overwhelming majority of
+    a 100 TB corpus: pairs are the near-dup tail) never enter the loop;
+    they join back ONCE at the end through a left join with
+    ``coalesce(label, node)``. Round-2 shape iterated over every node
+    every iteration, paying O(corpus) shuffles x diameter; this pays
+    O(pairs) x diameter + O(corpus) x 1.
 
-    Self-labels ride as self-loop edges built ONCE, instead of a
-    per-iteration ``labels.union(prop)``: a union grows the label
-    dataset's block count every iteration (4 -> 8 -> ... -> 2^k blocks of
-    tiny data), which turns an O(diameter) loop into exponentially growing
-    per-iteration task overhead. With self-loops the per-iteration block
-    count is bounded by the join's bucket count and iterations stay
-    flat-cost."""
-    from ray.data.aggregate import Min, Sum
+    Per iteration: ONE bucketed map_groups fuses the edge x label hash
+    join with a per-bucket partial min over the propagation target (edges
+    are bucketed by the neighbor end ONCE, outside the loop; only the
+    label table — sized by active nodes — reshuffles), then a second
+    bucketed min co-locates by target and folds the node's own previous
+    label back in (``min(self, neighbors)``). Both shuffles move
+    edge-/active-sized data; there is no global sort and no full-corpus
+    groupby inside the loop. The loop stops when the label sum stops
+    falling (near-dup clusters are near-cliques, so 2-3 iterations in
+    practice; ``max_iters`` bounds pathological chains) — the driver sees
+    one scalar per iteration, never the graph."""
+    from ray.data.aggregate import Sum
 
-    from .joins import hash_bucket_join
+    from .joins import _bucket_of, hash_bucket_join
+
+    def _with_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _bucket_of(t, ["node"],
+                                                      num_buckets))
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().cast(pa.int64())
         b = t["b"].combine_chunks().cast(pa.int64())
-        return pa.table({"x": pa.concat_arrays([a, b]),
-                         "node": pa.concat_arrays([b, a])})
+        return _with_bucket(pa.table({
+            "x": pa.concat_arrays([a, b]),
+            "node": pa.concat_arrays([b, a]),
+            "label": pa.nulls(2 * len(a), type=pa.int64())}))
 
-    def self_loops(t: pa.Table) -> pa.Table:
-        n = t["node"].combine_chunks().cast(pa.int64())
-        return pa.table({"x": n, "node": n})
-
+    # Bucketed by neighbor end ONCE; reused (materialized) every iteration.
+    # Block counts are pinned to ``num_buckets`` here and at every
+    # materialize inside the loop: Ray's sort-based groupby sizes its
+    # shuffle by INPUT block count, and the per-iteration unions would
+    # otherwise compound blocks geometrically (measured 147 -> 441 ->
+    # 1029 -> 2205 blocks with materialize cost 40 s -> 101 s -> 1115 s
+    # on 12k edge rows) — the loop must stay flat-cost per iteration.
     edges = (pairs.map_batches(both_dirs, batch_format="pyarrow")
-             .union(nodes.map_batches(self_loops, batch_format="pyarrow"))
-             .materialize())
+             .repartition(num_buckets).materialize())
+    n_edges = edges.count()
 
-    labels = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"],
-                            "label": t["node"].combine_chunks().cast(pa.int64())}),
-        batch_format="pyarrow").materialize()
-    prev_sum: Optional[int] = None
+    def _label_rows(t: pa.Table) -> pa.Table:
+        nulls = pa.nulls(t.num_rows, type=pa.int64())
+        return _with_bucket(pa.table({"x": nulls, "node": t["node"],
+                                      "label": t["label"]}))
 
-    for _ in range(max_iters):
-        nbr = hash_bucket_join(edges, labels, on=["node"],
-                               num_buckets=num_buckets)
-        labels = (nbr.map_batches(
-                      lambda t: pa.table({"node": t["x"],
-                                          "label": t["label"]}),
-                      batch_format="pyarrow")
-                  .groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .materialize())
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if prev_sum is not None and cur == prev_sum:
-            break
-        prev_sum = cur
+    def seed(g: pa.Table) -> pa.Table:
+        # exact distinct endpoints per node-bucket -> initial label = self
+        u = pc.unique(g["node"].combine_chunks())
+        return pa.table({"node": u, "label": u})
 
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
-        batch_format="pyarrow")
+    def prop(g: pa.Table) -> pa.Table:
+        # fused hash join (edge.node == label.node) + partial min per
+        # propagation target, all inside one bucket — pyarrow kernels
+        g = g.combine_chunks()
+        is_lab = pc.is_null(g["x"])
+        lab = g.filter(is_lab).select(["node", "label"])
+        edg = g.filter(pc.invert(is_lab)).select(["x", "node"])
+        m = edg.join(lab, keys=["node"], join_type="inner")
+        part = m.group_by("x").aggregate([("label", "min")])
+        return pa.table({"node": part["x"], "label": part["label_min"]})
+
+    def fold_min(g: pa.Table) -> pa.Table:
+        # final min per target, previous self-label included via the union
+        part = g.group_by("node").aggregate([("label", "min")])
+        return pa.table({"node": part["node"], "label": part["label_min"]})
+
+    if n_edges:
+        labels = (edges.groupby("__bucket")
+                  .map_groups(seed, batch_format="pyarrow").materialize())
+        prev_sum: Optional[int] = None
+        for _ in range(max_iters):
+            nbr_min = (edges.union(labels.map_batches(
+                           _label_rows, batch_format="pyarrow"))
+                       .groupby("__bucket")
+                       .map_groups(prop, batch_format="pyarrow"))
+            labels = (nbr_min.union(labels)
+                      .map_batches(_with_bucket, batch_format="pyarrow")
+                      .groupby("__bucket")
+                      .map_groups(fold_min, batch_format="pyarrow")
+                      .repartition(num_buckets)
+                      .materialize())
+            cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+            if prev_sum is not None and cur == prev_sum:
+                break
+            prev_sum = cur
+        # singletons rejoin once: left join + coalesce(label, node)
+        full = hash_bucket_join(nodes, labels, on=["node"], how="left",
+                                num_buckets=num_buckets)
+    else:
+        full = nodes.map_batches(
+            lambda t: t.append_column(
+                "label", pa.nulls(t.num_rows, type=pa.int64())),
+            batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        lbl = pc.coalesce(t["label"].combine_chunks().cast(pa.int64()),
+                          t["node"].combine_chunks())
+        return pa.table({"doc_id": t["node"], "cluster_id": lbl})
+
+    return full.map_batches(finish, batch_format="pyarrow")
 
 
 # -- corpus term weighting ---------------------------------------------------
