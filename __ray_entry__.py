@@ -75,6 +75,31 @@ def _docs_with_neardups(sf_dir: str):
     return base.union(base.map_batches(perturb, batch_format="pyarrow"))
 
 
+def _docs_with_paragraphs(sf_dir: str):
+    """Re-chunk each doc into 8-word newline-joined paragraphs and inject
+    shared boilerplate — a header paragraph on every doc and a footer on
+    doc_id % 3 == 0 — so corpus-level paragraph dedup has real work to
+    do. SQL mirror: generate_series chunking in oracle_sql."""
+    import pyarrow as pa
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = (txt or "").split(" ")
+            paras = [" ".join(ws[i:i + 8]) for i in range(0, len(ws), 8)]
+            s = "copyright footer example org\n" + "\n".join(paras)
+            if d % 3 == 0:
+                s += "\nsubscribe to our newsletter today"
+            ids.append(d)
+            outs.append(s)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(outs, type=pa.string())})
+
+    return base.map_batches(chunk, batch_format="pyarrow")
+
+
 def _embeddings_with_copies(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -377,6 +402,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "cluster_size": t["cluster_size"]}),
             batch_format="pyarrow")
 
+    def dedup_paragraphs_q(sf_dir):
+        from spatula_ray.stages.curate import dedup_paragraphs
+
+        # materialize the augmented docs once: the operator scans its
+        # input twice (paragraph explode + doc metadata)
+        return dedup_paragraphs(_docs_with_paragraphs(sf_dir).materialize())
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -441,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_head": mix_head,
         "cap_per_source": cap_per_source,
         "dedup_representatives": dedup_reps,
+        "dedup_paragraphs": dedup_paragraphs_q,
     }
 
 
@@ -1056,6 +1089,49 @@ SELECT a.doc_id,
        least(a.doc_id, coalesce(min(r.y), a.doc_id)) AS cluster_id
 FROM aug a LEFT JOIN reach r ON r.x = a.doc_id
 GROUP BY a.doc_id
+""",
+
+        # corpus-level exact paragraph dedup (CCNet-style boilerplate
+        # removal): keep the globally first occurrence of each non-empty
+        # paragraph, reassemble docs; 1048576 = 2**pos_bits packed order
+        # key, exactly the engine's doc_id*2^20 + pos
+        "dedup_paragraphs": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                AS i
+       FROM w),
+chunks AS (SELECT doc_id, i,
+                  array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS p
+           FROM iw),
+body AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY i) AS btext
+         FROM chunks GROUP BY doc_id),
+aug AS (
+  SELECT doc_id,
+         'copyright footer example org' || chr(10) || btext ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'subscribe to our newsletter today'
+              ELSE '' END AS text
+  FROM body),
+paras AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS p
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)),
+nz AS (SELECT doc_id, pos, p, doc_id * 1048576 + pos AS ord
+       FROM paras WHERE p <> ''),
+keep AS (SELECT p, min(ord) AS k FROM nz GROUP BY p),
+kept AS (SELECT nz.doc_id, nz.pos, nz.p
+         FROM nz JOIN keep ON nz.p = keep.p AND nz.ord = keep.k),
+rebuilt AS (SELECT doc_id,
+                   string_agg(p, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+meta AS (SELECT doc_id,
+                len(list_filter(string_split(text, chr(10)),
+                                x -> x <> '')) AS n_paras
+         FROM aug)
+SELECT m.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       m.n_paras, coalesce(r.n_kept, 0) AS n_kept
+FROM meta m LEFT JOIN rebuilt r USING (doc_id)
 """,
 
         # per-language top terms by smoothed reciprocal-df weight

@@ -527,3 +527,116 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 10):
     pruned = scored.map_batches(local_topk, batch_format="pyarrow")
     return pruned.groupby("lang").map_groups(local_topk,
                                              batch_format="pyarrow")
+
+
+# -- paragraph-level exact dedup ---------------------------------------------
+
+
+def dedup_paragraphs(docs, num_buckets: int = 32, pos_bits: int = 20):
+    """Corpus-level exact paragraph dedup — the CCNet / RefinedWeb
+    boilerplate-removal pass: split each document on newline, keep only
+    the globally FIRST occurrence of every distinct non-empty paragraph
+    (first = smallest (doc_id, position)), and reassemble each document
+    from its kept paragraphs in original order.
+
+    Returns one row per input doc: ``(doc_id, clean_text, n_paras,
+    n_kept)`` where ``n_paras`` counts the doc's non-empty paragraphs
+    and ``clean_text`` is ``''`` when every paragraph was dropped.
+
+    Shuffle plan — both all-to-alls move paragraph rows, never whole
+    documents: (1) groupby paragraph-hash bucket, vectorized per-bucket
+    keep-first (arrow ``group_by`` min over the packed order key
+    ``doc_id * 2**pos_bits + pos``, inner-joined back to the bucket's
+    rows — the global min for a paragraph lands in one bucket because
+    the bucket key IS the paragraph); (2) groupby doc-hash bucket,
+    vectorized reassembly (per-bucket sort + segment offsets +
+    ``binary_join``, no per-doc Python). Doc metadata ``(doc_id,
+    n_paras)`` is a second cheap scan of the input projection (pass a
+    materialized projection when upstream is expensive), bucket-left-
+    joined back so fully-deduped docs still emit a row.
+
+    Partitioning assumption: fewer than ``2**pos_bits`` paragraphs per
+    document (the packed int64 order key); raise ``pos_bits`` for
+    pathological inputs. Mirrors ``__ray_entry__.oracle_sql``'s
+    ``dedup_paragraphs`` entry token for token."""
+    from .joins import _bucket_of, hash_bucket_join
+
+    shift = np.int64(1) << pos_bits
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lst = pc.split_pattern(t["text"].combine_chunks(), pattern="\n")
+        offs = lst.offsets.to_numpy()
+        lens = np.diff(offs)
+        ids = np.repeat(t["doc_id"].to_numpy(), lens)
+        pos = (np.arange(int(offs[-1]), dtype=np.int64)
+               - np.repeat(offs[:-1], lens) + 1)  # 1-based, SQL parity
+        flat = lst.flatten()
+        out = pa.table({
+            "doc_id": pa.array(ids),
+            "pos": pa.array(pos),
+            "p": flat,
+            "ord": pa.array(ids * shift + pos),
+        }).filter(pc.not_equal(flat, ""))
+        return out.append_column("__bucket",
+                                 _bucket_of(out, ["p"], num_buckets))
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        m = g.group_by("p").aggregate([("ord", "min")])
+        j = g.select(["doc_id", "pos", "p", "ord"]).join(
+            m, keys=["p"], join_type="inner")
+        j = j.filter(pc.equal(j["ord"], j["ord_min"]))
+        return j.select(["doc_id", "pos", "p"])
+
+    def rebucket_doc(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket",
+                               _bucket_of(t, ["doc_id"], num_buckets))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["doc_id", "pos"], kind="mergesort")
+        ids = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        counts = np.diff(np.r_[starts, len(ids)])
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(df["p"].to_numpy(), type=pa.string()))
+        return pa.table({
+            "doc_id": pa.array(ids[starts]),
+            "clean_text": pc.binary_join(lists, "\n"),
+            "n_kept": pa.array(counts.astype(np.int64)),
+        })
+
+    kept = (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(keep_first,
+                                            batch_format="pyarrow"))
+    rebuilt = (kept.map_batches(rebucket_doc, batch_format="pyarrow")
+               .groupby("__bucket").map_groups(rebuild,
+                                               batch_format="pyarrow"))
+
+    def meta(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lst = pc.split_pattern(t["text"].combine_chunks(), pattern="\n")
+        offs = lst.offsets.to_numpy()
+        nonempty = pc.not_equal(lst.flatten(), "").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = np.r_[0, np.cumsum(nonempty)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_paras": pa.array(cum[offs[1:]] - cum[offs[:-1]]),
+        })
+
+    joined = hash_bucket_join(docs.map_batches(meta, batch_format="pyarrow"),
+                              rebuilt, on=["doc_id"], how="left",
+                              num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pc.fill_null(t["clean_text"], ""),
+            "n_paras": t["n_paras"],
+            "n_kept": pc.fill_null(t["n_kept"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

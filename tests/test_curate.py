@@ -186,3 +186,48 @@ def test_tfidf_scores_and_ties():
     assert list(en.index) == ["x", "z"]
     de = out[out["lang"] == "de"].set_index("term")
     assert de.loc["y", "tf"] == 2 and de.loc["y", "df"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_paragraphs_keep_first_and_reassembly():
+    # doc 1: unique paras + shared boilerplate; doc 2 repeats the
+    # boilerplate (dropped) and one of doc 1's paras; doc 3 is ALL
+    # duplicates -> empty clean_text but still emits a row; doc 4 has an
+    # internal repeat (second occurrence dropped) and empty paragraphs
+    # (never counted, never kept)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "boiler\nalpha one\nbeta two",
+            "boiler\nalpha one\ngamma three",
+            "boiler\nbeta two",
+            "delta four\n\ndelta four\nepsilon five",
+        ]),
+    })
+    out = curate.dedup_paragraphs(_ds(t), num_buckets=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert list(out["clean_text"]) == [
+        "boiler\nalpha one\nbeta two",
+        "gamma three",
+        "",
+        "delta four\nepsilon five",
+    ]
+    assert list(out["n_paras"]) == [3, 3, 2, 3]
+    assert list(out["n_kept"]) == [3, 1, 0, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_paragraphs_batch_invariant():
+    texts = [f"common header\nunique {i} para\ntail {i % 3}"
+             for i in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array(texts)})
+    a = curate.dedup_paragraphs(_ds(t, 1), num_buckets=2).to_pandas()
+    b = curate.dedup_paragraphs(_ds(t, 16), num_buckets=8).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # only doc 0 keeps the shared header; tails survive in docs 0..2 only
+    assert a.loc[0, "n_kept"] == 3
+    assert (a.loc[3:, "n_kept"] == 1).all()
