@@ -100,6 +100,32 @@ def _docs_with_paragraphs(sf_dir: str):
     return base.map_batches(chunk, batch_format="pyarrow")
 
 
+def _docs_with_pii(sf_dir: str):
+    """Append deterministic doc_id-derived PII (email / phone / IPv4) to a
+    subset of docs so the scrub pass has real work; SQL mirror builds the
+    identical strings with doc_id arithmetic + lpad."""
+    import pyarrow as pa
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = txt or ""
+            if d % 4 == 0:
+                s += f" contact user{d}@example.org now"
+            if d % 5 == 0:
+                s += f" call 555-{d % 10000:04d} now"
+            if d % 7 == 0:
+                s += f" from 10.0.{d % 256}.{d % 100} end"
+            ids.append(d)
+            outs.append(s)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(outs, type=pa.string())})
+
+    return base.map_batches(inject, batch_format="pyarrow")
+
+
 def _embeddings_with_copies(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -409,6 +435,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # input twice (paragraph explode + doc metadata)
         return dedup_paragraphs(_docs_with_paragraphs(sf_dir).materialize())
 
+    def pii_scrub_q(sf_dir):
+        from spatula_ray.stages.text import pii_scrub
+
+        return pii_scrub(_docs_with_pii(sf_dir))
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -474,12 +505,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": cap_per_source,
         "dedup_representatives": dedup_reps,
         "dedup_paragraphs": dedup_paragraphs_q,
+        "pii_scrub": pii_scrub_q,
     }
 
 
 # SQL fragments shared by the doc-web oracles
 _PARAMS = ("params AS (SELECT greatest(1, least(10, CAST(count(*) / 50 AS INT)))"
            " AS h FROM documents)")
+
+# PII regexes shared with the engine (stages/text.py) — spliced into the
+# pii_scrub oracle so both sides run the identical RE2 patterns
+from spatula_ray.stages.text import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL,
+    PII_IP as _PII_IP,
+    PII_PHONE as _PII_PHONE,
+)
 
 
 def _ivf_oracle_sql(n_cells: int = 16, iters: int = 5, nprobe: int = 4,
@@ -1132,6 +1172,43 @@ meta AS (SELECT doc_id,
 SELECT m.doc_id, coalesce(r.clean_text, '') AS clean_text,
        m.n_paras, coalesce(r.n_kept, 0) AS n_kept
 FROM meta m LEFT JOIN rebuilt r USING (doc_id)
+""",
+
+        # sequential PII redaction — emails, then phones over the
+        # redacted text, then IPv4; both engines are RE2 so counts and
+        # replacements reproduce bit-for-bit
+        "pii_scrub": """
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0
+         THEN ' contact user' || doc_id || '@example.org now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+              || ' end'
+         ELSE '' END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '""" + _PII_EMAIL + """'))
+                AS n_emails,
+              regexp_replace(text, '""" + _PII_EMAIL + """', '<EMAIL>', 'g')
+                AS t1
+       FROM aug),
+s2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t1, '""" + _PII_PHONE + """'))
+                AS n_phones,
+              regexp_replace(t1, '""" + _PII_PHONE + """', '<PHONE>', 'g')
+                AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '""" + _PII_IP + """', '<IP>', 'g') AS clean_text,
+       n_emails, n_phones,
+       len(regexp_extract_all(t2, '""" + _PII_IP + """')) AS n_ips
+FROM s2
 """,
 
         # per-language top terms by smoothed reciprocal-df weight

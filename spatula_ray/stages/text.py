@@ -180,3 +180,43 @@ class WinnowFingerprint:
             "doc_id": batch["doc_id"],
             "winnow_sig": pa.array(sigs, type=pa.list_(pa.uint64())),
         })
+
+
+# RE2 patterns shared by the engine and the DuckDB oracle (both are RE2,
+# so counts and replacements reproduce bit-for-bit — verified for every
+# pattern in tests/test_stages.py)
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs):
+    """Redact emails, phone numbers, and IPv4 addresses from ``text``
+    and count each kind — the privacy-scrub pass of a training-data
+    pipeline. Returns (doc_id, clean_text, n_emails, n_phones, n_ips).
+
+    Redaction is SEQUENTIAL (emails, then phones over the redacted
+    text, then IPs) and each count is taken over the stage input, so
+    the definition has exactly one reading; the DuckDB oracle nests its
+    regexp_replace calls in the same order. Pure vectorized pyarrow RE2
+    kernels in one narrow ``map_batches`` — no shuffle, no Python rows;
+    at 100 TB this stage is embarrassingly parallel and reads only
+    (doc_id, text)."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        n_em = pc.count_substring_regex(txt, PII_EMAIL).cast(pa.int64())
+        t1 = pc.replace_substring_regex(txt, PII_EMAIL, "<EMAIL>")
+        n_ph = pc.count_substring_regex(t1, PII_PHONE).cast(pa.int64())
+        t2 = pc.replace_substring_regex(t1, PII_PHONE, "<PHONE>")
+        n_ip = pc.count_substring_regex(t2, PII_IP).cast(pa.int64())
+        t3 = pc.replace_substring_regex(t2, PII_IP, "<IP>")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": t3,
+            "n_emails": n_em,
+            "n_phones": n_ph,
+            "n_ips": n_ip,
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

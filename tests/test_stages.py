@@ -401,3 +401,33 @@ def test_decode_stub_real_pil_branch():
     assert raw.shape == (16,)
     feats = raw @ stub.proj / 255.0
     assert feats.shape == (FEATURE_DIM,)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_scrub_sequential_redaction_and_counts():
+    import ray.data as rd
+
+    from spatula_ray.stages.text import pii_scrub
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "mail bob@example.org or a.b-c@x.co.uk now",
+            "call 555-0100 or 555-12345 from 10.0.3.44 end",
+            "no pii here",
+            # IP-like run of 5 octets: the pattern matches the first 4;
+            # x@y.z has a 1-char TLD so the {2,} quantifier rejects it
+            "edge 1.2.3.4.5 and x@y.z",
+        ]),
+    })
+    out = (pii_scrub(rd.from_arrow(t).repartition(2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean_text"]) == [
+        "mail <EMAIL> or <EMAIL> now",
+        "call <PHONE> or 555-12345 from <IP> end",
+        "no pii here",
+        "edge <IP>.5 and x@y.z",
+    ]
+    assert list(out["n_emails"]) == [2, 0, 0, 0]
+    assert list(out["n_phones"]) == [0, 1, 0, 0]
+    assert list(out["n_ips"]) == [0, 1, 0, 1]
