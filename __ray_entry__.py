@@ -100,13 +100,11 @@ def _docs_with_paragraphs(sf_dir: str):
     return base.map_batches(chunk, batch_format="pyarrow")
 
 
-def _docs_with_pii(sf_dir: str):
+def _pii_inject(base):
     """Append deterministic doc_id-derived PII (email / phone / IPv4) to a
     subset of docs so the scrub pass has real work; SQL mirror builds the
     identical strings with doc_id arithmetic + lpad."""
     import pyarrow as pa
-
-    base = _docs(sf_dir, ["doc_id", "text"])
 
     def inject(t: pa.Table) -> pa.Table:
         ids, outs = [], []
@@ -124,6 +122,10 @@ def _docs_with_pii(sf_dir: str):
                          "text": pa.array(outs, type=pa.string())})
 
     return base.map_batches(inject, batch_format="pyarrow")
+
+
+def _docs_with_pii(sf_dir: str):
+    return _pii_inject(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _embeddings_with_copies(sf_dir: str):
@@ -440,6 +442,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pii_scrub(_docs_with_pii(sf_dir))
 
+    def curate_corpus_q(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from spatula_ray.stages.curate import dedup_paragraphs, pack_sequences
+        from spatula_ray.stages.text import pii_scrub
+
+        # end-to-end curation composition, all lazy/streaming between the
+        # documented materialize points: paragraph-chunked docs + injected
+        # PII -> sequential scrub -> corpus-level paragraph dedup -> keep
+        # docs at least half-unique -> deterministic sequence packing
+        aug = _pii_inject(_docs_with_paragraphs(sf_dir))
+        scrubbed = pii_scrub(aug).map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "text": t["clean_text"]}),
+            batch_format="pyarrow")
+        # dedup_paragraphs scans its input twice -> materialize the scrub
+        deduped = dedup_paragraphs(scrubbed.materialize())
+
+        def keep_half_unique(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            ok = pc.greater_equal(
+                pc.multiply(t["n_kept"], pa.scalar(2, pa.int64())),
+                t["n_paras"])
+            k = t.filter(ok)
+            return pa.table({"doc_id": k["doc_id"],
+                             "text": k["clean_text"]})
+
+        kept = deduped.map_batches(keep_half_unique, batch_format="pyarrow")
+        return pack_sequences(kept, budget=512)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -506,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_representatives": dedup_reps,
         "dedup_paragraphs": dedup_paragraphs_q,
         "pii_scrub": pii_scrub_q,
+        "curate_corpus": curate_corpus_q,
     }
 
 
@@ -1209,6 +1243,76 @@ SELECT doc_id,
        n_emails, n_phones,
        len(regexp_extract_all(t2, '""" + _PII_IP + """')) AS n_ips
 FROM s2
+""",
+
+        # end-to-end curation composite: paragraph chunking + PII
+        # injection -> sequential scrub -> corpus paragraph dedup ->
+        # half-unique keep filter -> deterministic sequence packing;
+        # every stage reuses the single-operator oracle definitions
+        "curate_corpus": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                AS i
+       FROM w),
+chunks AS (SELECT doc_id, i,
+                  array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS p
+           FROM iw),
+body AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY i) AS btext
+         FROM chunks GROUP BY doc_id),
+aug0 AS (
+  SELECT doc_id,
+         'copyright footer example org' || chr(10) || btext ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'subscribe to our newsletter today'
+              ELSE '' END AS text
+  FROM body),
+aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 4 = 0
+         THEN ' contact user' || doc_id || '@example.org now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+              || ' end'
+         ELSE '' END AS text
+  FROM aug0),
+scr AS (SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+                   '""" + _PII_PHONE + """', '<PHONE>', 'g'),
+                   '""" + _PII_IP + """', '<IP>', 'g') AS text
+        FROM aug),
+paras AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS p
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM scr)),
+nz AS (SELECT doc_id, pos, p, doc_id * 1048576 + pos AS ord
+       FROM paras WHERE p <> ''),
+keep AS (SELECT p, min(ord) AS k FROM nz GROUP BY p),
+kept AS (SELECT nz.doc_id, nz.pos, nz.p
+         FROM nz JOIN keep ON nz.p = keep.p AND nz.ord = keep.k),
+rebuilt AS (SELECT doc_id,
+                   string_agg(p, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+meta AS (SELECT doc_id,
+                len(list_filter(string_split(text, chr(10)),
+                                x -> x <> '')) AS n_paras
+         FROM scr),
+docs2 AS (SELECT m.doc_id, coalesce(r.clean_text, '') AS text,
+                 m.n_paras, coalesce(r.n_kept, 0) AS n_kept
+          FROM meta m LEFT JOIN rebuilt r USING (doc_id)),
+keptdocs AS (SELECT doc_id, text FROM docs2 WHERE n_kept * 2 >= n_paras),
+n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM keptdocs)
+SELECT doc_id, n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 512 AS BIGINT) AS seq_bin
+FROM n
 """,
 
         # per-language top terms by smoothed reciprocal-df weight
