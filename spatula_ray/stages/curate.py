@@ -347,8 +347,35 @@ def cap_per_key(ds, key: str, n: int, order_key: str = "doc_id",
 
 # -- fuzzy-dedup cluster assignment ------------------------------------------
 
+def _cc_fold_task(t: pa.Table) -> pa.Table:
+    """Exact connected components over ONE edge table, fully vectorized:
+    hash-min propagation (``np.minimum.at`` over both edge directions)
+    alternating with pointer jumping (``lab = lab[lab]``), so convergence
+    is O(log diameter) vectorized passes — no per-edge Python. Node ids
+    map to dense indices via ``np.unique`` (sorted, so the min index IS
+    the min node id). Runs inside a single Ray task on the active
+    subgraph, never on the driver."""
+    a = t["a"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    b = t["b"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ids, flat = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = flat[:len(a)], flat[len(a):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        lab = lab[lab]          # pointer jump: halve tree depth
+        if np.array_equal(lab, prev):
+            break
+    return pa.table({"node": pa.array(ids, type=pa.int64()),
+                     "label": pa.array(ids[lab], type=pa.int64())})
+
+
 def connected_components(nodes, pairs, max_iters: int = 12,
-                         num_buckets: int = 32):
+                         num_buckets: int = 32,
+                         single_task_edges: int = 2_000_000):
     """Label every node with the minimum node id reachable through the
     pair graph (hash-min label propagation) — the canonical fuzzy-dedup
     step: near-dup pairs from MinHash/SimHash/embedding blocking become
@@ -376,7 +403,15 @@ def connected_components(nodes, pairs, max_iters: int = 12,
     groupby inside the loop. The loop stops when the label sum stops
     falling (near-dup clusters are near-cliques, so 2-3 iterations in
     practice; ``max_iters`` bounds pathological chains) — the driver sees
-    one scalar per iteration, never the graph."""
+    one scalar per iteration, never the graph.
+
+    Active subgraphs up to ``single_task_edges`` skip the loop entirely
+    and fold in ONE Ray task (``_cc_fold_task``): each distributed
+    iteration costs two sort-shuffles of fixed Ray overhead, while the
+    vectorized numpy fold handles millions of edges in seconds on one
+    core. At 100 TB the near-dup edge tail routinely fits (2M edges ≈
+    32 MB); the loop remains the exact same-output fallback above the
+    threshold."""
     from ray.data.aggregate import Sum
 
     from .joins import _bucket_of, hash_bucket_join
@@ -393,16 +428,8 @@ def connected_components(nodes, pairs, max_iters: int = 12,
             "node": pa.concat_arrays([b, a]),
             "label": pa.nulls(2 * len(a), type=pa.int64())}))
 
-    # Bucketed by neighbor end ONCE; reused (materialized) every iteration.
-    # Block counts are pinned to ``num_buckets`` here and at every
-    # materialize inside the loop: Ray's sort-based groupby sizes its
-    # shuffle by INPUT block count, and the per-iteration unions would
-    # otherwise compound blocks geometrically (measured 147 -> 441 ->
-    # 1029 -> 2205 blocks with materialize cost 40 s -> 101 s -> 1115 s
-    # on 12k edge rows) — the loop must stay flat-cost per iteration.
-    edges = (pairs.map_batches(both_dirs, batch_format="pyarrow")
-             .repartition(num_buckets).materialize())
-    n_edges = edges.count()
+    pairs_m = pairs.materialize()
+    n_edges = pairs_m.count()
 
     def _label_rows(t: pa.Table) -> pa.Table:
         nulls = pa.nulls(t.num_rows, type=pa.int64())
@@ -430,7 +457,24 @@ def connected_components(nodes, pairs, max_iters: int = 12,
         part = g.group_by("node").aggregate([("label", "min")])
         return pa.table({"node": part["node"], "label": part["label_min"]})
 
-    if n_edges:
+    if n_edges and n_edges <= single_task_edges:
+        labels = (pairs_m.repartition(1)
+                  .map_batches(_cc_fold_task, batch_format="pyarrow",
+                               batch_size=None)
+                  .materialize())
+        full = hash_bucket_join(nodes, labels, on=["node"], how="left",
+                                num_buckets=num_buckets)
+    elif n_edges:
+        # Bucketed by neighbor end ONCE; reused (materialized) every
+        # iteration. Block counts are pinned to ``num_buckets`` here and at
+        # every materialize inside the loop: Ray's sort-based groupby sizes
+        # its shuffle by INPUT block count, and the per-iteration unions
+        # would otherwise compound blocks geometrically (measured 147 ->
+        # 441 -> 1029 -> 2205 blocks with materialize cost 40 s -> 101 s ->
+        # 1115 s on 12k edge rows) — the loop must stay flat-cost per
+        # iteration.
+        edges = (pairs_m.map_batches(both_dirs, batch_format="pyarrow")
+                 .repartition(num_buckets).materialize())
         labels = (edges.groupby("__bucket")
                   .map_groups(seed, batch_format="pyarrow").materialize())
         prev_sum: Optional[int] = None

@@ -18,17 +18,22 @@ def _ds(table: pa.Table, parallelism=4):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_connected_components_chain_and_singleton():
+@pytest.mark.parametrize("single_task_edges", [0, 2_000_000],
+                         ids=["loop", "fold-task"])
+def test_connected_components_chain_and_singleton(single_task_edges):
     # chain 0-1-...-9 (diameter 9 forces multi-iteration hash-min
-    # propagation), a separate triangle {20,21,22}, singleton 30
+    # propagation), a separate triangle {20,21,22}, singleton 30;
+    # both execution paths (distributed loop / single-task numpy fold)
+    # must produce identical labels
     pairs = pa.table({"a": pa.array(list(range(9)) + [20, 20, 21],
                                     type=pa.int64()),
                       "b": pa.array(list(range(1, 10)) + [21, 22, 22],
                                     type=pa.int64())})
     nodes = pa.table({"node": pa.array(list(range(10)) + [20, 21, 22, 30],
                                        type=pa.int64())})
-    out = curate.connected_components(_ds(nodes), _ds(pairs),
-                                      num_buckets=4).to_pandas()
+    out = curate.connected_components(
+        _ds(nodes), _ds(pairs), num_buckets=4,
+        single_task_edges=single_task_edges).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert all(got[i] == 0 for i in range(10))
     assert got[20] == got[21] == got[22] == 20
@@ -42,7 +47,8 @@ def test_connected_components_respects_max_iters():
                       "b": pa.array(list(range(1, 6)), type=pa.int64())})
     nodes = pa.table({"node": pa.array(list(range(6)), type=pa.int64())})
     out = curate.connected_components(_ds(nodes, 2), _ds(pairs, 2),
-                                      max_iters=1, num_buckets=2).to_pandas()
+                                      max_iters=1, num_buckets=2,
+                                      single_task_edges=0).to_pandas()
     # one iteration propagates labels one hop only
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got[1] == 0 and got[5] == 4
