@@ -177,14 +177,186 @@ class _TreeBuilder(HTMLParser):
         # leading bare text before any element is dropped (fragment case)
 
 
+# -- fast tokenizer ----------------------------------------------------------
+#
+# html.parser.HTMLParser walks the document char-class by char-class in
+# Python (27% of the round-2 per-page crawl profile). The fast path below
+# tokenizes with a handful of compiled regexes instead and produces the
+# SAME event stream for the constructs real pages use; on ANY construct
+# whose stdlib handling is subtle (malformed start tags, bogus end tags,
+# unterminated comments/tags) it raises ``_Fallback`` and the whole
+# document reparses through the stdlib builder, so divergence is
+# impossible — the fast path is only ever a faster route to the identical
+# tree (differentially fuzzed in tests/test_dom.py).
+
+class _Fallback(Exception):
+    pass
+
+
+# kill-switch for A/B timing and debugging: SPATULA_RAY_SLOW_HTML=1 forces
+# every document through the stdlib builder
+import os as _os
+
+_FAST_HTML = _os.environ.get("SPATULA_RAY_SLOW_HTML", "") != "1"
+
+
+# stdlib-identical character classes (html/parser.py tagfind_tolerant /
+# attrfind_tolerant); the attr scan below mirrors parse_starttag's
+# contiguous-match loop including the `(?:\s|/(?!>))*` inter-attr eater
+_FAST_TAGNAME = re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
+_FAST_ATTR = re.compile(
+    r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+    r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
+_FAST_ENDTAG = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_FAST_LT = re.compile('<')
+_COMMENT_CLOSE = re.compile(r'--\s*>')  # _markupbase._commentclose
+_CDATA_CLOSE = {
+    "script": re.compile(r'</\s*script', re.IGNORECASE),
+    "style": re.compile(r'</\s*style', re.IGNORECASE),
+}
+
+
+def _fast_feed(p: "_TreeBuilder", content: str) -> None:
+    """Feed ``content`` through the regex tokenizer, driving the same
+    handle_* methods the stdlib parser would, or raise ``_Fallback``."""
+    from html import unescape
+
+    n = len(content)
+    pos = 0
+    line = 1
+    lpos = 0            # position up to which ``line`` is current
+    data_start = 0      # start of the pending text run
+    p._fast_line = 1
+
+    def flush(upto: int, raw: bool = False) -> None:
+        if upto > data_start:
+            d = content[data_start:upto]
+            if not raw and "&" in d:
+                d = unescape(d)
+            p.handle_data(d)
+
+    while pos < n:
+        m = _FAST_LT.search(content, pos)
+        if m is None:
+            flush(n)
+            return
+        i = m.start()
+        nxt = content[i + 1:i + 2]
+        if nxt and (nxt.isalpha() or nxt in "/!?"):
+            flush(i)
+        else:
+            # stdlib treats a lone '<' as text; keep it in the run
+            pos = i + 1
+            continue
+        line += content.count("\n", lpos, i)
+        lpos = i
+        p._fast_line = line
+        if nxt == "!":
+            if content.startswith("<!--", i):
+                cm2 = _COMMENT_CLOSE.search(content, i + 4)
+                if cm2 is None:
+                    raise _Fallback  # unterminated comment
+                pos = cm2.end()
+            elif content.startswith("<![", i):
+                raise _Fallback  # marked section: ]]>-style close scan
+            else:
+                j = content.find(">", i + 2)
+                if j < 0:
+                    raise _Fallback
+                pos = j + 1  # doctype / bogus decl: skipped, like stdlib
+        elif nxt == "?":
+            j = content.find(">", i + 2)
+            if j < 0:
+                raise _Fallback
+            pos = j + 1
+        elif nxt == "/":
+            em = _FAST_ENDTAG.match(content, i)
+            if em is None:
+                raise _Fallback  # bogus end tag: stdlib path is subtle
+            p.handle_endtag(em.group(1).lower())
+            pos = em.end()
+        else:
+            tm = _FAST_TAGNAME.match(content, i + 1)
+            if tm is None:
+                raise _Fallback
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs = []
+            while True:
+                am = _FAST_ATTR.match(content, k)
+                if am is None:
+                    break
+                name, has_val, val = am.group(1), am.group(2), am.group(3)
+                if has_val is None:
+                    val = None
+                else:
+                    if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                        val = val[1:-1]
+                    if "&" in val:
+                        val = unescape(val)
+                attrs.append((name.lower(), val))
+                k = am.end()
+            if content.startswith("/>", k):
+                p.handle_startendtag(tag, attrs)
+                pos = k + 2
+            elif content.startswith(">", k):
+                p.handle_starttag(tag, attrs)
+                pos = k + 1
+                if tag in _CDATA_CLOSE:
+                    search_from = pos
+                    while True:
+                        cm = _CDATA_CLOSE[tag].search(content, search_from)
+                        if cm is None:
+                            # stdlib drops unterminated cdata content
+                            # (goahead breaks without flushing it)
+                            return
+                        em = _FAST_ENDTAG.match(content, cm.start())
+                        if em is None:
+                            raise _Fallback  # tolerant end-tag path
+                        if em.group(1).lower() == tag:
+                            break
+                        # e.g. </scriptfoo> inside script: stays cdata text
+                        search_from = cm.start() + 1
+                    if cm.start() > pos:
+                        p.handle_data(content[pos:cm.start()])
+                    pos = cm.start()  # the </script> parses as an end tag
+            else:
+                raise _Fallback  # malformed start tag: stdlib emits text
+        data_start = pos
+    flush(n)
+
+
+class _FastTreeBuilder(_TreeBuilder):
+    """_TreeBuilder whose getpos() reads the fast tokenizer's line counter."""
+
+    _fast_line = 1
+
+    def getpos(self):
+        return (self._fast_line, 0)
+
+
 def fromstring_html(content: Union[bytes, str]) -> Element:
     """Parse HTML into an Element tree (behavioral stand-in for
-    ``lxml.html.fromstring``; single root returned as-is, fragments wrapped)."""
+    ``lxml.html.fromstring``; single root returned as-is, fragments wrapped).
+
+    Tries the regex fast path first and reparses with the stdlib
+    ``html.parser`` builder when the document contains any construct the
+    fast path doesn't replicate bit-for-bit (see ``_fast_feed``)."""
     if isinstance(content, bytes):
         content = content.decode("utf-8", errors="replace")
-    p = _TreeBuilder()
-    p.feed(content)
-    p.close()
+    p: _TreeBuilder
+    if _FAST_HTML:
+        p = _FastTreeBuilder()
+        try:
+            _fast_feed(p, content)
+        except _Fallback:
+            p = _TreeBuilder()
+            p.feed(content)
+            p.close()
+    else:
+        p = _TreeBuilder()
+        p.feed(content)
+        p.close()
     roots = [r for r in p.roots]
     if len(roots) == 1:
         return roots[0]

