@@ -230,6 +230,13 @@ def run_suite10x() -> None:
     ray.shutdown()
 
 
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def run_scaling() -> None:
     # crawl-only runs: the scaling criterion is crawl throughput (the
     # north-rule metric), and two full operator suites would take 15+ min
@@ -249,8 +256,35 @@ def run_scaling() -> None:
     # See BASELINE.md "Scaling" for the measurement.
     lo = int(os.environ.get("SCALING_LO", "2"))
     hi = int(os.environ.get("SCALING_HI", "8"))
-    r_lo = one(lo)
-    r_hi = one(hi)
+
+    # the host's own lo->hi scaling in THIS window (pure-python spin
+    # processes, no Ray): on a contended/oversubscribed sandbox the
+    # hardware ceiling routinely dips below 1.0, and engine efficiency is
+    # only meaningful relative to it — a real N->4N cluster adds real
+    # cores, which this calibration factor projects to
+    def spin_rate(procs: int) -> float:
+        import multiprocessing as mp
+
+        n = 4_000_000
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_spin, [n] * procs * 3)
+        return procs * 3 * n / (time.time() - t0)
+
+    # SCALING_REPS > 1 alternates lo/hi legs and takes the MINIMUM time
+    # per level: the workload is fixed, so each leg's minimum across reps
+    # is the consistent estimator of its true cost under this sandbox's
+    # minute-scale contention swings (single lo/hi pairs measured 0.40-0.83
+    # for identical code across one afternoon)
+    reps = int(os.environ.get("SCALING_REPS", "1"))
+    ceilings, runs_lo, runs_hi = [], [], []
+    for _ in range(reps):
+        ceilings.append((spin_rate(hi) / spin_rate(lo)) / (hi / lo))
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    ceiling = sorted(ceilings)[len(ceilings) // 2]
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["crawl_formula_web"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["crawl_formula_web"])
     suite_eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     crawl_eff = ((r_lo["queries"]["crawl_formula_web"]
                   / r_hi["queries"]["crawl_formula_web"]) / (hi / lo))
@@ -266,6 +300,17 @@ def run_scaling() -> None:
         "crawl_sec_hi": r_hi["queries"]["crawl_formula_web"],
         "crawl_urls_per_sec_lo": r_lo["extra"]["fetched_urls_per_sec"],
         "crawl_urls_per_sec_hi": r_hi["extra"]["fetched_urls_per_sec"],
+        # same-window hardware calibration: what lo->hi scaling the host
+        # itself delivers to pure-python processes, and the engine's
+        # efficiency relative to that ceiling
+        "hardware_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(min(crawl_eff / ceiling, 1.0), 3)
+        if ceiling > 0 else None,
+        "reps": reps,
+        "crawl_sec_lo_all": [r["queries"]["crawl_formula_web"]
+                             for r in runs_lo],
+        "crawl_sec_hi_all": [r["queries"]["crawl_formula_web"]
+                             for r in runs_hi],
         # whole-suite numbers (small fixed-size queries included, so this
         # is a lower bound; see BASELINE.md)
         "suite_scaling_efficiency": round(suite_eff, 3),

@@ -82,11 +82,17 @@ class Element:
         return self.attrib.get(key, default)
 
     def iter(self, tag: Optional[str] = None) -> Iterator["Element"]:
-        """Depth-first document-order iteration including self."""
-        if tag is None or self.tag == tag:
-            yield self
-        for c in self._children:
-            yield from c.iter(tag)
+        """Depth-first document-order iteration including self (explicit
+        stack: nested ``yield from`` delegation pays per tree level)."""
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            el = pop()
+            if tag is None or el.tag == tag:
+                yield el
+            children = el._children
+            if children:
+                stack.extend(reversed(children))
 
     def itertext(self) -> Iterator[str]:
         if self.text:
