@@ -31,7 +31,9 @@ def main():
     res = crawl(spider_seeds(spec["n_hosts"]), build_registry(SpiderPage),
                 FormulaResolverFactory(**spec),
                 CrawlConfig(dedup="cuckoo", n_filter_shards=8, n_gates=4,
-                            filter_capacity=1 << 21, batch_size=256,
+                            filter_capacity=1 << 21,
+                            batch_size=int(os.environ.get("PROBE_BATCH",
+                                                          "1024")),
                             min_parallelism=ncpu))
     dt = time.time() - t0
     print(json.dumps({"ncpu": ncpu, "sec": round(dt, 2),

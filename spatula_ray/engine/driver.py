@@ -72,9 +72,10 @@ def _page_count_batch(t: pa.Table) -> pa.Table:
     """Narrow per-batch partial counts over a wave's page-log rows: page
     total, status histogram, fetch attempts. Emits a tiny (k, v) table the
     driver sums — distributed aggregation with no shared actor."""
-    keys: List[str] = ["pages", "fetch_attempts"]
+    keys: List[str] = ["pages", "fetch_attempts", "emitted"]
     vals: List[int] = [t.num_rows,
-                       int(pc.sum(t["fetch_attempts"]).as_py() or 0)]
+                       int(pc.sum(t["fetch_attempts"]).as_py() or 0),
+                       int(pc.sum(t["n_emitted"]).as_py() or 0)]
     for entry in pc.value_counts(t["status"].combine_chunks()):
         keys.append("status:" + entry["values"].as_py())
         vals.append(entry["counts"].as_py())
@@ -183,7 +184,14 @@ class CrawlConfig:
     robots: Optional[dict] = None             # host -> {disallow, crawl_delay_ms}
     max_waves: Optional[int] = None
     concurrency: Optional[Union[int, tuple]] = None   # actor-pool size (use_actors)
-    batch_size: int = 128
+    # rows per runner batch. Also the block-size knob for every downstream
+    # per-wave pass (narrow/split/candidate/count executions inherit the
+    # runner's block count), so it trades Ray task-launch overhead against
+    # per-batch memory: 256-row batches meant ~1,100 tasks per big wave x 3
+    # executions and measured 3x slower than 1024 at 32 cpus on the
+    # 288k-page bench web (34 s vs 98-110 s back-to-back). Bodies never
+    # outlive a batch, so 1024 x ~2 KB pages stays far under worker heap.
+    batch_size: int = 1024
     min_parallelism: int = 8                  # blocks per wave lower bound
     scout: bool = False
     expand: bool = True
@@ -532,9 +540,6 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             for r in pages.map_batches(_page_count_batch,
                                        batch_format="pyarrow").take_all():
                 stats.add({r["k"]: int(r["v"])})
-            n_emitted = emits.count()
-            if n_emitted:
-                stats.add({"emitted": n_emitted})
             ddir = os.path.join(ckpt, "docs", f"wave_{wave:05d}")
             pdir = os.path.join(ckpt, "pages", f"wave_{wave:05d}")
             emits.write_parquet(ddir)
@@ -590,14 +595,14 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     else:
         docs = _union_parts(docs_parts, DOCS_SCHEMA)
         page_log = _union_parts(page_parts, PAGE_LOG_SCHEMA)
-        # one counting pass over the whole (narrow, materialized) page log
-        # — no per-wave executions spent on counters
+        # ONE counting pass over the whole (narrow, materialized) page log
+        # — no per-wave executions spent on counters, and the emitted
+        # total comes from the per-page n_emitted column in the same pass
+        # (a second docs-side count execution would re-run the split +
+        # projection over every wave's blocks just to read a length)
         for r in page_log.map_batches(_page_count_batch,
                                       batch_format="pyarrow").take_all():
             stats.add({r["k"]: int(r["v"])})
-        n_emitted = docs.count()
-        if n_emitted:
-            stats.add({"emitted": n_emitted})
 
     counters = stats.get()
     counters.setdefault("pages", 0)
