@@ -473,6 +473,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = deduped.map_batches(keep_half_unique, batch_format="pyarrow")
         return pack_sequences(kept, budget=512)
 
+    def chunk_documents_q(sf_dir):
+        from spatula_ray.stages.curate import chunk_documents
+
+        return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                               size=16, stride=12)
+
+    def vocab_coverage_q(sf_dir):
+        from spatula_ray.stages.curate import vocab_coverage
+
+        # scanned twice (vocab build + scoring) -> materialize the narrow
+        # projection once
+        return vocab_coverage(_docs(sf_dir, ["doc_id", "text"]).materialize(),
+                              vocab_size=200)
+
+    def quantize_embeddings_q(sf_dir):
+        from spatula_ray.ioutil import read_parquet_clean
+        from spatula_ray.stages.similarity import quantize_embeddings
+
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        return quantize_embeddings(ds)
+
+    def stratified_sample_q(sf_dir):
+        from spatula_ray.stages.curate import stratified_sample
+
+        return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                                 strata_col="lang",
+                                 rates_permille={"en": 300, "de": 150,
+                                                 "fr": 50},
+                                 default_permille=25)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -540,6 +571,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": dedup_paragraphs_q,
         "pii_scrub": pii_scrub_q,
         "curate_corpus": curate_corpus_q,
+        "chunk_documents": chunk_documents_q,
+        "vocab_coverage": vocab_coverage_q,
+        "quantize_embeddings": quantize_embeddings_q,
+        "stratified_sample": stratified_sample_q,
     }
 
 
@@ -1450,6 +1485,69 @@ SELECT doc_id, source,
 FROM documents
 ORDER BY mix_pos, doc_id
 LIMIT 100
+""",
+
+        # sliding token windows, size 16 / stride 12: chunk i covers
+        # 0-based tokens [i*12, min(i*12+16, n)); DuckDB list slices are
+        # 1-based inclusive so the slice is ws[i*12+1 : least(i*12+16, n)]
+        "chunk_documents": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= 16 THEN 1
+                  ELSE CAST(ceil((len(ws) - 16) / 12.0) AS BIGINT) + 1
+             END AS nc
+      FROM w)
+SELECT doc_id, i AS chunk_id,
+       least(i * 12 + 16, n) - i * 12 AS n_tokens,
+       array_to_string(ws[i * 12 + 1 : least(i * 12 + 16, n)], ' ')
+         AS chunk_text
+FROM c, UNNEST(generate_series(0, nc - 1)) t(i)
+""",
+
+        # corpus top-200 vocabulary (count desc, term asc — total order),
+        # then per-doc in-vocab occurrence fraction on the 1e-6 grid
+        "vocab_coverage": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+vocab AS (SELECT term FROM cnt
+          QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 200),
+hits AS (SELECT t.doc_id, count(*) AS n_invocab
+         FROM tok t JOIN vocab v USING (term) GROUP BY t.doc_id),
+base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         FROM documents)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(h.n_invocab, 0) AS n_invocab,
+       floor(coalesce(h.n_invocab, 0)::DOUBLE / b.n_tokens * 1e6 + 0.5)
+         / 1e6 AS coverage
+FROM base b LEFT JOIN hits h USING (doc_id)
+""",
+
+        # symmetric per-vector int8 quantization: scale = max(|x|) (exact
+        # IEEE selection), q = floor(x/scale*127 + 0.5) — a chain of single
+        # IEEE double ops, bit-identical between numpy and DuckDB
+        "quantize_embeddings": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e)
+SELECT vec_id, d - 1 AS d,
+       CAST(floor(v[d] / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                  * 127.0 + 0.5) AS BIGINT) AS q,
+       scale
+FROM s, UNNEST(generate_series(1, len(v))) t(d)
+""",
+
+        # per-stratum deterministic permille sample (hash_sample arithmetic,
+        # per-lang rate: en 300, de 150, fr 50, default 25)
+        "stratified_sample": """
+SELECT doc_id, lang,
+       ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+         AS sample_key
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+      < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 150 WHEN 'fr' THEN 50
+                  ELSE 25 END
 """,
 
         # per-source quota: keep <= 10 rows per source in deterministic

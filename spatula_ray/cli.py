@@ -275,7 +275,10 @@ def cmd_scrape(args) -> int:
                       cache_dir=(args.cache_dir if args.fastmode else None))
     result = crawl(seeds, registry, factory, cfg)
     os.makedirs(outdir, exist_ok=True)
-    result.docs_sorted().write_parquet(os.path.join(outdir, "docs"))
+    from .sinks import write_docs
+
+    write_docs(result.docs_sorted(), os.path.join(outdir, "docs"),
+               fmt=getattr(args, "sink_format", "auto"))
     if args.json_records:
         dump_fn = _resolve_dump(args.dump) if args.dump else None
         jdir = os.path.join(outdir, "records")
@@ -388,6 +391,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("--batch-size", type=int, default=128, dest="batch_size")
     ps.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     ps.add_argument("--json-records", action="store_true", dest="json_records")
+    ps.add_argument("--format", default="auto", dest="sink_format",
+                    choices=("auto", "lance", "parquet"),
+                    help="docs sink format: lance when the package is "
+                         "available, partitioned parquet otherwise")
     ps.add_argument("--rmdir", action="store_true",
                     help="clear the output dir first (reference --rmdir)")
     ps.add_argument("--dump", help="module.func used to serialize records "

@@ -186,6 +186,172 @@ def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):
     return toks.groupby("__bucket").map_groups(pack, batch_format="pandas")
 
 
+# -- context-window chunking ---------------------------------------------------
+
+def chunk_documents(ds, size: int = 64, stride: int = 48):
+    """Explode each document into sliding token windows — the chunking
+    pass that turns curated documents into model-context-sized training /
+    retrieval units. Chunk ``i`` covers whitespace tokens
+    ``[i*stride, min(i*stride + size, n))``; the chunk count is
+    ``1`` for docs with ``n <= size`` tokens, else
+    ``ceil((n - size) / stride) + 1`` — every token is covered and the
+    last window reaches the end exactly (no degenerate fully-contained
+    tail chunk).
+
+    Pure streaming map, no shuffle: one pyarrow ``split_pattern`` per
+    batch, then the whole explode is numpy index arithmetic — chunk
+    token indices are gathered from the flat token array with ONE
+    ``take`` and re-joined with ONE ``binary_join``; no per-row Python.
+    At 100 TB this stage is embarrassingly parallel and output-bounded
+    (~size/stride x input tokens).
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text); mirrored exactly by
+    ``__ray_entry__.oracle_sql['chunk_documents']`` (1-based DuckDB list
+    slices of the same token arrays)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lst = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        doc_off = lst.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(doc_off)
+        n_chunks = np.where(
+            lens <= size, 1,
+            (lens - size + stride - 1) // stride + 1).astype(np.int64)
+        c_doc = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        c_off = np.r_[0, np.cumsum(n_chunks)]
+        chunk_id = (np.arange(int(c_off[-1]), dtype=np.int64)
+                    - np.repeat(c_off[:-1], n_chunks))
+        starts = chunk_id * stride
+        ends = np.minimum(starts + size, lens[c_doc])
+        c_lens = ends - starts
+        out_off = np.r_[0, np.cumsum(c_lens)]
+        tok_idx = (np.arange(int(out_off[-1]), dtype=np.int64)
+                   - np.repeat(out_off[:-1], c_lens)
+                   + np.repeat(doc_off[c_doc] + starts, c_lens))
+        gathered = lst.values.take(pa.array(tok_idx))
+        lists = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int32()), gathered)
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[c_doc]),
+            "chunk_id": pa.array(chunk_id),
+            "n_tokens": pa.array(c_lens),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# -- vocabulary coverage / OOV-rate scoring ------------------------------------
+
+def corpus_vocab(docs, vocab_size: int = 200):
+    """The ``vocab_size`` most frequent whitespace tokens of a corpus
+    (ties broken on term ascending — a total deterministic order).
+
+    Shuffle plan: per-batch partial token counts (pandas C groupby over
+    ONE flattened array), a groupby-sum on the term key (Ray pre-combines
+    map-side), then the top_orders pattern — per-batch partial top-V +
+    one single-partition reduce over <= V x blocks rows. Returns a small
+    Dataset (term, cnt); collect with take_all only through
+    :func:`vocab_coverage`, which bounds it by construction."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        _, flat, _ = _flat_tokens(t["text"].to_pylist())
+        vc = pd.DataFrame({"t": flat}).groupby("t", sort=False).size()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(), type=pa.string()),
+            "c": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    counts = (docs.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("c", alias_name="cnt")))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        return t.sort_by([("cnt", "descending"),
+                          ("term", "ascending")]).slice(0, vocab_size)
+
+    pruned = counts.map_batches(local_top, batch_format="pyarrow")
+    return pruned.repartition(1).map_batches(local_top,
+                                             batch_format="pyarrow")
+
+
+class VocabCoverage:
+    """Per-document vocabulary coverage against a broadcast top-V vocab:
+    the data-quality signal that drops boilerplate/gibberish docs whose
+    token mass falls outside the corpus head vocabulary.
+
+    The vocab set ships once per actor (constructor value); each batch
+    flattens to one token array and membership-tests through pandas'
+    vectorized ``isin`` — a pure streaming map over the 100 TB side,
+    exactly the :class:`Decontaminate` shape. Emits (doc_id, n_tokens,
+    n_invocab, coverage) with coverage on the 1e-6 grid."""
+
+    def __init__(self, vocab):
+        import ray
+
+        if isinstance(vocab, ray.ObjectRef):
+            vocab = ray.get(vocab)
+        self._vocab = (vocab if isinstance(vocab, frozenset)
+                       else frozenset(vocab))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        idx, flat, lens = _flat_tokens(texts)
+        hit = pd.Series(flat).isin(self._vocab).to_numpy()
+        n_in = np.bincount(idx, weights=hit,
+                           minlength=len(texts)).astype(np.int64)
+        cov = n_in / np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens),
+            "n_invocab": pa.array(n_in),
+            "coverage": _grid(cov, 1e6),
+        })
+
+
+def vocab_coverage(docs, vocab_size: int = 200):
+    """Two-pass vocabulary-coverage scoring: build the corpus top-V vocab
+    (:func:`corpus_vocab` — one term-key shuffle), broadcast it, score
+    every document with a streaming ``isin`` map. The corpus is scanned
+    twice; pass a materialized projection when upstream is expensive.
+    The driver holds only the V-row vocab (bounded by construction)."""
+    vocab = frozenset(
+        r["term"] for r in corpus_vocab(docs, vocab_size).take_all())
+    return docs.map_batches(
+        VocabCoverage, fn_constructor_kwargs={"vocab": vocab},
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
+
+
+# -- per-stratum deterministic sampling ----------------------------------------
+
+def stratified_sample(ds, strata_col: str, rates_permille: Dict[str, int],
+                      default_permille: int = 0, key: str = "doc_id"):
+    """Deterministic per-stratum Bernoulli sample: row kept iff its
+    :func:`hash_sample` bucket is below its stratum's permille rate —
+    up-/down-weighting sources or languages without an RNG, stable at any
+    parallelism and under resume (the mixing step of a data recipe).
+
+    Pure per-batch filter, no shuffle; the rate table rides into the
+    closure (tiny). Same int64-safe arithmetic as ``hash_sample``."""
+    def pick(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        strata = t[strata_col].to_pylist()
+        rate = np.fromiter(
+            (rates_permille.get(s, default_permille) for s in strata),
+            dtype=np.int64, count=len(strata))
+        t = t.append_column("sample_key", pa.array(bucket))
+        return t.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # -- eval-set decontamination -------------------------------------------------
 
 def _distinct_shingles(texts, k: int = 3):

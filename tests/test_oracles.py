@@ -20,7 +20,10 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "decontaminate", "mix_head", "cap_per_source",
                       "dedup_representatives",
                       "purchase_attribution", "value_quantiles",
-                      "events_3h_sliding", "new_docs", "props_k_stats"]
+                      "events_3h_sliding", "new_docs", "props_k_stats",
+                      # round-3b: chunking / vocab / quantization / strata
+                      "chunk_documents", "vocab_coverage",
+                      "quantize_embeddings", "stratified_sample"]
 
 
 def _duck(sf_dir):
