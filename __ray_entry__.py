@@ -504,6 +504,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                  "fr": 50},
                                  default_permille=25)
 
+    def epoch_shuffle_q(sf_dir):
+        from spatula_ray.stages.curate import epoch_shuffle
+
+        return epoch_shuffle(_docs(sf_dir, ["doc_id"]), epoch=3, n_shards=8)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -527,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen_urls": dw.docweb_seen_urls,
         "crawl_scout": dw.docweb_scout,
         "crawl_class_counts": dw.docweb_class_counts,
+        "crawl_span_stats": dw.docweb_span_stats,
         # relational / events operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_orders_by_revenue": rel.top_orders_by_revenue,
@@ -575,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": vocab_coverage_q,
         "quantize_embeddings": quantize_embeddings_q,
         "stratified_sample": stratified_sample_q,
+        "epoch_shuffle": epoch_shuffle_q,
     }
 
 
@@ -1485,6 +1492,35 @@ SELECT doc_id, source,
 FROM documents
 ORDER BY mix_pos, doc_id
 LIMIT 100
+""",
+
+        # per-doc span-sequence profile: the engine aggregates the ACTUAL
+        # crawled spans; the oracle derives the same numbers from the
+        # 5-span structure the site emits per doc (4 text + 1 media,
+        # text chars = 'Doc <id>' + lang + source + body) — an aggregate
+        # form of the span-sequence-equality invariant
+        "crawl_span_stats": """
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_text_spans,
+       CAST(1 AS BIGINT) AS n_media_spans,
+       CAST(length('Doc ' || doc_id) + length(lang) + length(source)
+            + length(text) AS BIGINT) AS n_text_chars
+FROM documents
+""",
+
+        # deterministic epoch shuffle (epoch 3, 8 shards): the repo's
+        # int64-safe hash mix keyed by (doc_id, epoch); pos = rank within
+        # shard by (h, doc_id)
+        "epoch_shuffle": """
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id + 3 * 1000003) % 2147483648) * 2654435761 + 40503)
+           % 4294967296 AS hv
+  FROM documents)
+SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+         AS pos
+FROM h
 """,
 
         # sliding token windows, size 16 / stride 12: chunk i covers

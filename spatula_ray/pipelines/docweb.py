@@ -101,6 +101,48 @@ def docweb_spans(sf_dir: str):
     return result.docs.map_batches(flatten, batch_format="pyarrow")
 
 
+def docweb_span_stats(sf_dir: str):
+    """Per-document interleaved-payload profile over the crawled span
+    sequences: text/media span counts and total text characters —
+    the mixture statistics a multimodal training pipeline computes
+    before deciding packing and sampling ratios.
+
+    Aggregates the ACTUAL crawled spans (so the oracle cross-checks the
+    span-sequence invariant in aggregate form): per-batch vectorized
+    partial sums (pandas C groupby over the flattened span table — a
+    doc's spans may straddle blocks), then one groupby-sum on doc_id
+    (Ray pre-combines map-side)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    spans = docweb_spans(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        is_text = pc.equal(t["kind"], "text").to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(),
+            "t": is_text.astype("int64"),
+            "m": (~is_text).astype("int64"),
+            "c": (chars * is_text).astype("int64"),
+        })
+        g = df.groupby("doc_id", sort=False).sum().reset_index()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()),
+            "t": pa.array(g["t"].to_numpy()),
+            "m": pa.array(g["m"].to_numpy()),
+            "c": pa.array(g["c"].to_numpy()),
+        })
+
+    agg = spans.map_batches(partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("t", alias_name="n_text_spans"),
+                                     Sum("m", alias_name="n_media_spans"),
+                                     Sum("c", alias_name="n_text_chars"))
+    return agg
+
+
 def docweb_seen_urls(sf_dir: str):
     """The crawl's URL-seen set as a one-column table (canonical URLs
     actually fetched)."""

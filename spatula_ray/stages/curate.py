@@ -352,6 +352,47 @@ def stratified_sample(ds, strata_col: str, rates_permille: Dict[str, int],
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+# -- deterministic epoch shuffle -----------------------------------------------
+
+def epoch_shuffle(ds, epoch: int, n_shards: int = 8, key: str = "doc_id"):
+    """Deterministic global training-order shuffle for one epoch: every
+    row gets a shard and a position inside that shard, both pure
+    functions of (key, epoch) — a new order every epoch, identical at any
+    parallelism, resumable mid-epoch by remembering (shard, pos). The
+    alternative, ``ds.random_shuffle()``, is seed-per-run and cannot be
+    replayed after a mid-epoch failure.
+
+    ``h = ((key + epoch * 1000003) % 2^31) * 2654435761 + 40503) % 2^32``
+    (the repo's int64-safe mix), ``shard = h % n_shards``, ``pos`` = rank
+    within the shard by (h, key). Ranking co-locates each shard in one
+    group (a groupby shuffle moving only (key, h) pairs + payload once)
+    and ranks it with one vectorized sort — size ``n_shards`` so a shard
+    fits one worker (at 100 TB use n_shards ~ corpus_bytes / 1 GiB; the
+    rank is per-shard, so more shards = smaller groups, no global sort)."""
+    def mix(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (((k + np.uint64(epoch) * np.uint64(1000003))
+              % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        return pa.table({
+            key: t[key],
+            "__h": pa.array(h.astype(np.int64)),
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+        })
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", key], kind="mergesort")
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "shard": g["shard"].to_numpy(),
+            "pos": np.arange(len(g), dtype=np.int64),
+        })
+
+    return (ds.map_batches(mix, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
 # -- eval-set decontamination -------------------------------------------------
 
 def _distinct_shingles(texts, k: int = 3):

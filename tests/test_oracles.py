@@ -23,7 +23,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "events_3h_sliding", "new_docs", "props_k_stats",
                       # round-3b: chunking / vocab / quantization / strata
                       "chunk_documents", "vocab_coverage",
-                      "quantize_embeddings", "stratified_sample"]
+                      "quantize_embeddings", "stratified_sample",
+                      "crawl_span_stats", "epoch_shuffle"]
 
 
 def _duck(sf_dir):

@@ -133,6 +133,72 @@ def test_stratified_sample_rates_and_determinism():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_epoch_shuffle_properties():
+    import ray.data as rd
+
+    from spatula_ray.stages.curate import epoch_shuffle
+
+    n = 500
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n),
+                                                    type=pa.int64())}))
+    e1 = epoch_shuffle(ds, epoch=1, n_shards=4).to_pandas()
+    # a permutation: every doc exactly once; positions dense per shard
+    assert sorted(e1["doc_id"]) == list(range(n))
+    for _, g in e1.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # deterministic replay, different epochs give a different order
+    again = epoch_shuffle(ds, epoch=1, n_shards=4).to_pandas()
+    key = lambda df: df.sort_values("doc_id")[["shard", "pos"]].to_numpy()
+    assert (key(e1) == key(again)).all()
+    e2 = epoch_shuffle(ds, epoch=2, n_shards=4).to_pandas()
+    assert not (key(e1) == key(e2)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_stats_partials_straddle_blocks():
+    """The per-batch partial agg must fold correctly when one doc's spans
+    split across blocks — force 1-row blocks and compare to a single-frame
+    pandas aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    rows = []
+    for d in (1, 2):
+        for i in range(3):
+            rows.append({"doc_id": d, "kind": "text" if i < 2 else "media",
+                         "text": f"x{d}" * (i + 1) if i < 2 else "",
+                         "media_ref": "" if i < 2 else "m://r",
+                         "offset": i})
+    ds = rd.from_items(rows).repartition(len(rows))
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        is_text = pc.equal(t["kind"], "text").to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                           "t": is_text.astype("int64"),
+                           "m": (~is_text).astype("int64"),
+                           "c": (chars * is_text).astype("int64")})
+        g = df.groupby("doc_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("t", alias_name="n_text_spans"),
+                      Sum("m", alias_name="n_media_spans"),
+                      Sum("c", alias_name="n_text_chars"))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[1, "n_text_spans"] == 2
+    assert out.loc[1, "n_media_spans"] == 1
+    assert out.loc[1, "n_text_chars"] == 2 + 4   # 'x1' + 'x1x1'
+    assert out.loc[2, "n_text_chars"] == 2 + 4
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sink_seam_parquet_fallback(tmp_path):
     import ray.data as rd
 
