@@ -148,7 +148,9 @@ def run_bench(crawl_only: bool = False) -> dict:
 SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "ann_topk", "lsh_ann_topk", "ivf_ann_topk",
                     "repetition_stats", "pack_sequences", "dup_clusters",
-                    "tfidf_top_terms", "dedup_paragraphs", "pii_scrub"]
+                    "tfidf_top_terms", "dedup_paragraphs", "pii_scrub",
+                    "chunk_documents", "vocab_coverage",
+                    "quantize_embeddings", "epoch_shuffle"]
 
 
 def _build_10x(src_dir: str, dst_dir: str) -> None:

@@ -56,18 +56,6 @@ from .schema import (
 _RUNNER_CACHE: Dict[str, PageRunner] = {}
 
 
-# columns retained between waves: emit + page rows only, without the wide
-# frontier payload columns (url/input_json/source_spec/...)
-_NARROW_COLUMNS = list(dict.fromkeys(
-    ["row_kind"] + [f.name for f in DOCS_SCHEMA] + [f.name for f in PAGE_LOG_SCHEMA]))
-
-
-def _narrow_fn(t: pa.Table) -> pa.Table:
-    keep = t.filter(pc.is_in(t["row_kind"],
-                             value_set=pa.array([KIND_EMIT, KIND_PAGE])))
-    return keep.select(_NARROW_COLUMNS)
-
-
 def _page_count_batch(t: pa.Table) -> pa.Table:
     """Narrow per-batch partial counts over a wave's page-log rows: page
     total, status histogram, fetch attempts. Emits a tiny (k, v) table the
@@ -516,23 +504,32 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         out = out.materialize()
         t_run = time.time()
 
-        # ONE narrow materialization per wave (emit + page rows, frontier
-        # payload columns dropped) so the wide union blocks — which include
-        # every expand candidate with its payload — are released at wave
-        # end. Retaining lazy views over the union would pin the entire
-        # crawl's raw output in the object store for the life of the result
-        # and force later pipelines to spill; materializing docs and pages
-        # separately would cost an extra execution per wave.
-        narrow = out.map_batches(_narrow_fn, batch_format="pyarrow") \
-                    .materialize()
-        emits = narrow.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
-                      .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
-        pages = narrow.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
-                      .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
-        cands = out.map_batches(
-            lambda t: t.filter(pc.is_in(t["row_kind"],
-                                        value_set=pa.array([KIND_EXPAND, KIND_DEFER]))),
-            batch_format="pyarrow")
+        # ONE combined materialization per wave over the wide union blocks
+        # (round-3 fix: the narrow emit/page projection and the candidate
+        # winner-filter were two separate full scans of the union — the
+        # biggest per-wave data since every expand candidate carries its
+        # payload; fusing them halves the wide-scan volume and removes one
+        # executor startup per wave). The combined table keeps emit/page
+        # rows (frontier payload columns are nulls there) plus ONLY the
+        # winner-filtered expand/defer rows, so the union blocks release at
+        # wave end exactly as before; candidates that lose the dedup
+        # election never reach a materialized block.
+        commit_shards()
+
+        def _keep_and_elect(t: pa.Table) -> pa.Table:
+            is_ep = pc.is_in(t["row_kind"],
+                             value_set=pa.array([KIND_EMIT, KIND_PAGE]))
+            cand = t.filter(pc.is_in(
+                t["row_kind"], value_set=pa.array([KIND_EXPAND, KIND_DEFER])))
+            winners = query_batch(cand)
+            return pa.concat_tables([t.filter(is_ep), winners])
+
+        combined = out.map_batches(_keep_and_elect,
+                                   batch_format="pyarrow").materialize()
+        emits = combined.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
+                        .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
+        pages = combined.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
+                        .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
 
         if ckpt:
             # checkpointed crawls pay a per-wave counting pass so the
@@ -549,12 +546,14 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             docs_parts.append(emits)
             page_parts.append(pages)
 
-        # the runner batches already offered their expand rows (the
-        # materialize above is the barrier); elect winners, then project +
-        # winner-filter candidates in one pass over the materialized output
-        commit_shards()
-        frontier_ds = cands.map_batches(query_batch,
-                                        batch_format="pyarrow").materialize()
+        # next frontier: re-materialize ONLY the (already winner-filtered)
+        # expand/defer rows into fresh small blocks so the next wave's
+        # count() is metadata and the combined blocks (doc payloads) are
+        # not pinned by the frontier lineage
+        frontier_ds = combined.map_batches(
+            lambda t: t.filter(pc.is_in(
+                t["row_kind"], value_set=pa.array([KIND_EXPAND, KIND_DEFER]))),
+            batch_format="pyarrow").materialize()
         out = None  # release the union blocks
         if deferred_ds is not None:
             n_def = deferred_ds.count()
