@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "user_sessions": rel.user_sessions,
         "purchase_attribution": rel.purchase_attribution,
+        "purchase_followups": rel.purchase_followups,
         "value_quantiles": rel.value_quantiles,
         "events_3h_sliding": rel.events_3h_sliding,
         "new_docs": new_docs,
@@ -1380,6 +1381,20 @@ QUALIFY row_number() OVER (PARTITION BY t.lang
         # most recent click at-or-before it (engine: hash-bucket
         # co-location on user_id + one vectorized cummax predecessor scan
         # per bucket); gap is exact integer microseconds
+        "purchase_followups": """
+WITH p AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT ts AS click_ts, user_id, value FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, count(*) AS n_clicks,
+       floor(sum(c.value) * 10000 + 0.5) / 10000 AS click_value
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.click_ts) BETWEEN epoch_us(p.ts) + 1
+                              AND epoch_us(p.ts) + 3600000000
+GROUP BY p.event_id
+""",
+
         "purchase_attribution": """
 WITH l AS (SELECT event_id, ts, user_id FROM events
            WHERE event_type = 'purchase'),

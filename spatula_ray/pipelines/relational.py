@@ -303,6 +303,52 @@ def purchase_attribution(sf_dir: str):
     return joined.map_batches(gap, batch_format="pandas")
 
 
+def purchase_followups(sf_dir: str):
+    """Range-join demo: every purchase event joined to the same user's
+    clicks in the hour AFTER it (post-conversion engagement — the windowed
+    companion to :func:`purchase_attribution`'s point-in-time lookup),
+    then aggregated per purchase. Window is ``click_ts ∈ (ts, ts + 1h]``
+    exactly: ``lo = 1`` microsecond makes the left bound strict. Value
+    sums snap to the 1e-4 grid (the suite's float policy). Oracle: plain
+    SQL BETWEEN join + GROUP BY."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def split(kind: str, keep: list, rename: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind)).select(keep)
+            return t.rename_columns([rename.get(c, c)
+                                     for c in t.schema.names])
+        return fn
+
+    purchases = ev.map_batches(
+        split("purchase", ["event_id", "ts", "user_id"], {}),
+        batch_format="pyarrow")
+    clicks = ev.map_batches(
+        split("click", ["ts", "user_id", "value"], {"ts": "click_ts"}),
+        batch_format="pyarrow")
+
+    hour_us = 3_600_000_000
+    joined = range_join(purchases, clicks, left_on="ts",
+                        right_on="click_ts", lo=1, hi=hour_us,
+                        by="user_id")
+    out = joined.groupby("event_id").aggregate(
+        Count(alias_name="n_clicks"), Sum("value", alias_name="click_value"))
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "n_clicks": t["n_clicks"],
+            "click_value": _grid(t["click_value"], 10000.0),
+        })
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
 def value_quantiles(sf_dir: str):
     """Exact per-type quantiles of the event value (p50/p90/p99, DuckDB
     ``quantile_disc`` convention: sorted element at ceil(q*n)-1 — an

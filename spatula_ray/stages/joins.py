@@ -264,3 +264,169 @@ def hash_bucket_anti_join(left, right, on: List[str], num_buckets: int = 32):
         return t.drop_columns([marker])
 
     return joined.map_batches(only_missing, batch_format="pyarrow")
+
+
+def range_join(left, right, left_on: str, right_on: str,
+               lo: int, hi: int, by: Optional[str] = None,
+               num_buckets: int = 32, suffix: str = "_r",
+               bin_width: Optional[int] = None):
+    """Interval (range) join — an operator Ray Data lacks: inner-join
+    every left row to the right rows whose ``right_on`` falls inside
+    ``[left_on + lo, left_on + hi]`` (both bounds inclusive), optionally
+    within the same ``by`` key. On-columns must be integer-orderable
+    (ints, or timestamps which are cast to int64 microseconds); ``lo`` /
+    ``hi`` are offsets in those units. Mirrors the reference join shapes
+    the way :func:`asof_join` does (cf. reference ``pages.py`` dependency
+    join semantics) but for windows instead of points.
+
+    Partitioning (documented per the custom-operator rule):
+
+    * with ``by`` — all rows of a key co-locate in one hash bucket (the
+      :func:`hash_bucket_join` exchange); salt a pathological hot key by
+      range-splitting ``left_on`` within it.
+    * without ``by`` — both sides partition by TIME BIN of width
+      ``bin_width`` (default ``hi - lo + 1``): a right row belongs to
+      exactly one bin, a left row replicates to the ≤2 (for the default
+      width) bins its window overlaps, so every candidate pair meets in
+      exactly one bin and no output dedup is needed. Replication factor
+      is ``ceil((hi - lo) / bin_width) + 1`` — the knob trades left-side
+      duplication against per-bin fan-in.
+
+    Per-bucket kernel is pure vectorized numpy + Arrow ``take``: right
+    rows sort once by (key-code, global ts rank) — an int64 composite
+    that cannot collide while ``n_keys * (n_right + 1) < 2**63`` — and
+    every left row's match range comes from two ``np.searchsorted``
+    calls; pair expansion is ``np.repeat`` + one segmented arange. No
+    per-key Python, no pandas dtype upcasts (Arrow-native kernel)."""
+    if hi < lo:
+        raise ValueError("range_join needs lo <= hi")
+    left = left.materialize()
+    right = right.materialize()
+    lnames = left.schema().names
+    rnames = right.schema().names
+    rename = {c: c + suffix for c in rnames if c in lnames}
+    out_r = [rename.get(c, c) for c in rnames]
+    all_names = lnames + out_r
+    types = dict(_dataset_types(left))
+    for name, typ in _dataset_types(right).items():
+        types[rename.get(name, name)] = typ
+
+    width = bin_width if bin_width is not None else (hi - lo + 1)
+    if width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def _on_int(t: pa.Table, col: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        arr = t[col]
+        if pa.types.is_timestamp(arr.type):
+            arr = pc.cast(arr, pa.int64())
+        elif not pa.types.is_integer(arr.type):
+            raise TypeError(f"range_join on-column {col!r} must be "
+                            f"integer or timestamp, got {arr.type}")
+        return arr.combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+    def prep(side: int, renames: dict, on_src: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc  # noqa: F401
+
+            t = t.replace_schema_metadata(None)
+            if renames:
+                t = t.rename_columns(
+                    [renames.get(c, c) for c in t.schema.names])
+            on_i = _on_int(t, renames.get(on_src, on_src))
+            if by is not None:
+                bucket = _bucket_of(
+                    t, [renames.get(by, by) if side == 0 else by],
+                    num_buckets)
+                t = t.append_column("__bucket", bucket)
+            elif side == 0:   # right: one bin per row
+                t = t.append_column(
+                    "__bucket", pa.array(on_i // width, type=pa.int64()))
+            else:             # left: replicate to every overlapped bin
+                b0 = (on_i + lo) // width
+                b1 = (on_i + hi) // width
+                reps = (b1 - b0 + 1).astype(np.int64)
+                idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+                seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
+                bins = np.repeat(b0, reps) + (
+                    np.arange(reps.sum(), dtype=np.int64)
+                    - np.repeat(seg, reps))
+                t = t.take(pa.array(idx))
+                on_i = on_i[idx]
+                t = t.append_column("__bucket",
+                                    pa.array(bins, type=pa.int64()))
+            t = t.append_column("__side", pa.array([side] * t.num_rows,
+                                                   type=pa.int8()))
+            t = t.append_column("__on", pa.array(on_i, type=pa.int64()))
+            for name in all_names:
+                if name not in t.schema.names:
+                    t = t.append_column(
+                        name, pa.nulls(t.num_rows, type=types[name]))
+            return t.select(all_names + ["__bucket", "__side", "__on"])
+
+        return fn
+
+    unioned = (left.map_batches(prep(1, {}, left_on), batch_format="pyarrow")
+               .union(right.map_batches(prep(0, rename, right_on),
+                                        batch_format="pyarrow")))
+    by_r = rename.get(by, by) if by is not None else None
+
+    def kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.combine_chunks()
+        empty = pa.table(
+            {n: pa.nulls(0, type=types[n]) for n in all_names})
+        rmask = pc.equal(g["__side"], 0)
+        lmask = pc.equal(g["__side"], 1)
+        rt = g.filter(rmask)
+        lt = g.filter(lmask)
+        if rt.num_rows == 0 or lt.num_rows == 0:
+            return empty
+        r_on = rt["__on"].to_numpy(zero_copy_only=False)
+        l_on = lt["__on"].to_numpy(zero_copy_only=False)
+        nr = len(r_on)
+        # global ts rank of every right row (stable => distinct ranks)
+        ts_order = np.argsort(r_on, kind="stable")
+        sorted_rts = r_on[ts_order]
+        pos = np.empty(nr, dtype=np.int64)
+        pos[ts_order] = np.arange(nr, dtype=np.int64)
+        a_lo = np.searchsorted(sorted_rts, l_on + lo, side="left")
+        a_hi = np.searchsorted(sorted_rts, l_on + hi, side="right")
+        if by is not None:
+            # shared key dictionary across both sides of the bucket — one
+            # CONTIGUOUS array, because dictionary_encode over a chunked
+            # array encodes each chunk against its own dictionary
+            both = pa.concat_arrays(
+                [c.cast(types[by]) for c in lt[by].chunks]
+                + [c.cast(types[by]) for c in rt[by_r].chunks])
+            codes = pc.dictionary_encode(both).indices \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            gid_l, gid_r = codes[:lt.num_rows], codes[lt.num_rows:]
+            K = np.int64(nr + 1)
+            enc_r = gid_r * K + pos
+            r_order = np.argsort(enc_r)
+            enc_sorted = enc_r[r_order]
+            lo_idx = np.searchsorted(enc_sorted, gid_l * K + a_lo, "left")
+            hi_idx = np.searchsorted(enc_sorted, gid_l * K + a_hi, "left")
+        else:
+            r_order = ts_order
+            lo_idx, hi_idx = a_lo, a_hi
+        counts = hi_idx - lo_idx
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        l_take = np.repeat(np.arange(lt.num_rows, dtype=np.int64), counts)
+        seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        r_take = r_order[np.repeat(lo_idx, counts)
+                         + (np.arange(total, dtype=np.int64)
+                            - np.repeat(seg, counts))]
+        lo_cols = lt.select(lnames).take(pa.array(l_take))
+        ro_cols = rt.select(out_r).take(pa.array(r_take))
+        return pa.table({**{n: lo_cols[n] for n in lnames},
+                         **{n: ro_cols[n] for n in out_r}})
+
+    return unioned.groupby("__bucket").map_groups(kernel,
+                                                  batch_format="pyarrow")
