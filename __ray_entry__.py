@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": rel.purchase_attribution,
         "purchase_followups": rel.purchase_followups,
         "value_quantiles": rel.value_quantiles,
+        "value_quantiles_global": rel.value_quantiles_global,
         "events_3h_sliding": rel.events_3h_sliding,
         "new_docs": new_docs,
         "props_k_stats": rel.props_k_stats,
@@ -1409,6 +1410,14 @@ FROM l ASOF JOIN r
         # exact per-type value quantiles, quantile_disc convention
         # (sorted element at ceil(q*n)-1 — an actual element, so equality
         # is exact with no float grid)
+        "value_quantiles_global": """
+SELECT count(value) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+""",
+
         "value_quantiles": """
 SELECT event_type, count(*) AS n,
        quantile_disc(value, 0.5) AS p50,

@@ -380,6 +380,20 @@ def value_quantiles(sf_dir: str):
     return ev.groupby("event_type").map_groups(q, batch_format="pandas")
 
 
+def value_quantiles_global(sf_dir: str):
+    """Global (ungrouped) exact event-value quantiles via distributed
+    histogram bisection (``stages/selection.py``) — the scale path the
+    per-type :func:`value_quantiles` docstring promises: no group
+    co-location assumption, counts-only passes, no column shuffle.
+    ``gather_threshold=0`` forces the pure-bisection exit so the gate
+    exercises the full protocol, not the small-data gather shortcut."""
+    from ..stages.selection import exact_quantiles_table
+
+    ev = _read(sf_dir, "events", ["value"])
+    return exact_quantiles_table(ev, "value", [0.5, 0.9, 0.99],
+                                 gather_threshold=0)
+
+
 def events_3h_sliding(sf_dir: str):
     """Trailing 3-hour sliding window per event_type over the hourly
     aggregate — the windowed-aggregate operator Ray Data lacks, built as

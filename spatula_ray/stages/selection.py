@@ -1,0 +1,180 @@
+"""Exact distributed selection (k-th element / quantiles) over a single
+numeric column of arbitrary size — the 100 TB path that
+``pipelines/relational.py::value_quantiles`` documents as its scale knob:
+that operator assumes a bounded-enum group key so each group co-locates;
+this one assumes nothing about cardinality or distribution.
+
+Shape: iterative histogram bisection. Every pass is one ``map_batches``
+over the (materialized, column-pruned) input emitting a tiny per-batch
+count table; the driver folds B×R integers (B bins × R active ranks) and
+narrows each rank's candidate interval to one bin. Values are bisected on
+the ORDER-PRESERVING int64 view of float64 (sign-folded IEEE bits), so the
+loop converges in ≤ ceil(64 / log2(bins)) passes regardless of value
+distribution — with the default 4096 bins that is ≤ 6 scans — and the
+interval arithmetic runs on Python ints (no float midpoints, no epsilon
+termination, no int64 span overflow at the full domain). When an
+interval's population drops under ``gather_threshold`` the loop stops
+early and one filter pass gathers just those values for a final in-memory
+exact pick — the common exit after 1-2 scans on real data.
+
+Nothing but counts and the final ≤ threshold-sized gather ever reaches
+the driver; no all-to-all shuffle at any point (compare ``ds.sort(col)``,
+which moves the entire column). NaNs and nulls are excluded, mirroring
+SQL aggregate semantics (DuckDB ``quantile_disc`` ignores NULLs).
+
+Rank convention: ``quantile_disc`` — the sorted element at index
+``ceil(q * n) - 1`` (an actual data element, so cross-engine equality is
+exact with no float grid).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_I64_MIN = -(1 << 63)
+_I64_MAX = (1 << 63) - 1
+
+
+def _f64_to_ordered_i64(x: np.ndarray) -> np.ndarray:
+    """Monotone bijection IEEE float64 -> int64: non-negative floats keep
+    their (already order-correct, non-negative) bit patterns; negative
+    floats map to strictly negative ints with order preserved (the
+    signed-space sign-fold: ``~bits ^ INT64_MIN``; e.g. -0.0 -> -1,
+    -inf -> near INT64_MIN)."""
+    bits = x.astype(np.float64).view(np.int64)
+    return np.where(bits < 0, ~bits ^ np.int64(_I64_MIN), bits)
+
+
+def _ordered_i64_to_f64(k: np.ndarray) -> np.ndarray:
+    bits = np.where(k < 0, ~(k ^ np.int64(_I64_MIN)), k)
+    return bits.view(np.float64)
+
+
+def _clean_col(t: pa.Table, col: str) -> np.ndarray:
+    a = t[col].combine_chunks()
+    x = a.to_numpy(zero_copy_only=False).astype(np.float64)
+    return x[~np.isnan(x)]       # nulls surface as NaN in the numpy view
+
+
+def _quantiles_impl(ds, col: str, qs: Sequence[float], bins: int,
+                    gather_threshold: int) -> Tuple[Dict[float, float], int]:
+    vals = ds.select_columns([col]).materialize()
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([int(len(_clean_col(t, col)))],
+                                       type=pa.int64())})
+
+    n = sum(r["n"] for r in
+            vals.map_batches(count_batch, batch_format="pyarrow").take_all())
+    if n == 0:
+        return {float(q): float("nan") for q in qs}, 0
+
+    ranks = sorted({max(int(np.ceil(q * n)) - 1, 0) for q in qs})
+    # per-rank state: inclusive [lo, hi] interval (Python ints in
+    # ordered-int64 space), elements strictly below lo, interval size
+    state = {r: {"lo": _I64_MIN, "hi": _I64_MAX, "below": 0,
+                 "count": n, "value": None} for r in ranks}
+
+    max_passes = int(np.ceil(64 / np.log2(bins))) + 2
+    for _ in range(max_passes):
+        active = [r for r, s in state.items()
+                  if s["value"] is None and s["count"] > gather_threshold]
+        if not active:
+            break
+        edges: Dict[int, np.ndarray] = {}
+        for r in active:
+            s = state[r]
+            span = s["hi"] - s["lo"] + 1            # exact (Python ints)
+            step = max(span // bins, 1)
+            e = [s["lo"] + i * step for i in range(1, bins)]
+            edges[r] = np.array([v for v in e if v <= s["hi"]],
+                                dtype=np.int64)
+
+        iv = {r: (state[r]["lo"], state[r]["hi"]) for r in active}
+
+        def hist_batch(t: pa.Table, _edges=edges, _iv=iv,
+                       _active=tuple(active)) -> pa.Table:
+            k = _f64_to_ordered_i64(_clean_col(t, col))
+            out_r, out_b, out_c = [], [], []
+            for r in _active:
+                lo, hi = _iv[r]
+                in_iv = k[(k >= lo) & (k <= hi)]
+                if len(in_iv) == 0:
+                    continue
+                idx = np.searchsorted(_edges[r], in_iv, side="right")
+                bc = np.bincount(idx, minlength=len(_edges[r]) + 1)
+                nz = np.nonzero(bc)[0]
+                out_r.extend([r] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(bc[nz].tolist())
+            return pa.table({"r": pa.array(out_r, type=pa.int64()),
+                             "b": pa.array(out_b, type=pa.int64()),
+                             "c": pa.array(out_c, type=pa.int64())})
+
+        folded: Dict[int, np.ndarray] = {
+            r: np.zeros(len(edges[r]) + 1, dtype=np.int64) for r in active}
+        for row in vals.map_batches(hist_batch,
+                                    batch_format="pyarrow").take_all():
+            folded[row["r"]][row["b"]] += row["c"]
+
+        for r in active:
+            s = state[r]
+            cum = np.cumsum(folded[r])
+            local = r - s["below"]                  # 0-based within [lo,hi]
+            b = int(np.searchsorted(cum, local, side="right"))
+            e = edges[r]
+            new_lo = s["lo"] if b == 0 else int(e[b - 1])
+            new_hi = int(e[b]) - 1 if b < len(e) else s["hi"]
+            if b > 0:
+                s["below"] += int(cum[b - 1])
+            s["count"] = int(folded[r][b])
+            s["lo"], s["hi"] = new_lo, new_hi
+            if s["lo"] == s["hi"]:
+                s["value"] = float(_ordered_i64_to_f64(
+                    np.array([s["lo"]], dtype=np.int64))[0])
+
+    pending = [r for r, s in state.items() if s["value"] is None]
+    if pending:
+        spans = [(state[r]["lo"], state[r]["hi"]) for r in pending]
+
+        def gather_batch(t: pa.Table, _spans=tuple(spans)) -> pa.Table:
+            k = _f64_to_ordered_i64(_clean_col(t, col))
+            keep = np.zeros(len(k), dtype=bool)
+            for lo, hi in _spans:
+                keep |= (k >= lo) & (k <= hi)
+            return pa.table({"k": pa.array(k[keep], type=pa.int64())})
+
+        got = np.sort(np.array(
+            [row["k"] for row in
+             vals.map_batches(gather_batch,
+                              batch_format="pyarrow").take_all()],
+            dtype=np.int64))
+        for r in pending:
+            s = state[r]
+            seg = got[(got >= s["lo"]) & (got <= s["hi"])]
+            s["value"] = float(_ordered_i64_to_f64(
+                np.array([seg[r - s["below"]]], dtype=np.int64))[0])
+
+    return ({float(q): state[max(int(np.ceil(q * n)) - 1, 0)]["value"]
+             for q in qs}, n)
+
+
+def exact_quantiles(ds, col: str, qs: Sequence[float], bins: int = 4096,
+                    gather_threshold: int = 65536) -> Dict[float, float]:
+    """Exact ``quantile_disc`` values of ``ds[col]`` for every q in
+    ``qs``. Returns {q: value}. See module docstring for the protocol."""
+    return _quantiles_impl(ds, col, qs, bins, gather_threshold)[0]
+
+
+def exact_quantiles_table(ds, col: str, qs: List[float], bins: int = 4096,
+                          gather_threshold: int = 65536) -> pa.Table:
+    """One-row Arrow table ``(n, p{q}, ...)`` for pipeline use."""
+    res, n = _quantiles_impl(ds, col, qs, bins, gather_threshold)
+    cols = {"n": pa.array([n], type=pa.int64())}
+    for q in qs:
+        cols[f"p{int(round(q * 100))}"] = pa.array([res[q]],
+                                                   type=pa.float64())
+    return pa.table(cols)

@@ -531,3 +531,30 @@ def test_range_join_timestamps_and_empty():
     assert len(none) == 0
     # (schema of an all-empty Ray result is harness-dependent — zero
     # blocks survive to_pandas without columns — so only rows asserted)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_vs_numpy():
+    import ray.data as rd
+
+    from spatula_ray.stages.selection import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.normal(0, 1, 900), rng.normal(-50, 5, 90),
+                        np.repeat(3.25, 50), [np.nan] * 10,
+                        [-0.0, 0.0, 1e-300, -1e-300]])
+    rng.shuffle(x)
+    ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(7)
+    clean = np.sort(x[~np.isnan(x)])
+    n = len(clean)
+    qs = [0.01, 0.5, 0.9, 0.999]
+    want = {q: float(clean[max(int(np.ceil(q * n)) - 1, 0)]) for q in qs}
+    # both exits: pure bisection (threshold 0) and the gather shortcut
+    for thr in (0, 100):
+        got = exact_quantiles(ds, "v", qs, bins=64, gather_threshold=thr)
+        for q in qs:
+            assert got[q] == want[q], (thr, q, got[q], want[q])
+    # all-NaN input
+    nan_ds = rd.from_arrow(pa.table({"v": pa.array([np.nan] * 5)}))
+    out = exact_quantiles(nan_ds, "v", [0.5])
+    assert np.isnan(out[0.5])
