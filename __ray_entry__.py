@@ -430,6 +430,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "cluster_size": t["cluster_size"]}),
             batch_format="pyarrow")
 
+    def strip_boilerplate_q(sf_dir):
+        from spatula_ray.stages.curate import strip_frequent_units
+
+        # same boilerplate-injected corpus as dedup_paragraphs: the
+        # every-doc header (df = 1000 permille) is scrubbed, the
+        # one-in-three footer (~334 permille) survives the 500 threshold
+        return strip_frequent_units(
+            _docs_with_paragraphs(sf_dir).materialize(),
+            sep="\n", max_df_permille=500)
+
     def dedup_paragraphs_q(sf_dir):
         from spatula_ray.stages.curate import dedup_paragraphs
 
@@ -577,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": cap_per_source,
         "dedup_representatives": dedup_reps,
         "dedup_paragraphs": dedup_paragraphs_q,
+        "strip_boilerplate": strip_boilerplate_q,
         "pii_scrub": pii_scrub_q,
         "curate_corpus": curate_corpus_q,
         "chunk_documents": chunk_documents_q,
@@ -1213,6 +1224,46 @@ GROUP BY a.doc_id
         # removal): keep the globally first occurrence of each non-empty
         # paragraph, reassemble docs; 1048576 = 2**pos_bits packed order
         # key, exactly the engine's doc_id*2^20 + pos
+        "strip_boilerplate": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                AS i
+       FROM w),
+chunks AS (SELECT doc_id, i,
+                  array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS p
+           FROM iw),
+body AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY i) AS btext
+         FROM chunks GROUP BY doc_id),
+aug AS (
+  SELECT doc_id,
+         'copyright footer example org' || chr(10) || btext ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'subscribe to our newsletter today'
+              ELSE '' END AS text
+  FROM body),
+paras AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS p
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)),
+nz AS (SELECT doc_id, pos, p FROM paras WHERE p <> ''),
+n AS (SELECT count(*) AS n_docs FROM aug),
+df AS (SELECT p, count(DISTINCT doc_id) AS df FROM nz GROUP BY p),
+kept AS (SELECT nz.doc_id, nz.pos, nz.p
+         FROM nz JOIN df ON nz.p = df.p, n
+         WHERE df.df * 1000 < 500 * n.n_docs),
+rebuilt AS (SELECT doc_id,
+                   string_agg(p, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+meta AS (SELECT doc_id,
+                len(list_filter(string_split(text, chr(10)),
+                                x -> x <> '')) AS n_units
+         FROM aug)
+SELECT m.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       m.n_units, coalesce(r.n_kept, 0) AS n_kept
+FROM meta m LEFT JOIN rebuilt r USING (doc_id)
+""",
+
         "dedup_paragraphs": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 iw AS (SELECT doc_id, ws,

@@ -783,6 +783,61 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 10):
 # -- paragraph-level exact dedup ---------------------------------------------
 
 
+def _explode_units(t, sep: str, shift, num_buckets: int):
+    """Vectorized doc -> (doc_id, pos, p, ord, __bucket-by-p) explosion:
+    one ``split_pattern`` + offset math per batch, empty units dropped,
+    1-based positions (SQL ``unnest WITH ORDINALITY`` parity)."""
+    from .joins import _bucket_of
+
+    t = t.combine_chunks()
+    lst = pc.split_pattern(t["text"].combine_chunks(), pattern=sep)
+    offs = lst.offsets.to_numpy()
+    lens = np.diff(offs)
+    ids = np.repeat(t["doc_id"].to_numpy(), lens)
+    pos = (np.arange(int(offs[-1]), dtype=np.int64)
+           - np.repeat(offs[:-1], lens) + 1)
+    flat = lst.flatten()
+    out = pa.table({
+        "doc_id": pa.array(ids),
+        "pos": pa.array(pos),
+        "p": flat,
+        "ord": pa.array(ids * shift + pos),
+    }).filter(pc.not_equal(flat, ""))
+    return out.append_column("__bucket", _bucket_of(out, ["p"], num_buckets))
+
+
+def _rebuild_docs(g, sep: str, out_col: str):
+    """Per-doc-bucket reassembly of kept (doc_id, pos, p) rows back into
+    one string per doc: sort + segment offsets + ``binary_join`` — no
+    per-doc Python."""
+    df = g.to_pandas().sort_values(["doc_id", "pos"], kind="mergesort")
+    ids = df["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    counts = np.diff(np.r_[starts, len(ids)])
+    offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(df["p"].to_numpy(), type=pa.string()))
+    return pa.table({
+        "doc_id": pa.array(ids[starts]),
+        out_col: pc.binary_join(lists, sep),
+        "n_kept": pa.array(counts.astype(np.int64)),
+    })
+
+
+def _unit_counts(t, sep: str, out_col: str):
+    """Per-doc non-empty unit count, one vectorized pass."""
+    t = t.combine_chunks()
+    lst = pc.split_pattern(t["text"].combine_chunks(), pattern=sep)
+    offs = lst.offsets.to_numpy()
+    nonempty = pc.not_equal(lst.flatten(), "").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cum = np.r_[0, np.cumsum(nonempty)]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        out_col: pa.array(cum[offs[1:]] - cum[offs[:-1]]),
+    })
+
+
 def dedup_paragraphs(docs, num_buckets: int = 32, pos_bits: int = 20):
     """Corpus-level exact paragraph dedup — the CCNet / RefinedWeb
     boilerplate-removal pass: split each document on newline, keep only
@@ -815,22 +870,7 @@ def dedup_paragraphs(docs, num_buckets: int = 32, pos_bits: int = 20):
     shift = np.int64(1) << pos_bits
 
     def explode(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        lst = pc.split_pattern(t["text"].combine_chunks(), pattern="\n")
-        offs = lst.offsets.to_numpy()
-        lens = np.diff(offs)
-        ids = np.repeat(t["doc_id"].to_numpy(), lens)
-        pos = (np.arange(int(offs[-1]), dtype=np.int64)
-               - np.repeat(offs[:-1], lens) + 1)  # 1-based, SQL parity
-        flat = lst.flatten()
-        out = pa.table({
-            "doc_id": pa.array(ids),
-            "pos": pa.array(pos),
-            "p": flat,
-            "ord": pa.array(ids * shift + pos),
-        }).filter(pc.not_equal(flat, ""))
-        return out.append_column("__bucket",
-                                 _bucket_of(out, ["p"], num_buckets))
+        return _explode_units(t, "\n", shift, num_buckets)
 
     def keep_first(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
@@ -845,18 +885,7 @@ def dedup_paragraphs(docs, num_buckets: int = 32, pos_bits: int = 20):
                                _bucket_of(t, ["doc_id"], num_buckets))
 
     def rebuild(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(["doc_id", "pos"], kind="mergesort")
-        ids = df["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-        counts = np.diff(np.r_[starts, len(ids)])
-        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(df["p"].to_numpy(), type=pa.string()))
-        return pa.table({
-            "doc_id": pa.array(ids[starts]),
-            "clean_text": pc.binary_join(lists, "\n"),
-            "n_kept": pa.array(counts.astype(np.int64)),
-        })
+        return _rebuild_docs(g, "\n", "clean_text")
 
     kept = (docs.map_batches(explode, batch_format="pyarrow")
             .groupby("__bucket").map_groups(keep_first,
@@ -866,16 +895,7 @@ def dedup_paragraphs(docs, num_buckets: int = 32, pos_bits: int = 20):
                                                batch_format="pyarrow"))
 
     def meta(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        lst = pc.split_pattern(t["text"].combine_chunks(), pattern="\n")
-        offs = lst.offsets.to_numpy()
-        nonempty = pc.not_equal(lst.flatten(), "").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        cum = np.r_[0, np.cumsum(nonempty)]
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_paras": pa.array(cum[offs[1:]] - cum[offs[:-1]]),
-        })
+        return _unit_counts(t, "\n", "n_paras")
 
     joined = hash_bucket_join(docs.map_batches(meta, batch_format="pyarrow"),
                               rebuilt, on=["doc_id"], how="left",
@@ -891,3 +911,82 @@ def dedup_paragraphs(docs, num_buckets: int = 32, pos_bits: int = 20):
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def strip_frequent_units(docs, sep: str = "\n", max_df_permille: int = 500,
+                         num_buckets: int = 32, pos_bits: int = 20):
+    """Document-frequency boilerplate scrub — the OTHER CCNet/RefinedWeb
+    line filter (:func:`dedup_paragraphs` keeps the globally-first copy;
+    this removes EVERY occurrence of units that are too common): split
+    each document on ``sep``, drop every unit whose document frequency
+    satisfies ``df * 1000 >= max_df_permille * n_docs`` (integer
+    arithmetic — no float threshold), reassemble the survivors in
+    original order. ``sep="\\n"`` scrubs boilerplate lines (nav bars,
+    cookie banners); ``sep=" "`` is a corpus-driven stopword filter.
+
+    Returns one row per input doc: ``(doc_id, clean_text, n_units,
+    n_kept)``; ``clean_text`` is ``''`` when everything was dropped.
+
+    Shuffle plan — all-to-alls move unit rows only, never whole docs:
+    (1) groupby unit-hash bucket; per bucket one arrow ``group_by(p)``
+    with ``count_distinct(doc_id)`` gives exact df (all rows of a unit
+    land in one bucket because the bucket key IS the unit), inner-join
+    back, keep infrequent rows; (2) groupby doc-hash bucket, vectorized
+    reassembly. ``n_docs`` is one metadata count. The frequent set never
+    materializes anywhere — it exists only as a per-bucket join, so a
+    pathological corpus where HALF the distinct units are frequent costs
+    nothing extra (compare a broadcast-set design, which that corpus
+    would kill).
+
+    Partitioning assumption: fewer than ``2**pos_bits`` units per doc
+    (packed order key, as in :func:`dedup_paragraphs`)."""
+    from .joins import _bucket_of, hash_bucket_join
+
+    shift = np.int64(1) << pos_bits
+    n_docs = docs.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        return _explode_units(t, sep, shift, num_buckets)
+
+    def keep_rare(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        m = g.group_by("p").aggregate([("doc_id", "count_distinct")])
+        j = g.select(["doc_id", "pos", "p"]).join(
+            m, keys=["p"], join_type="inner")
+        keep = pc.less(pc.multiply(j["doc_id_count_distinct"].cast(pa.int64()),
+                                   pa.scalar(1000, type=pa.int64())),
+                       pa.scalar(max_df_permille * n_docs, type=pa.int64()))
+        return j.filter(keep).select(["doc_id", "pos", "p"])
+
+    def rebucket_doc(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket",
+                               _bucket_of(t, ["doc_id"], num_buckets))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        return _rebuild_docs(g, sep, "clean_text")
+
+    kept = (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(keep_rare,
+                                            batch_format="pyarrow"))
+    rebuilt = (kept.map_batches(rebucket_doc, batch_format="pyarrow")
+               .groupby("__bucket").map_groups(rebuild,
+                                               batch_format="pyarrow"))
+
+    def meta(t: pa.Table) -> pa.Table:
+        return _unit_counts(t, sep, "n_units")
+
+    joined = hash_bucket_join(docs.map_batches(meta, batch_format="pyarrow"),
+                              rebuilt, on=["doc_id"], how="left",
+                              num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pc.fill_null(t["clean_text"], ""),
+            "n_units": t["n_units"],
+            "n_kept": pc.fill_null(t["n_kept"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+

@@ -237,3 +237,45 @@ def test_dedup_paragraphs_batch_invariant():
     # only doc 0 keeps the shared header; tails survive in docs 0..2 only
     assert a.loc[0, "n_kept"] == 3
     assert (a.loc[3:, "n_kept"] == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strip_frequent_units_semantics():
+    import ray.data as rd
+
+    from spatula_ray.stages.curate import strip_frequent_units
+
+    rows = [
+        (1, "header\nalpha beta\nfooter"),
+        (2, "header\ngamma\nfooter"),
+        (3, "header\ndelta epsilon"),
+        (4, "header"),                 # fully boilerplate -> empty
+        (5, ""),                       # empty doc -> 0 units
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    })).repartition(3)
+    # n_docs=5: header df=5 (1000‰, dropped at 500); footer df=2 (400‰,
+    # kept); body lines df=1 kept
+    out = strip_frequent_units(ds, sep="\n", max_df_permille=500) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "alpha beta\nfooter"
+    assert out.loc[2, "clean_text"] == "gamma\nfooter"
+    assert out.loc[3, "clean_text"] == "delta epsilon"
+    assert out.loc[4, "clean_text"] == ""
+    assert out.loc[5, "clean_text"] == ""
+    assert out["n_units"].tolist() == [3, 3, 2, 1, 0]
+    assert out["n_kept"].tolist() == [2, 2, 1, 0, 0]
+    # exact-boundary check: df*1000 == permille*n_docs is DROPPED
+    out2 = strip_frequent_units(ds, sep="\n", max_df_permille=400) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out2.loc[1, "clean_text"] == "alpha beta"   # footer now dropped
+    # token mode: corpus-driven stopword scrub on single-line docs
+    tds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat sat", "the dog ran", "the end"],
+                         type=pa.string())}))
+    tok = strip_frequent_units(tds, sep=" ", max_df_permille=900) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert tok["clean_text"].tolist() == ["cat sat", "dog ran", "end"]
