@@ -483,6 +483,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = deduped.map_batches(keep_half_unique, batch_format="pyarrow")
         return pack_sequences(kept, budget=512)
 
+    def event_users_hll_q(sf_dir):
+        from spatula_ray.stages.sketch import (column_str_extractor,
+                                               hll_distinct_by)
+
+        from spatula_ray.ioutil import read_parquet_clean
+
+        ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_type", "user_id"])
+        return hll_distinct_by(ev, "event_type",
+                               column_str_extractor("user_id"))
+
+    def distinct_shingles_hll_q(sf_dir):
+        from spatula_ray.stages.sketch import hll_distinct, shingle_extractor
+
+        return hll_distinct(_docs(sf_dir, ["text"]), shingle_extractor())
+
     def chunk_documents_q(sf_dir):
         from spatula_ray.stages.curate import chunk_documents
 
@@ -592,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate_corpus_q,
         "chunk_documents": chunk_documents_q,
         "vocab_coverage": vocab_coverage_q,
+        "distinct_shingles_hll": distinct_shingles_hll_q,
+        "event_users_hll": event_users_hll_q,
         "quantize_embeddings": quantize_embeddings_q,
         "stratified_sample": stratified_sample_q,
         "epoch_shuffle": epoch_shuffle_q,
@@ -1224,6 +1242,75 @@ GROUP BY a.doc_id
         # removal): keep the globally first occurrence of each non-empty
         # paragraph, reassemble docs; 1048576 = 2**pos_bits packed order
         # key, exactly the engine's doc_id*2^20 + pos
+        # HyperLogLog distinct 3-shingles — register math mirrored in
+        # integer space (see stages/sketch.py docstring): md5_number_lower
+        # hash, binary-string length for the exact leading-zero count, a
+        # HUGEINT indicator sum (order-independent), and the same 3-op
+        # IEEE tail + 1e-4 snap on both sides
+        "distinct_shingles_hll": """
+WITH tok AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+             FROM documents),
+sh AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+  FROM tok WHERE len(ts) >= 3
+),
+br AS (SELECT CAST(md5_number_lower(g) // 4503599627370496 AS BIGINT) AS b,
+              CAST(md5_number_lower(g) % 4503599627370496 AS BIGINT) AS w
+       FROM sh),
+rho AS (SELECT b, CASE WHEN w = 0 THEN 53
+                       ELSE 53 - length(format('{:b}', w)) END AS r
+        FROM br),
+regs AS (SELECT b, max(r) AS r FROM rho GROUP BY b),
+allregs AS (SELECT gs.i AS b, coalesce(regs.r, 0) AS r
+         FROM generate_series(0, 4095) gs(i)
+         LEFT JOIN regs ON regs.b = gs.i),
+agg AS (SELECT sum(CAST(power(2, 64 - r) AS HUGEINT)) AS s,
+               count(*) FILTER (WHERE r = 0) AS v
+        FROM allregs),
+raw AS (SELECT v,
+               ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                * 18446744073709551616.0) / CAST(s AS DOUBLE) AS e
+        FROM agg)
+SELECT CAST(4096 AS BIGINT) AS m, v AS v_zero,
+       floor(CASE WHEN v > 0 AND e <= 10240.0
+                  THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+                  ELSE e END * 1e4 + 0.5) / 1e4 AS est
+FROM raw
+""",
+
+        "event_users_hll": """
+WITH br AS (
+  SELECT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              // 4503599627370496 AS BIGINT) AS b,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+              % 4503599627370496 AS BIGINT) AS w
+  FROM events),
+rho AS (SELECT event_type, b,
+               CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(format('{:b}', w)) END AS r
+        FROM br),
+regs AS (SELECT event_type, b, max(r) AS r FROM rho GROUP BY 1, 2),
+keys AS (SELECT DISTINCT event_type FROM events),
+allregs AS (SELECT k.event_type, gs.i AS b, coalesce(regs.r, 0) AS r
+            FROM keys k CROSS JOIN generate_series(0, 4095) gs(i)
+            LEFT JOIN regs ON regs.event_type = k.event_type
+                          AND regs.b = gs.i),
+agg AS (SELECT event_type, sum(CAST(power(2, 64 - r) AS HUGEINT)) AS s,
+               count(*) FILTER (WHERE r = 0) AS v
+        FROM allregs GROUP BY 1),
+raw AS (SELECT event_type, v,
+               ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                * 18446744073709551616.0) / CAST(s AS DOUBLE) AS e
+        FROM agg)
+SELECT event_type, CAST(4096 AS BIGINT) AS m, v AS v_zero,
+       floor(CASE WHEN v > 0 AND e <= 10240.0
+                  THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+                  ELSE e END * 1e4 + 0.5) / 1e4 AS est
+FROM raw
+""",
+
         "strip_boilerplate": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 iw AS (SELECT doc_id, ws,

@@ -150,7 +150,9 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "repetition_stats", "pack_sequences", "dup_clusters",
                     "tfidf_top_terms", "dedup_paragraphs", "pii_scrub",
                     "chunk_documents", "vocab_coverage",
-                    "quantize_embeddings", "epoch_shuffle"]
+                    "quantize_embeddings", "epoch_shuffle",
+                    "strip_boilerplate", "purchase_followups",
+                    "value_quantiles_global"]
 
 
 def _build_10x(src_dir: str, dst_dir: str) -> None:
@@ -197,6 +199,20 @@ def _build_10x(src_dir: str, dst_dir: str) -> None:
              for r in range(10)]
     pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
                    os.path.join(dst_dir, "embeddings.parquet"))
+
+    # events: shift event_id AND user_id per replica — user keys stay
+    # disjoint across replicas, so keyed joins/sessions scale linearly
+    # (10x rows -> 10x output), never quadratically
+    ev = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    parts = []
+    for r in range(10):
+        tt = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                           pc.add(ev["event_id"], r * shift))
+        tt = tt.set_column(tt.schema.get_field_index("user_id"), "user_id",
+                           pc.add(tt["user_id"], r * shift))
+        parts.append(tt)
+    pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
+                   os.path.join(dst_dir, "events.parquet"))
     open(marker, "w").close()
 
 

@@ -558,3 +558,60 @@ def test_exact_quantiles_vs_numpy():
     nan_ds = rd.from_arrow(pa.table({"v": pa.array([np.nan] * 5)}))
     out = exact_quantiles(nan_ds, "v", [0.5])
     assert np.isnan(out[0.5])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_accuracy_and_determinism():
+    import ray.data as rd
+
+    from spatula_ray.stages.sketch import (_hash64, _rho_of, hll_distinct,
+                                           shingle_extractor)
+
+    # rho agrees with a bit-twiddling reference on the full edge set
+    w = np.array([0, 1, 2, 3, (1 << 51), (1 << 52) - 1, 12345678901234],
+                 dtype=np.int64)
+    ref = [53 if x == 0 else 52 - (int(x).bit_length() - 1) for x in w]
+    assert _rho_of(w).tolist() == ref
+    # hash matches DuckDB md5_number_lower
+    import duckdb
+    got = _hash64(["alpha", "beta gamma", ""]).tolist()
+    want = [duckdb.sql(f"select md5_number_lower('{s}')").fetchone()[0]
+            for s in ["alpha", "beta gamma", ""]]
+    assert got == [int(x) for x in want]
+
+    # accuracy: ~16k distinct shingles, expect within 5% (sigma ~1.6%)
+    texts = [" ".join(f"w{(37 * i + j) % 4001}" for j in range(40))
+             for i in range(400)]
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(texts, type=pa.string())})).repartition(6)
+    exact = len({" ".join(t.split()[i:i + 3])
+                 for t in texts for i in range(len(t.split()) - 2)})
+    out = hll_distinct(ds, shingle_extractor()).to_pandas()
+    est = out["est"][0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # duplicates leave the registers (and estimate) unchanged
+    dup = ds.union(ds)
+    out2 = hll_distinct(dup, shingle_extractor()).to_pandas()
+    assert out2["est"][0] == est
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_by_groups():
+    import ray.data as rd
+
+    from spatula_ray.stages.sketch import column_str_extractor, hll_distinct_by
+
+    rng = np.random.default_rng(5)
+    kinds = np.array(["a", "b", "c"])[rng.integers(0, 3, 6000)]
+    users = rng.integers(0, 900, 6000)
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(kinds.tolist(), type=pa.string()),
+        "user_id": pa.array(users, type=pa.int64())})).repartition(5)
+    out = hll_distinct_by(ds, "event_type",
+                          column_str_extractor("user_id")) \
+        .to_pandas().set_index("event_type").sort_index()
+    assert set(out.index) == {"a", "b", "c"}
+    for k in "abc":
+        exact = len(set(users[kinds == k]))
+        est = out.loc[k, "est"]
+        assert abs(est - exact) / exact < 0.07, (k, est, exact)
