@@ -483,6 +483,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = deduped.map_batches(keep_half_unique, batch_format="pyarrow")
         return pack_sequences(kept, budget=512)
 
+    def doc_pagerank_q(sf_dir):
+        import numpy as np
+
+        from spatula_ray.stages.graph import pagerank
+
+        docs = _docs(sf_dir, ["doc_id"]).materialize()
+        n = docs.count()
+
+        def mk_edges(t):
+            import pyarrow as pa
+
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            reps = 1 + (d % 3)
+            src = np.repeat(d, reps)
+            seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            j = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - np.repeat(seg, reps) + 1)
+            dst = (src + j * j * 7919 + 13) % n
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+        return pagerank(edges, n, iters=5)
+
     def event_users_hll_q(sf_dir):
         from spatula_ray.stages.sketch import (column_str_extractor,
                                                hll_distinct_by)
@@ -610,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": vocab_coverage_q,
         "distinct_shingles_hll": distinct_shingles_hll_q,
         "event_users_hll": event_users_hll_q,
+        "doc_pagerank": doc_pagerank_q,
         "quantize_embeddings": quantize_embeddings_q,
         "stratified_sample": stratified_sample_q,
         "epoch_shuffle": epoch_shuffle_q,
@@ -1277,6 +1302,59 @@ SELECT CAST(4096 AS BIGINT) AS m, v AS v_zero,
                   THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
                   ELSE e END * 1e4 + 0.5) / 1e4 AS est
 FROM raw
+""",
+
+        "doc_pagerank": """
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT d.doc_id AS src,
+             (d.doc_id + d.j * d.j * 7919 + 13) % n.n AS dst
+      FROM (SELECT doc_id,
+                   unnest(generate_series(1, 1 + doc_id % 3)) AS j
+            FROM documents) d, n),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS rank
+       FROM documents),
+c1 AS (SELECT e.dst AS node, sum(r.rank // deg.outdeg) AS s
+         FROM e JOIN r0 r ON r.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r1 AS (SELECT r.node,
+                CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                     AS BIGINT) AS rank
+         FROM r0 r LEFT JOIN c1 c ON c.node = r.node),
+c2 AS (SELECT e.dst AS node, sum(r.rank // deg.outdeg) AS s
+         FROM e JOIN r1 r ON r.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r2 AS (SELECT r.node,
+                CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                     AS BIGINT) AS rank
+         FROM r1 r LEFT JOIN c2 c ON c.node = r.node),
+c3 AS (SELECT e.dst AS node, sum(r.rank // deg.outdeg) AS s
+         FROM e JOIN r2 r ON r.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r3 AS (SELECT r.node,
+                CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                     AS BIGINT) AS rank
+         FROM r2 r LEFT JOIN c3 c ON c.node = r.node),
+c4 AS (SELECT e.dst AS node, sum(r.rank // deg.outdeg) AS s
+         FROM e JOIN r3 r ON r.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r4 AS (SELECT r.node,
+                CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                     AS BIGINT) AS rank
+         FROM r3 r LEFT JOIN c4 c ON c.node = r.node),
+c5 AS (SELECT e.dst AS node, sum(r.rank // deg.outdeg) AS s
+         FROM e JOIN r4 r ON r.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r5 AS (SELECT r.node,
+                CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                     AS BIGINT) AS rank
+         FROM r4 r LEFT JOIN c5 c ON c.node = r.node)
+SELECT node, rank FROM r5
 """,
 
         "event_users_hll": """
