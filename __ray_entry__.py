@@ -594,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_followups": rel.purchase_followups,
         "value_quantiles": rel.value_quantiles,
         "value_quantiles_global": rel.value_quantiles_global,
+        "event_funnel": rel.event_funnel,
+        "retention_cohorts": rel.retention_cohorts,
         "events_3h_sliding": rel.events_3h_sliding,
         "new_docs": new_docs,
         "props_k_stats": rel.props_k_stats,
@@ -1626,6 +1628,36 @@ FROM l ASOF JOIN r
         # exact per-type value quantiles, quantile_disc convention
         # (sorted element at ceil(q*n)-1 — an actual element, so equality
         # is exact with no float grid)
+        "event_funnel": """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+       GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS stage, count(*) AS users FROM s1
+UNION ALL SELECT 2, count(*) FROM s2
+UNION ALL SELECT 3, count(*) FROM s3
+""",
+
+        "retention_cohorts": """
+WITH wk AS (SELECT user_id,
+                   (epoch_us(ts) // 86400000000 + 3) // 7 AS week,
+                   event_type
+            FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk
+           WHERE event_type = 'signup' GROUP BY 1),
+active AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT c.cohort_week, a.week, count(*) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+WHERE a.week >= c.cohort_week
+GROUP BY 1, 2
+""",
+
         "value_quantiles_global": """
 SELECT count(value) AS n,
        quantile_disc(value, 0.5) AS p50,

@@ -474,3 +474,100 @@ def props_k_stats(sf_dir: str):
                          "avg_k": pa.array(s / n)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _week_bucket(ts_i64_us):
+    """Monday-aligned week index from epoch-us (integer-exact both
+    engines: (days + 3) // 7 — 1970-01-01 was a Thursday)."""
+    return (ts_i64_us // 86_400_000_000 + 3) // 7
+
+
+def event_funnel(sf_dir: str):
+    """Ordered-funnel analysis: users who signed up, then clicked AFTER
+    their first signup, then purchased AFTER that first click (strict
+    ordering, unbounded window). Returns ``(stage, users)`` — the
+    canonical conversion readout. Pure relational plan: three
+    groupby-mins chained through hash-bucket joins; every shuffle moves
+    (user_id, int64) pairs only."""
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import hash_bucket_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            })
+        return fn
+
+    def stage_min(kind: str, alias: str):
+        return ev.map_batches(prep(kind), batch_format="pyarrow") \
+            .groupby("user_id").aggregate(Min("ts_us", alias_name=alias))
+
+    s1 = stage_min("signup", "t1").materialize()
+
+    def after(events_kind: str, prev, prev_col: str, alias: str):
+        kinds = ev.map_batches(prep(events_kind), batch_format="pyarrow")
+        j = hash_bucket_join(kinds, prev, on=["user_id"])
+
+        def later(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t["ts_us"], t[prev_col]))
+
+        return (j.map_batches(later, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Min("ts_us",
+                                                  alias_name=alias)))
+
+    s2 = after("click", s1, "t1", "t2").materialize()
+    s3 = after("purchase", s2, "t2", "t3").materialize()
+    return pa.table({
+        "stage": pa.array([1, 2, 3], type=pa.int64()),
+        "users": pa.array([s1.count(), s2.count(), s3.count()],
+                          type=pa.int64()),
+    })
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly retention matrix: users cohorted by the week of their first
+    signup; for every later week, how many of that cohort were active
+    (any event). Returns ``(cohort_week, week, n_users)``. Shuffles move
+    (user_id, week) pairs; the activity table is pre-deduplicated with a
+    map-side-combining groupby before the cohort join."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.joins import hash_bucket_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def weeks(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "week": pa.array(_week_bucket(ts), type=pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    wk = ev.map_batches(weeks, batch_format="pyarrow").materialize()
+
+    cohort = (wk.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")),
+        batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("week", alias_name="cohort_week")))
+    # distinct (user, week) activity — groupby pre-combines map-side
+    active = wk.map_batches(
+        lambda t: t.select(["user_id", "week"]), batch_format="pyarrow") \
+        .groupby(["user_id", "week"]).aggregate(Count(alias_name="__n")) \
+        .map_batches(lambda t: t.drop_columns(["__n"]),
+                     batch_format="pyarrow")
+    j = hash_bucket_join(active, cohort, on=["user_id"])
+
+    def at_or_after(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["week"], t["cohort_week"]))
+
+    return (j.map_batches(at_or_after, batch_format="pyarrow")
+            .groupby(["cohort_week", "week"])
+            .aggregate(Count(alias_name="n_users")))
