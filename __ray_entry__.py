@@ -185,6 +185,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
         max_restarts=0)
 
+    def docs_above_median_quality_q(sf_dir):
+        import pyarrow.compute as pc
+
+        from spatula_ray.stages.selection import exact_quantiles
+
+        # adaptive corpus filter: exact distributed median of the (grid-
+        # snapped) quality score as the keep threshold — no driver scan
+        # of the scores, only the bisection counts (stages/selection.py)
+        scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8),
+            num_cpus=0.5, max_restarts=0).materialize()
+        p50 = exact_quantiles(scored, "quality", [0.5],
+                              gather_threshold=0)[0.5]
+        return scored.map_batches(
+            lambda t: t.filter(pc.greater(t["quality"], p50)),
+            batch_format="pyarrow")
+
     def langid_pred(sf_dir):
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             tx.LangId, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
@@ -602,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_stats": text_stats,
         "doc_quality": doc_quality,
+        "docs_above_median_quality": docs_above_median_quality_q,
         "lang_counts": lang_counts,
         "langid_pred": langid_pred,
         "winnow_fingerprints": winnow,
@@ -895,6 +913,20 @@ SELECT doc_id,
                     / length(text))
            + 0.3 * least(1.0, length(text) / 500.0)) * 1e6 + 0.5) / 1e6 AS quality
 FROM documents
+""",
+
+        "docs_above_median_quality": """
+WITH q AS (
+  SELECT doc_id,
+         floor((0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')))
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                      / length(text))
+             + 0.3 * least(1.0, length(text) / 500.0)) * 1e6 + 0.5) / 1e6
+           AS quality
+  FROM documents),
+m AS (SELECT quantile_disc(quality, 0.5) AS p50 FROM q)
+SELECT q.doc_id, q.quality FROM q, m WHERE q.quality > m.p50
 """,
 
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
