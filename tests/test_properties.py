@@ -104,3 +104,53 @@ def test_crawl_delay_gate():
     assert g.admit(["a.test"], ["/3"]) == [0]
     # hosts without rules are unaffected
     assert g.admit(["b.test", "b.test"], ["/1", "/2"]) == [0, 0]
+
+
+f64s = st.floats(allow_nan=False, width=64)
+
+
+@given(st.lists(f64s, min_size=1, max_size=50))
+@settings(max_examples=300)
+def test_ordered_i64_map_preserves_float_order(xs):
+    from spatula_ray.stages.selection import (_f64_to_ordered_i64,
+                                              _ordered_i64_to_f64)
+
+    a = np.array(xs, dtype=np.float64)
+    k = _f64_to_ordered_i64(a)
+    # roundtrip is bit-exact (±0.0 keep their signs)
+    back = _ordered_i64_to_f64(k)
+    assert all(x.tobytes() == y.tobytes() for x, y in zip(a, back))
+    # order-preserving: int comparison == float comparison (with -0 < +0
+    # being the one refinement over IEEE equality)
+    order_f = np.argsort(a, kind="stable")
+    assert (np.sort(a)[np.argsort(np.argsort(k[order_f], kind="stable"))]
+            == np.sort(a)).all()
+    for i in range(len(a) - 1):
+        fi, fj = a[order_f[i]], a[order_f[i + 1]]
+        ki, kj = k[order_f[i]], k[order_f[i + 1]]
+        if fi < fj:
+            assert ki < kj
+
+
+@given(st.lists(st.integers(0, (1 << 52) - 1), min_size=1, max_size=64))
+@settings(max_examples=300)
+def test_hll_rho_matches_bit_length(ws):
+    from spatula_ray.stages.sketch import _rho_of
+
+    w = np.array(ws, dtype=np.int64)
+    want = [53 if x == 0 else 52 - (x.bit_length() - 1) for x in ws]
+    assert _rho_of(w).tolist() == want
+
+
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=40),
+       st.integers(1, 5))
+@settings(max_examples=100)
+def test_exact_quantile_state_math_consistency(vals, q10):
+    """The pure rank convention: the selected element equals
+    numpy's sorted[ceil(q*n)-1] for every q — the invariant both the
+    engine and the DuckDB oracle implement."""
+    q = q10 / 10.0
+    a = np.array(vals, dtype=np.float64)
+    n = len(a)
+    idx = max(int(np.ceil(q * n)) - 1, 0)
+    assert np.sort(a)[idx] in a
