@@ -24,7 +24,13 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-3b: chunking / vocab / quantization / strata
                       "chunk_documents", "vocab_coverage",
                       "quantize_embeddings", "stratified_sample",
-                      "crawl_span_stats", "epoch_shuffle"]
+                      "crawl_span_stats", "epoch_shuffle",
+                      # round-3c: joins / quantiles / sketches / graph /
+                      # funnel analytics / df scrub
+                      "purchase_followups", "value_quantiles_global",
+                      "strip_boilerplate", "distinct_shingles_hll",
+                      "event_users_hll", "doc_pagerank", "event_funnel",
+                      "retention_cohorts", "docs_above_median_quality"]
 
 
 def _duck(sf_dir):
