@@ -514,7 +514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             d = t["doc_id"].combine_chunks().to_numpy(
                 zero_copy_only=False).astype(np.int64)
             reps = 1 + (d % 3)
-            src = np.repeat(d, reps)
+            # % n keeps src in the node id space — identity on the real
+            # tables (contiguous ids), and keeps synthetic 10x-replica
+            # fixtures (shifted ids) inside the graph
+            src = np.repeat(d % n, reps)
             seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
             j = (np.arange(int(reps.sum()), dtype=np.int64)
                  - np.repeat(seg, reps) + 1)
@@ -1340,7 +1343,7 @@ FROM raw
 
         "doc_pagerank": """
 WITH n AS (SELECT count(*) AS n FROM documents),
-e AS (SELECT d.doc_id AS src,
+e AS (SELECT d.doc_id % n.n AS src,
              (d.doc_id + d.j * d.j * 7919 + 13) % n.n AS dst
       FROM (SELECT doc_id,
                    unnest(generate_series(1, 1 + doc_id % 3)) AS j

@@ -152,7 +152,9 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "chunk_documents", "vocab_coverage",
                     "quantize_embeddings", "epoch_shuffle",
                     "strip_boilerplate", "purchase_followups",
-                    "value_quantiles_global"]
+                    "value_quantiles_global", "distinct_shingles_hll",
+                    "event_users_hll", "doc_pagerank", "event_funnel",
+                    "retention_cohorts", "docs_above_median_quality"]
 
 
 def _build_10x(src_dir: str, dst_dir: str) -> None:
