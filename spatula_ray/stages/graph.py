@@ -27,15 +27,25 @@ stay under 2**63, which holds while ``num_nodes * SCALE * 1000 < 2**63``
 (~9.6M nodes at the default SCALE); drop SCALE to 10**6 for
 billion-node graphs — precision trades against range explicitly.
 
-Shuffle shape per iteration: ONE hash-bucket join of the (node, rank)
-table to edges on src (edge-sized, compact int columns) + ONE
-groupby-sum on dst (Ray pre-combines map-side). Ranks and degrees are
-(node, int64) tables — never adjacency lists — so skewed in-degree costs
-a hot reduce key, not memory; salt a pathological dst by splitting the
-sum in two rounds. Blocks are repartitioned each iteration to keep the
-sort-based groupby's shuffle fan-in flat (the connected_components
-lesson: per-iteration unions otherwise compound block counts
-geometrically)."""
+Shuffle shape per iteration — exactly TWO sort-groupby exchanges, both
+over compact int columns (the first version composed generic
+hash_bucket_joins and paid ~8 Dataset executions per iteration; fusing
+the join+aggregate into bucket kernels cut the fixed cost ~3x):
+
+1. **scatter**: edges (bucketed once by hash(src), reused every
+   iteration) union the rank table (bucketed by the same hash of node);
+   one vectorized kernel per bucket maps ranks onto that bucket's edges
+   (unique-key searchsorted) and emits PER-DST PARTIAL integer sums —
+   at most one row per distinct dst per bucket.
+2. **gather**: partials (re-bucketed by hash(dst)) union the node-state
+   table; one kernel per bucket folds the partials (``np.add.at``,
+   exact int64) and applies the damping update.
+
+Ranks and degrees are (node, int64) tables — never adjacency lists — so
+skewed in-degree costs a hot reduce key, not memory; salt a pathological
+dst by splitting the gather in two rounds. Node-state blocks stay
+bucket-partitioned across iterations (the connected_components lesson:
+re-bucketing per iteration keeps the sort shuffle's fan-in flat)."""
 
 from __future__ import annotations
 
@@ -51,66 +61,169 @@ def pagerank(edges, num_nodes: int, iters: int = 5,
     ``(src, dst)``; nodes are ``0..num_nodes-1``. Returns a Dataset of
     ``(node, rank)`` with integer ranks on the ``SCALE`` grid. See module
     docstring for semantics, determinism, and the shuffle plan."""
-    import ray.data as rd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    import ray.data as rd
+    from ray.data.aggregate import Count
 
-    from .joins import hash_bucket_join
-
-    edges = edges.materialize()
-    deg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    from .joins import _bucket_of
 
     base = (1000 - damping_permille) * SCALE // 1000
-    nodes = rd.range(num_nodes).map_batches(
-        lambda t: pa.table({"node": t["id"].cast(pa.int64())}),
-        batch_format="pyarrow")
+    d = damping_permille
 
-    # (node, rank, outdeg) — outdeg joined once, reused every iteration
-    state = hash_bucket_join(
-        nodes.map_batches(
-            lambda t: t.append_column(
-                "rank", pa.array(np.full(t.num_rows, SCALE,
-                                         dtype=np.int64))),
-            batch_format="pyarrow"),
-        deg.map_batches(lambda t: t.rename_columns(["node", "outdeg"]),
-                        batch_format="pyarrow"),
-        on=["node"], how="left", num_buckets=num_buckets).materialize()
+    def i64(x) -> pa.Array:
+        return pa.array(np.asarray(x, dtype=np.int64))
+
+    # edges, bucketed by hash(src) ONCE and reused every iteration
+    def tag_edges(t: pa.Table) -> pa.Table:
+        out = pa.table({"src": t["src"].cast(pa.int64()),
+                        "dst": t["dst"].cast(pa.int64())})
+        return out.append_column("__bucket",
+                                 _bucket_of(out, ["src"], num_buckets))
+
+    eb = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    deg = eb.groupby("src").aggregate(Count(alias_name="outdeg"))
+
+    # node state (node, rank, outdeg, __bucket) — __bucket = hash(node),
+    # the SAME hash as the edges' src bucket, so scatter co-locates
+    def init_state(t: pa.Table) -> pa.Table:
+        out = pa.table({"node": t["id"].cast(pa.int64())})
+        out = out.append_column("rank",
+                                i64(np.full(t.num_rows, SCALE)))
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["node"], num_buckets))
+
+    nodes = rd.range(num_nodes).map_batches(init_state,
+                                            batch_format="pyarrow")
+
+    def with_deg(t: pa.Table) -> pa.Table:
+        # per-bucket left join of outdeg onto nodes
+        t = t.combine_chunks()
+        is_node = pc.is_valid(t["node"])
+        nt = t.filter(is_node)
+        dt = t.filter(pc.invert(is_node))
+        n_ids = nt["node"].to_numpy(zero_copy_only=False)
+        d_src = dt["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_deg = dt["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d_src)
+        d_src, d_deg = d_src[order], d_deg[order]
+        pos = np.searchsorted(d_src, n_ids)
+        ok = (pos < len(d_src))
+        safe = np.where(ok, pos, 0)
+        outdeg = np.where(ok & (d_src[safe] == n_ids), d_deg[safe], 0)
+        return pa.table({"node": nt["node"], "rank": nt["rank"],
+                         "outdeg": i64(outdeg),
+                         "__bucket": nt["__bucket"]})
+
+    deg_tagged = deg.map_batches(
+        lambda t: pa.table({
+            "src": t["src"], "outdeg": t["outdeg"],
+            "node": pa.nulls(t.num_rows, type=pa.int64()),
+            "rank": pa.nulls(t.num_rows, type=pa.int64()),
+        }).append_column("__bucket", _bucket_of(t, ["src"], num_buckets)),
+        batch_format="pyarrow")
+    nodes_tagged = nodes.map_batches(
+        lambda t: pa.table({
+            "src": pa.nulls(t.num_rows, type=pa.int64()),
+            "outdeg": pa.nulls(t.num_rows, type=pa.int64()),
+            "node": t["node"], "rank": t["rank"],
+            "__bucket": t["__bucket"]}),
+        batch_format="pyarrow")
+    state = (nodes_tagged.union(deg_tagged).groupby("__bucket")
+             .map_groups(with_deg, batch_format="pyarrow")
+             .repartition(num_buckets).materialize())
+
+    # union schemas for the two per-iteration exchanges
+    def scatter_kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.combine_chunks()
+        is_edge = pc.is_valid(g["dst"])
+        et = g.filter(is_edge)
+        st = g.filter(pc.invert(is_edge))
+        empty = pa.table({"node": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.int64())})
+        if et.num_rows == 0 or st.num_rows == 0:
+            return empty
+        src_e = et["src"].to_numpy(zero_copy_only=False)
+        dst_e = et["dst"].to_numpy(zero_copy_only=False)
+        node_s = st["node"].to_numpy(zero_copy_only=False)
+        rank_s = st["rank"].to_numpy(zero_copy_only=False)
+        deg_s = st["outdeg"].to_numpy(zero_copy_only=False)
+        # contribution of each state node: rank // outdeg (0 if dangling)
+        c_s = np.where(deg_s > 0, rank_s // np.maximum(deg_s, 1), 0)
+        order = np.argsort(node_s)            # unique node ids
+        ns, cs = node_s[order], c_s[order]
+        pos = np.searchsorted(ns, src_e)
+        ok = pos < len(ns)
+        safe = np.where(ok, pos, 0)
+        ok &= ns[safe] == src_e
+        c_e = cs[safe][ok]
+        dsts = dst_e[ok]
+        codes, inv = np.unique(dsts, return_inverse=True)
+        acc = np.zeros(len(codes), dtype=np.int64)
+        np.add.at(acc, inv, c_e)
+        return pa.table({"node": i64(codes), "s": i64(acc)})
+
+    def gather_kernel(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.combine_chunks()
+        is_state = pc.is_valid(g["rank"])
+        st = g.filter(is_state)
+        pt = g.filter(pc.invert(is_state))
+        node_s = st["node"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node_s)
+        acc = np.zeros(st.num_rows, dtype=np.int64)
+        if pt.num_rows:
+            node_p = pt["node"].to_numpy(zero_copy_only=False)
+            s_p = pt["s"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(node_s[order], node_p)
+            ok = pos < st.num_rows
+            safe = np.where(ok, pos, 0)
+            ok &= node_s[order][safe] == node_p
+            np.add.at(acc, order[safe[ok]], s_p[ok])
+        rank = base + (acc * np.int64(d)) // np.int64(1000)
+        return pa.table({"node": st["node"], "rank": i64(rank),
+                         "outdeg": st["outdeg"],
+                         "__bucket": st["__bucket"]})
 
     for _ in range(iters):
-        # contributions along edges: join current ranks to edges on src
-        ranks_src = state.map_batches(
+        ranks_side = state.map_batches(
             lambda t: pa.table({
-                "src": t["node"],
-                "c": pc.if_else(
-                    pc.is_null(t["outdeg"]),
-                    pa.scalar(0, type=pa.int64()),
-                    pc.divide(t["rank"],
-                              pc.coalesce(t["outdeg"],
-                                          pa.scalar(1, type=pa.int64())))),
-            }), batch_format="pyarrow")
-        contrib = (hash_bucket_join(edges, ranks_src, on=["src"],
-                                    num_buckets=num_buckets)
-                   .groupby("dst").aggregate(Sum("c", alias_name="s")))
+                "src": pa.nulls(t.num_rows, type=pa.int64()),
+                "dst": pa.nulls(t.num_rows, type=pa.int64()),
+                "node": t["node"], "rank": t["rank"],
+                "outdeg": t["outdeg"], "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        edges_side = eb.map_batches(
+            lambda t: pa.table({
+                "src": t["src"], "dst": t["dst"],
+                "node": pa.nulls(t.num_rows, type=pa.int64()),
+                "rank": pa.nulls(t.num_rows, type=pa.int64()),
+                "outdeg": pa.nulls(t.num_rows, type=pa.int64()),
+                "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        partials = (edges_side.union(ranks_side).groupby("__bucket")
+                    .map_groups(scatter_kernel, batch_format="pyarrow"))
 
-        new_rank = hash_bucket_join(
-            state.select_columns(["node", "outdeg"]),
-            contrib.map_batches(
-                lambda t: t.rename_columns(["node", "s"]),
-                batch_format="pyarrow"),
-            on=["node"], how="left", num_buckets=num_buckets)
-
-        def update(t: pa.Table, _base=base,
-                   _d=damping_permille) -> pa.Table:
-            s = pc.coalesce(t["s"], pa.scalar(0, type=pa.int64()))
-            rank = pc.add(
-                pa.scalar(_base, type=pa.int64()),
-                pc.divide(pc.multiply(s, pa.scalar(_d, type=pa.int64())),
-                          pa.scalar(1000, type=pa.int64())))
-            return pa.table({"node": t["node"], "rank": rank,
-                             "outdeg": t["outdeg"]})
-
-        state = new_rank.map_batches(update, batch_format="pyarrow") \
-            .repartition(num_buckets).materialize()
+        partials_side = partials.map_batches(
+            lambda t: pa.table({
+                "node": t["node"], "s": t["s"],
+                "rank": pa.nulls(t.num_rows, type=pa.int64()),
+                "outdeg": pa.nulls(t.num_rows, type=pa.int64()),
+            }).append_column("__bucket",
+                             _bucket_of(t, ["node"], num_buckets)),
+            batch_format="pyarrow")
+        state_side = state.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "s": pa.nulls(t.num_rows, type=pa.int64()),
+                "rank": t["rank"], "outdeg": t["outdeg"],
+                "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        state = (partials_side.union(state_side).groupby("__bucket")
+                 .map_groups(gather_kernel, batch_format="pyarrow")
+                 .repartition(num_buckets).materialize())
 
     return state.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
