@@ -538,6 +538,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hll_distinct_by(ev, "event_type",
                                column_str_extractor("user_id"))
 
+    def pack_interleaved_q(sf_dir):
+        from spatula_ray.stages.curate import pack_interleaved
+
+        return pack_interleaved(_docs(sf_dir, ["doc_id", "text"]),
+                                budget=1024, media_token_cost=16)
+
     def distinct_shingles_hll_q(sf_dir):
         from spatula_ray.stages.sketch import hll_distinct, shingle_extractor
 
@@ -655,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate_corpus_q,
         "chunk_documents": chunk_documents_q,
         "vocab_coverage": vocab_coverage_q,
+        "pack_interleaved": pack_interleaved_q,
         "distinct_shingles_hll": distinct_shingles_hll_q,
         "event_users_hll": event_users_hll_q,
         "doc_pagerank": doc_pagerank_q,
@@ -1309,6 +1316,21 @@ GROUP BY a.doc_id
         # hash, binary-string length for the exact leading-zero count, a
         # HUGEINT indicator sum (order-independent), and the same 3-op
         # IEEE tail + 1e-4 snap on both sides
+        # interleaved text+media packing: cost = 4 fixed span tokens +
+        # body tokens + 16 media patch tokens; streaming exclusive
+        # prefix-sum bin over doc_id order
+        "pack_interleaved": """
+WITH c AS (
+  SELECT doc_id,
+         4 + 16 + len(string_split(text, ' ')) AS cost
+  FROM documents)
+SELECT doc_id, cost,
+       (sum(cost) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - cost) // 1024
+         AS seq_bin
+FROM c
+""",
+
         "distinct_shingles_hll": """
 WITH tok AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
              FROM documents),

@@ -164,9 +164,21 @@ def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):
         })
 
     toks = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+    return pack_by_cost(toks, budget, cost_col="n_tokens")
 
-    per_bucket = toks.groupby("__bucket").aggregate(
-        Sum("n_tokens", alias_name="tok")).take_all()
+
+def pack_by_cost(costs, budget: int, cost_col: str = "cost"):
+    """Cost-generic streaming sequence packing: assign each row (ordered
+    by doc_id) to ``bin = exclusive_prefix_sum(cost) // budget``. Input
+    must carry (doc_id, cost_col, __bucket) — the same two-pass
+    distributed prefix sum :func:`pack_sequences` documents (per-bucket
+    totals scanned once on the driver, vectorized per-bucket cumsum).
+    The cost model is the caller's: token counts, interleaved
+    text+media patch costs, byte sizes."""
+    from ray.data.aggregate import Sum
+
+    per_bucket = costs.groupby("__bucket").aggregate(
+        Sum(cost_col, alias_name="tok")).take_all()
     per_bucket.sort(key=lambda r: r["__bucket"])
     offsets: Dict[int, int] = {}
     run = 0
@@ -176,14 +188,39 @@ def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", kind="mergesort")
-        n = g["n_tokens"].to_numpy()
+        n = g[cost_col].to_numpy()
         base = offsets[int(g["__bucket"].iloc[0])]
         excl = base + np.cumsum(n) - n
         return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                             "n_tokens": n,
+                             cost_col: n,
                              "seq_bin": (excl // budget).astype(np.int64)})
 
-    return toks.groupby("__bucket").map_groups(pack, batch_format="pandas")
+    return costs.groupby("__bucket").map_groups(pack, batch_format="pandas")
+
+
+def pack_interleaved(docs, budget: int = 1024, media_token_cost: int = 16,
+                     bucket_span: int = 4096):
+    """Multimodal sequence packing over the interleaved span profile (the
+    docweb layout: title/lang/source/body text spans + one media span per
+    doc): per-doc cost = total text tokens across the doc's text spans +
+    ``media_token_cost`` per media span (the fixed patch-token budget a
+    vision encoder charges per image), then the same deterministic
+    streaming prefix-sum packing as :func:`pack_sequences`. Returns
+    ``(doc_id, cost, seq_bin)``."""
+    def cost(t: pa.Table) -> pa.Table:
+        body = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")).cast(pa.int64())
+        # title "Doc {id}" = 2 tokens, lang = 1, source = 1; one media
+        # span at media_token_cost (mirrors the crawl_span_stats profile)
+        fixed = 2 + 1 + 1 + media_token_cost
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "cost": pc.add(body, pa.scalar(fixed, type=pa.int64())),
+            "__bucket": pc.divide(t["doc_id"], bucket_span),
+        })
+
+    costs = docs.map_batches(cost, batch_format="pyarrow").materialize()
+    return pack_by_cost(costs, budget, cost_col="cost")
 
 
 # -- context-window chunking ---------------------------------------------------
