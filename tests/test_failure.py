@@ -1,0 +1,68 @@
+"""Failure-semantics test: a Ray worker DIES mid-batch (os._exit — a real
+process death, not a Python exception) while running the fused page
+stage; Ray's task retry re-executes the batch, and the crawl's offer /
+claim idempotency (SCALE.md "Failure/retry semantics") must make the
+final output identical to an undisturbed run — no lost docs, no
+duplicates, same URL-seen set."""
+
+import os
+import sys
+
+import pytest
+
+from spatula_ray.engine import CrawlConfig, crawl
+from spatula_ray.engine.driver import build_registry
+from spatula_ray.web import DocDetail, DocList, DocwebResolverFactory, docweb_seeds
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class DyingDocDetail(DocDetail):
+    """First worker to process doc 7 drops a marker and kills its own
+    PROCESS (system failure, exercises Ray's task retry, not exception
+    handling); retries see the marker and proceed normally."""
+
+    marker_path = "/tmp/_spatula_ray_die_once"
+
+    def process_page(self):
+        rec = super().process_page()
+        if rec["doc_id"] == 7 and not os.path.exists(self.marker_path):
+            with open(self.marker_path, "w"):
+                pass
+            os._exit(1)
+        return rec
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_worker_death_mid_batch_is_retried_idempotently(tmp_path):
+    from ray import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    marker = DyingDocDetail.marker_path
+    if os.path.exists(marker):
+        os.remove(marker)
+
+    factory = DocwebResolverFactory(f"{SF_DIR}/documents.parquet")
+    cfg = dict(dedup="cuckoo", n_filter_shards=2, batch_size=64,
+               use_actors=False)   # task path: Ray retries worker death
+
+    clean = crawl(docweb_seeds(500), build_registry(DocList, DocDetail),
+                  factory, CrawlConfig(**cfg))
+    clean_rows = clean.docs_sorted().take_all()
+
+    # swap the detail class for the self-killing variant, same registry key
+    registry = build_registry(DocList, DocDetail)
+    registry[DocDetail.__name__] = DyingDocDetail
+    seeds = [DocList({"url": s.input["url"]}) for s in docweb_seeds(500)]
+    hurt = crawl(seeds, registry, factory, CrawlConfig(**cfg))
+    hurt_rows = hurt.docs_sorted().take_all()
+
+    assert os.path.exists(marker), "the failure injection never fired"
+    os.remove(marker)
+    assert len(hurt_rows) == len(clean_rows)
+    for a, b in zip(hurt_rows, clean_rows):
+        assert a["doc_id"] == b["doc_id"]
+        assert bytes(a["record_json"]) == bytes(b["record_json"])
+    assert hurt.fetched_urls() == clean.fetched_urls()
+    assert hurt.counters["emitted"] == clean.counters["emitted"]
