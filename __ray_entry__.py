@@ -538,6 +538,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hll_distinct_by(ev, "event_type",
                                column_str_extractor("user_id"))
 
+    def decontaminate_sharded_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.curate import (
+            _SAMPLE_ADD,
+            _SAMPLE_DOM,
+            _SAMPLE_MOD,
+            _SAMPLE_MULT,
+            DecontaminateSharded,
+            build_membership_shards,
+        )
+
+        def side(t: pa.Table, want_eval: bool) -> pa.Table:
+            k = t["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+                 + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+            is_eval = (h % np.uint64(1000)) < 100
+            return t.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+        shards = build_membership_shards(
+            docs.map_batches(lambda t: side(t, True),
+                             batch_format="pyarrow"), n_shards=4)
+        train = docs.map_batches(lambda t: side(t, False),
+                                 batch_format="pyarrow")
+        # shard handles pass by value; restartable state lives in the
+        # actors, so max_restarts=0 on the stateless mapper pool
+        return train.map_batches(
+            DecontaminateSharded, fn_constructor_kwargs={
+                "shards": shards, "threshold": 0.5},
+            batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+            max_restarts=0)
+
     def pack_interleaved_q(sf_dir):
         from spatula_ray.stages.curate import pack_interleaved
 
@@ -652,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": dup_clusters,
         "tfidf_top_terms": tfidf_top,
         "decontaminate": decontaminate_q,
+        "decontaminate_sharded": decontaminate_sharded_q,
         "mix_head": mix_head,
         "cap_per_source": cap_per_source,
         "dedup_representatives": dedup_reps,
@@ -1934,6 +1970,8 @@ WHERE quota_rank <= 10
     # gate scale the output equals the exact inverted-index join, so the
     # oracle is the same SQL (verified by tests/test_oracles.py).
     sql["minhash_dup_pairs"] = sql["ngram_jaccard_pairs"]
+    # sharded-membership variant is output-identical by design
+    sql["decontaminate_sharded"] = sql["decontaminate"]
     # kept-corpus manifest after fuzzy dedup: the cluster label IS the
     # representative doc id, so representatives = one group-count over the
     # dup_clusters labels

@@ -279,3 +279,37 @@ def test_strip_frequent_units_semantics():
     tok = strip_frequent_units(tds, sep=" ", max_df_permille=900) \
         .to_pandas().set_index("doc_id").sort_index()
     assert tok["clean_text"].tolist() == ["cat sat", "dog ran", "end"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_sharded_matches_broadcast():
+    import ray
+    import ray.data as rd
+
+    from spatula_ray.stages.curate import (Decontaminate,
+                                           DecontaminateSharded,
+                                           build_membership_shards,
+                                           eval_shingle_set)
+
+    texts = [f"alpha beta w{i} gamma delta w{i+1} epsilon" for i in range(40)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(40)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())})).repartition(4)
+    ev = docs.limit(8).materialize()
+
+    bc = docs.map_batches(
+        Decontaminate,
+        fn_constructor_kwargs={"eval_shingles": ray.put(eval_shingle_set(ev)),
+                               "threshold": 0.5},
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        max_restarts=0).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    shards = build_membership_shards(ev, n_shards=3)
+    sh = docs.map_batches(
+        DecontaminateSharded,
+        fn_constructor_kwargs={"shards": shards, "threshold": 0.5},
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        max_restarts=0).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, sh)
+    assert bc["contaminated"].sum() > 0     # the fixture overlaps
