@@ -30,7 +30,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "purchase_followups", "value_quantiles_global",
                       "strip_boilerplate", "distinct_shingles_hll",
                       "event_users_hll", "doc_pagerank", "event_funnel",
-                      "retention_cohorts", "docs_above_median_quality"]
+                      "retention_cohorts", "docs_above_median_quality",
+                      "pack_interleaved", "decontaminate_sharded"]
 
 
 def _duck(sf_dir):
