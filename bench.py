@@ -157,7 +157,7 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "retention_cohorts", "docs_above_median_quality"]
 
 
-def _build_10x(src_dir: str, dst_dir: str) -> None:
+def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:
     """Deterministically synthesize a 10x-scale input dir from src_dir
     (no RNG, no external data): documents replicated 10x with shifted
     doc_ids and a per-replica VOCABULARY remap (every token gets a
@@ -182,7 +182,7 @@ def _build_10x(src_dir: str, dst_dir: str) -> None:
 
     t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
     parts = []
-    for r in range(10):
+    for r in range(factor):
         salted = []
         for txt in t["text"].to_pylist():
             toks = (txt or "").split(" ")
@@ -198,7 +198,7 @@ def _build_10x(src_dir: str, dst_dir: str) -> None:
     e = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
     parts = [e.set_column(e.schema.get_field_index("vec_id"), "vec_id",
                           pc.add(e["vec_id"], r * shift))
-             for r in range(10)]
+             for r in range(factor)]
     pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
                    os.path.join(dst_dir, "embeddings.parquet"))
 
@@ -207,7 +207,7 @@ def _build_10x(src_dir: str, dst_dir: str) -> None:
     # (10x rows -> 10x output), never quadratically
     ev = pq.read_table(os.path.join(src_dir, "events.parquet"))
     parts = []
-    for r in range(10):
+    for r in range(factor):
         tt = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
                            pc.add(ev["event_id"], r * shift))
         tt = tt.set_column(tt.schema.get_field_index("user_id"), "user_id",
@@ -216,6 +216,51 @@ def _build_10x(src_dir: str, dst_dir: str) -> None:
     pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
                    os.path.join(dst_dir, "events.parquet"))
     open(marker, "w").close()
+
+
+SUITE100X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
+                     "dedup_paragraphs", "dup_clusters", "tfidf_top_terms",
+                     "distinct_shingles_hll", "event_users_hll",
+                     "doc_pagerank", "value_quantiles_global",
+                     "epoch_shuffle", "pack_sequences"]
+
+
+def run_suite100x() -> None:
+    """100x point for the heavy distributed stages: same deterministic
+    replication as --suite10x at factor 100 (500k docs-equivalent at
+    sf0.1: 500k doc rows, 200k embeddings, 10M events would exceed the
+    fixture budget — factor 100 over sf0.1 gives 500k docs / 1M events /
+    200k vectors), heavy-query subset, one leg (the 1x numbers live in
+    the --suite10x output)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big_dir = os.environ.get("GRAFT_100X_DIR", "/tmp/graft_suite100x")
+    _build_10x(sf_dir, big_dir, factor=100)
+
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {"metric": "suite100x", "unit": "sec", "num_cpus": ncpu,
+           "big_dir": big_dir, "queries": {}}
+    for name in SUITE100X_QUERIES:
+        t0 = time.time()
+        n = _consume(qs[name](big_dir))
+        out["queries"][name] = {"sec_100x": round(time.time() - t0, 3),
+                                "rows_100x": n}
+        print(f"# {name}: {out['queries'][name]}", flush=True)
+    print(json.dumps(out), flush=True)
+    ray.shutdown()
 
 
 def run_suite10x() -> None:
@@ -368,5 +413,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--suite10x" in sys.argv:
         run_suite10x()
+    elif "--suite100x" in sys.argv:
+        run_suite100x()
     else:
         print(json.dumps(run_bench(crawl_only="--crawl-only" in sys.argv)))
