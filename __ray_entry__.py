@@ -538,6 +538,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hll_distinct_by(ev, "event_type",
                                column_str_extractor("user_id"))
 
+    def quality_weighted_sample_q(sf_dir):
+        import pyarrow.compute as pc
+
+        from spatula_ray.stages.curate import weighted_hash_sample
+
+        # weight = snapped quality score as a permille (quality is on
+        # [0, ~1] after the 1e-6 grid; floor(q*1000) is integer-exact)
+        scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8),
+            num_cpus=0.5, max_restarts=0)
+
+        def weigh(t):
+            import pyarrow as pa
+
+            w = pc.cast(pc.floor(pc.multiply(
+                t["quality"], pa.scalar(1000.0))), pa.int64())
+            return t.append_column("w_permille", w)
+
+        return weighted_hash_sample(
+            scored.map_batches(weigh, batch_format="pyarrow"),
+            "w_permille").select_columns(
+                ["doc_id", "quality", "w_permille", "sample_key"])
+
     def decontaminate_sharded_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -688,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf_top,
         "decontaminate": decontaminate_q,
         "decontaminate_sharded": decontaminate_sharded_q,
+        "quality_weighted_sample": quality_weighted_sample_q,
         "mix_head": mix_head,
         "cap_per_source": cap_per_source,
         "dedup_representatives": dedup_reps,
@@ -1355,6 +1379,25 @@ GROUP BY a.doc_id
         # interleaved text+media packing: cost = 4 fixed span tokens +
         # body tokens + 16 media patch tokens; streaming exclusive
         # prefix-sum bin over doc_id order
+        "quality_weighted_sample": """
+WITH q AS (
+  SELECT doc_id,
+         floor((0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')))
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                      / length(text))
+             + 0.3 * least(1.0, length(text) / 500.0)) * 1e6 + 0.5) / 1e6
+           AS quality
+  FROM documents),
+w AS (SELECT doc_id, quality,
+             CAST(floor(quality * 1000.0) AS BIGINT) AS w_permille,
+             ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296
+               % 1000 AS sample_key
+      FROM q)
+SELECT doc_id, quality, w_permille, CAST(sample_key AS BIGINT) AS sample_key
+FROM w WHERE sample_key < w_permille
+""",
+
         "pack_interleaved": """
 WITH c AS (
   SELECT doc_id,

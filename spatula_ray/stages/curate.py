@@ -133,6 +133,31 @@ def hash_sample(ds, rate_permille: int = 100, key: str = "doc_id"):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def weighted_hash_sample(ds, weight_permille_col: str,
+                         key: str = "doc_id"):
+    """Deterministic IMPORTANCE sampling: each row keeps with its OWN
+    probability ``weight_permille / 1000`` (an int64 column the caller
+    derives — e.g. from a quality score), via the same hash bucket as
+    :func:`hash_sample`: keep iff ``hash_bucket(key) < weight_permille``.
+    Integer-exact end to end (no float acceptance threshold, so no
+    cross-engine boundary hazard), per-batch streaming filter, no
+    shuffle, parallelism-invariant and resumable like the unweighted
+    sampler. This is the quality-proportional downsampling step of a
+    training-mix pipeline."""
+    def pick(t: pa.Table) -> pa.Table:
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        w = t[weight_permille_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("sample_key", pa.array(bucket))
+        return t.filter(pa.array(bucket < w))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # -- sequence packing --------------------------------------------------------
 
 def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):

@@ -313,3 +313,24 @@ def test_decontaminate_sharded_matches_broadcast():
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, sh)
     assert bc["contaminated"].sum() > 0     # the fixture overlaps
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_hash_sample_semantics():
+    t = pa.table({
+        "doc_id": pa.array(range(2000), type=pa.int64()),
+        "w_permille": pa.array([0, 250, 1000, 600] * 500, type=pa.int64()),
+    })
+    out = curate.weighted_hash_sample(_ds(t, 8), "w_permille") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # w=0 rows never survive; w=1000 rows always survive
+    assert not (out["w_permille"] == 0).any()
+    assert (out["w_permille"] == 1000).sum() == 500
+    # acceptance tracks the weight (generous tolerance on 500 keys each)
+    n250 = (out["w_permille"] == 250).sum()
+    n600 = (out["w_permille"] == 600).sum()
+    assert 75 <= n250 <= 180 and 230 <= n600 <= 370
+    # parallelism-invariant
+    out1 = curate.weighted_hash_sample(_ds(t, 1), "w_permille") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out1)

@@ -31,7 +31,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "strip_boilerplate", "distinct_shingles_hll",
                       "event_users_hll", "doc_pagerank", "event_funnel",
                       "retention_cohorts", "docs_above_median_quality",
-                      "pack_interleaved", "decontaminate_sharded"]
+                      "pack_interleaved", "decontaminate_sharded",
+                      "quality_weighted_sample"]
 
 
 def _duck(sf_dir):
