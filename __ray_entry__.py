@@ -249,7 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     threshold=0.5)
 
     def simhash_pairs(sf_dir):
-        return dd.simhash_dup_pairs(_docs_with_copies(sf_dir), max_hamming=3)
+        return dd.simhash_dup_pairs(_docs_with_copies(sf_dir), max_hamming=3,
+                                    oracle_parity=True)
 
     def embedding_dups(sf_dir):
         return dd.embedding_dup_pairs(_embeddings_with_copies(sf_dir),
@@ -536,7 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                 columns=["event_type", "user_id"])
         return hll_distinct_by(ev, "event_type",
-                               column_str_extractor("user_id"))
+                               column_str_extractor("user_id"),
+                               oracle_parity=True)
 
     def quality_weighted_sample_q(sf_dir):
         import pyarrow.compute as pc
@@ -605,7 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def distinct_shingles_hll_q(sf_dir):
         from spatula_ray.stages.sketch import hll_distinct, shingle_extractor
 
-        return hll_distinct(_docs(sf_dir, ["text"]), shingle_extractor())
+        return hll_distinct(_docs(sf_dir, ["text"]), shingle_extractor(),
+                            oracle_parity=True)
 
     def chunk_documents_q(sf_dir):
         from spatula_ray.stages.curate import chunk_documents

@@ -39,10 +39,16 @@ _W_BITS = 64 - _P            # 52
 _W_MASK = (1 << _W_BITS) - 1
 
 
-def _hash64(items: List[str]) -> np.ndarray:
-    """md5 low-8-bytes little-endian == DuckDB md5_number_lower. Per-item
-    md5 is the price of the SQL oracle; swap pd.util.hash_array here for
-    a ~10x faster sketch when cross-engine parity is not needed."""
+def _hash64(items: List[str], oracle_parity: bool = False) -> np.ndarray:
+    """Item hash for the sketch. Default: ``pd.util.hash_array`` (fixed
+    siphash key — deterministic, C-vectorized; round-3 verdict fix #4
+    made this the production path). ``oracle_parity=True``: md5
+    low-8-bytes little-endian == DuckDB ``md5_number_lower``, the
+    bit-reproducible-in-SQL variant the gate queries use."""
+    if not oracle_parity:
+        import pandas as pd
+
+        return pd.util.hash_array(np.asarray(items, dtype=object))
     return np.fromiter(
         (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
          for s in items), dtype=np.uint64, count=len(items))
@@ -60,12 +66,12 @@ def _rho_of(w: np.ndarray) -> np.ndarray:
     return rho
 
 
-def register_batch(items: List[str]) -> pa.Table:
+def register_batch(items: List[str], oracle_parity: bool = False) -> pa.Table:
     """Partial HLL registers for one batch: ≤ m (bucket, rho-max) rows."""
     if not items:
         return pa.table({"b": pa.array([], type=pa.int64()),
                          "r": pa.array([], type=pa.int64())})
-    h = _hash64(items)
+    h = _hash64(items, oracle_parity)
     b = (h >> np.uint64(_W_BITS)).astype(np.int64)
     rho = _rho_of((h & np.uint64(_W_MASK)).astype(np.int64))
     reg = np.zeros(_M, dtype=np.int64)
@@ -86,18 +92,24 @@ def estimate(reg: np.ndarray) -> float:
     return float(np.floor(est * 1e4 + 0.5) / 1e4)
 
 
-def hll_distinct(ds, extract: Callable[[pa.Table], List[str]]) -> pa.Table:
+def hll_distinct(ds, extract: Callable[[pa.Table], List[str]],
+                 oracle_parity: bool = False) -> pa.Table:
     """Approximate distinct count of ``extract(batch)`` items across the
-    dataset. One registers-only pass; driver folds m ints. Returns a
-    one-row table ``(m, v_zero, est)``."""
-    def fn(t: pa.Table) -> pa.Table:
-        return register_batch(extract(t))
+    dataset. The per-batch partial registers are reduced DISTRIBUTIVELY
+    (``groupby('b').max('r')`` — at most m=4096 rows reach the driver,
+    independent of block count; round-3 advisor fix: the former driver
+    fold pulled blocks x m rows). Returns a one-row table
+    ``(m, v_zero, est)``."""
+    from ray.data.aggregate import Max
 
+    def fn(t: pa.Table) -> pa.Table:
+        return register_batch(extract(t), oracle_parity)
+
+    folded = (ds.map_batches(fn, batch_format="pyarrow")
+              .groupby("b").aggregate(Max("r", alias_name="r")))
     reg = np.zeros(_M, dtype=np.int64)
-    for row in ds.map_batches(fn, batch_format="pyarrow").take_all():
-        b, r = row["b"], row["r"]
-        if r > reg[b]:
-            reg[b] = r
+    for row in folded.take_all():      # ≤ 4096 rows
+        reg[row["b"]] = row["r"]
     return pa.table({
         "m": pa.array([_M], type=pa.int64()),
         "v_zero": pa.array([int((reg == 0).sum())], type=pa.int64()),
@@ -120,7 +132,8 @@ def shingle_extractor(text_col: str = "text", k: int = 3):
 
 
 def hll_distinct_by(ds, key_col: str,
-                    extract: Callable[[pa.Table], List[str]]) -> "object":
+                    extract: Callable[[pa.Table], List[str]],
+                    oracle_parity: bool = False) -> "object":
     """Grouped HLL: approximate distinct ``extract`` items PER KEY.
     Returns a Dataset of ``(key, m, v_zero, est)`` rows.
 
@@ -146,7 +159,7 @@ def hll_distinct_by(ds, key_col: str,
         out_k, out_b, out_r = [], [], []
         for k, idxs in per_key.items():
             sub = t.take(pa.array(idxs, type=pa.int64()))
-            part = register_batch(extract(sub))
+            part = register_batch(extract(sub), oracle_parity)
             nb = part.num_rows
             out_k.extend([k] * nb)
             out_b.extend(part["b"].to_pylist())
