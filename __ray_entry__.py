@@ -592,11 +592,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  batch_format="pyarrow")
         # shard handles pass by value; restartable state lives in the
         # actors, so max_restarts=0 on the stateless mapper pool
-        return train.map_batches(
+        out = train.map_batches(
             DecontaminateSharded, fn_constructor_kwargs={
                 "shards": shards, "threshold": 0.5},
             batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
-            max_restarts=0)
+            max_restarts=0).materialize()
+        # callers own shard-actor lifetime (round-3 advisor fix):
+        # materialize above fully consumes the shards, so kill them here
+        # rather than leaking one zero-CPU set-holding actor per gate run
+        from spatula_ray.stages.curate import release_membership_shards
+
+        release_membership_shards(shards)
+        return out
 
     def pack_interleaved_q(sf_dir):
         from spatula_ray.stages.curate import pack_interleaved

@@ -562,6 +562,20 @@ def build_membership_shards(eval_ds, k: int = 3, n_shards: int = 4):
     return shards
 
 
+def release_membership_shards(shards) -> None:
+    """Kill the membership-shard actors (round-3 advisor fix: callers own
+    actor lifetime — a long driver session that builds shards per query
+    would otherwise accumulate zero-CPU actors pinning eval shingle sets).
+    Call after the decontamination dataset is fully consumed."""
+    import ray
+
+    for s in shards:
+        try:
+            ray.kill(s)
+        except Exception:
+            pass
+
+
 import ray as _ray
 
 
@@ -884,42 +898,59 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 10):
     (< 2^53 documented bound) and the single IEEE division reproduces
     bit-for-bit in SQL, so ranking and values are cross-engine exact.
 
-    Shuffle plan: one explode pass emits per-(doc, term) counts (distinct
-    by construction, so df is a plain count), then two partial-aggregated
-    groupbys (term key), one bucketed join on term, and a per-batch
-    partial top-k so the final per-language groups are k-bounded."""
-    from ray.data.aggregate import Count, Sum
+    Shuffle plan (round-3 verdict fix #7 — the former version
+    materialized the exploded per-(doc, term) table to feed separate tf
+    and df aggregates plus a join): ONE map over docs emits BOTH partial
+    aggregates per block — (lang, term, tf-partial) rows and
+    (term, df-partial) rows, tagged by a sentinel lang — then ONE
+    bucketed shuffle on hash(term) co-locates every partial of a term,
+    and a per-bucket pandas kernel finishes tf, df and the score. The
+    token-scale exploded table never exists as a dataset; only
+    per-block-distinct (lang, term) partials cross the exchange."""
+    from .joins import _bucket_of
 
-    from .joins import hash_bucket_join
+    _DF = "\x00df"    # sentinel lang tag for df-partial rows
 
-    def explode(t: pa.Table) -> pa.Table:
+    def partials(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         idx, flat, _ = _flat_tokens(texts)
         langs = np.asarray(t["lang"].to_pylist(), dtype=object)
         per = (pd.DataFrame({"d": idx, "term": flat})
                .groupby(["d", "term"], sort=False).size().reset_index(name="c"))
-        d = per["d"].to_numpy()
-        return pa.table({
-            "lang": pa.array(langs[d]),
-            "term": pa.array(per["term"].to_numpy(), type=pa.string()),
-            "c": pa.array(per["c"].to_numpy().astype(np.int64)),
+        # tf partial: occurrences per (lang, term) within this block
+        tfp = (per.assign(lang=langs[per["d"].to_numpy()])
+               .groupby(["lang", "term"], sort=False)["c"].sum()
+               .reset_index())
+        # df partial: documents containing term within this block (per-
+        # (doc, term) rows are distinct by construction, docs never span
+        # blocks, so a row count is exact)
+        dfp = (per.groupby("term", sort=False).size().reset_index(name="c")
+               .assign(lang=_DF))
+        both = pd.concat([tfp, dfp[["lang", "term", "c"]]],
+                         ignore_index=True)
+        out = pa.table({
+            "lang": pa.array(both["lang"].to_numpy(), type=pa.string()),
+            "term": pa.array(both["term"].to_numpy(), type=pa.string()),
+            "c": pa.array(both["c"].to_numpy().astype(np.int64)),
         })
+        return out.append_column("__bucket", _bucket_of(out, ["term"], 16))
 
-    dt = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    dt = docs.map_batches(partials, batch_format="pyarrow")
 
-    tf = dt.groupby(["lang", "term"]).aggregate(Sum("c", alias_name="tf"))
-    df = dt.groupby("term").aggregate(Count(alias_name="df"))
-    joined = hash_bucket_join(tf, df, on=["term"], num_buckets=16)
-
-    def score(t: pa.Table) -> pa.Table:
-        tfv = t["tf"].combine_chunks().to_numpy().astype(np.int64)
-        dfv = t["df"].combine_chunks().to_numpy().astype(np.int64)
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["lang", "term"], sort=False)["c"].sum()
+               .reset_index())
+        is_df = agg["lang"] == _DF
+        dfm = agg[is_df].set_index("term")["c"]
+        tf = agg[~is_df]
+        dfv = dfm.reindex(tf["term"]).to_numpy()
+        tfv = tf["c"].to_numpy()
         s = np.floor((tfv * (n_docs + 1)) / (dfv + 1) * 1e6 + 0.5) / 1e6
-        return pa.table({"lang": t["lang"], "term": t["term"],
-                         "tf": pa.array(tfv), "df": pa.array(dfv),
-                         "score": pa.array(s)})
+        return pd.DataFrame({"lang": tf["lang"], "term": tf["term"],
+                             "tf": tfv, "df": dfv.astype(np.int64),
+                             "score": s})
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    scored = dt.groupby("__bucket").map_groups(finish, batch_format="pandas")
 
     def local_topk(t: pa.Table) -> pa.Table:
         g = t.to_pandas()

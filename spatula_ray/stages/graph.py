@@ -67,6 +67,17 @@ def pagerank(edges, num_nodes: int, iters: int = 5,
 
     from .joins import _bucket_of
 
+    # int64 headroom guard (round-3 advisor fix): the gather kernel's
+    # worst case is every node's damped mass landing on one sink —
+    # num_nodes * SCALE * 1000 must stay below 2^63 or the np.add.at
+    # accumulate and the damping multiply wrap silently. ~9.2e6 nodes at
+    # the default SCALE; lower SCALE to raise the node bound.
+    if num_nodes * SCALE * 1000 >= 2 ** 63:
+        raise ValueError(
+            f"pagerank int64 overflow: num_nodes ({num_nodes}) * SCALE "
+            f"({SCALE}) * 1000 >= 2**63; reduce graph.SCALE "
+            f"(grid resolution) to fit {num_nodes} nodes")
+
     base = (1000 - damping_permille) * SCALE // 1000
     d = damping_permille
 

@@ -59,18 +59,48 @@ def _clean_col(t: pa.Table, col: str) -> np.ndarray:
     return x[~np.isnan(x)]       # nulls surface as NaN in the numpy view
 
 
+def _clean_col_int(t: pa.Table, col: str) -> np.ndarray:
+    a = t[col].combine_chunks()
+    if a.null_count:
+        a = a.drop_null()
+    return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _quantiles_impl(ds, col: str, qs: Sequence[float], bins: int,
-                    gather_threshold: int) -> Tuple[Dict[float, float], int]:
+                    gather_threshold: int) -> Tuple[Dict[float, float],
+                                                    int, bool]:
     vals = ds.select_columns([col]).materialize()
 
+    # Integer columns bisect in NATIVE int64 key space (round-3 advisor
+    # fix: the float64 order-map is only a bijection below 2^53, so
+    # |v| > 2^53 would silently snap to the nearest representable
+    # double). Floats keep the sign-folded IEEE order-map. Both key
+    # spaces are int64, so the bisection loop below is shared.
+    from .joins import _dataset_types
+
+    is_int = pa.types.is_integer(_dataset_types(vals)[col])
+    if is_int:
+        def keys_of(t: pa.Table) -> np.ndarray:
+            return _clean_col_int(t, col)
+
+        def val_of(k: int):
+            return int(k)
+    else:
+        def keys_of(t: pa.Table) -> np.ndarray:
+            return _f64_to_ordered_i64(_clean_col(t, col))
+
+        def val_of(k: int):
+            return float(_ordered_i64_to_f64(
+                np.array([k], dtype=np.int64))[0])
+
     def count_batch(t: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array([int(len(_clean_col(t, col)))],
+        return pa.table({"n": pa.array([int(len(keys_of(t)))],
                                        type=pa.int64())})
 
     n = sum(r["n"] for r in
             vals.map_batches(count_batch, batch_format="pyarrow").take_all())
     if n == 0:
-        return {float(q): float("nan") for q in qs}, 0
+        return {float(q): float("nan") for q in qs}, 0, is_int
 
     ranks = sorted({max(int(np.ceil(q * n)) - 1, 0) for q in qs})
     # per-rank state: inclusive [lo, hi] interval (Python ints in
@@ -97,7 +127,7 @@ def _quantiles_impl(ds, col: str, qs: Sequence[float], bins: int,
 
         def hist_batch(t: pa.Table, _edges=edges, _iv=iv,
                        _active=tuple(active)) -> pa.Table:
-            k = _f64_to_ordered_i64(_clean_col(t, col))
+            k = keys_of(t)
             out_r, out_b, out_c = [], [], []
             for r in _active:
                 lo, hi = _iv[r]
@@ -133,15 +163,14 @@ def _quantiles_impl(ds, col: str, qs: Sequence[float], bins: int,
             s["count"] = int(folded[r][b])
             s["lo"], s["hi"] = new_lo, new_hi
             if s["lo"] == s["hi"]:
-                s["value"] = float(_ordered_i64_to_f64(
-                    np.array([s["lo"]], dtype=np.int64))[0])
+                s["value"] = val_of(s["lo"])
 
     pending = [r for r, s in state.items() if s["value"] is None]
     if pending:
         spans = [(state[r]["lo"], state[r]["hi"]) for r in pending]
 
         def gather_batch(t: pa.Table, _spans=tuple(spans)) -> pa.Table:
-            k = _f64_to_ordered_i64(_clean_col(t, col))
+            k = keys_of(t)
             keep = np.zeros(len(k), dtype=bool)
             for lo, hi in _spans:
                 keep |= (k >= lo) & (k <= hi)
@@ -155,26 +184,28 @@ def _quantiles_impl(ds, col: str, qs: Sequence[float], bins: int,
         for r in pending:
             s = state[r]
             seg = got[(got >= s["lo"]) & (got <= s["hi"])]
-            s["value"] = float(_ordered_i64_to_f64(
-                np.array([seg[r - s["below"]]], dtype=np.int64))[0])
+            s["value"] = val_of(int(seg[r - s["below"]]))
 
     return ({float(q): state[max(int(np.ceil(q * n)) - 1, 0)]["value"]
-             for q in qs}, n)
+             for q in qs}, n, is_int)
 
 
 def exact_quantiles(ds, col: str, qs: Sequence[float], bins: int = 4096,
                     gather_threshold: int = 65536) -> Dict[float, float]:
     """Exact ``quantile_disc`` values of ``ds[col]`` for every q in
-    ``qs``. Returns {q: value}. See module docstring for the protocol."""
+    ``qs``. Returns {q: value} — Python ints (exact at any magnitude) for
+    integer columns, floats otherwise. See module docstring."""
     return _quantiles_impl(ds, col, qs, bins, gather_threshold)[0]
 
 
 def exact_quantiles_table(ds, col: str, qs: List[float], bins: int = 4096,
                           gather_threshold: int = 65536) -> pa.Table:
-    """One-row Arrow table ``(n, p{q}, ...)`` for pipeline use."""
-    res, n = _quantiles_impl(ds, col, qs, bins, gather_threshold)
+    """One-row Arrow table ``(n, p{q}, ...)`` for pipeline use. The
+    p-columns are int64 for integer inputs (exact beyond 2^53, matching
+    DuckDB quantile_disc's type-preserving output), float64 otherwise."""
+    res, n, is_int = _quantiles_impl(ds, col, qs, bins, gather_threshold)
+    out_t = pa.int64() if is_int and n > 0 else pa.float64()
     cols = {"n": pa.array([n], type=pa.int64())}
     for q in qs:
-        cols[f"p{int(round(q * 100))}"] = pa.array([res[q]],
-                                                   type=pa.float64())
+        cols[f"p{int(round(q * 100))}"] = pa.array([res[q]], type=out_t)
     return pa.table(cols)

@@ -313,6 +313,9 @@ def test_decontaminate_sharded_matches_broadcast():
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(bc, sh)
     assert bc["contaminated"].sum() > 0     # the fixture overlaps
+    from spatula_ray.stages.curate import release_membership_shards
+
+    release_membership_shards(shards)       # callers own actor lifetime
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -561,6 +561,38 @@ def test_exact_quantiles_vs_numpy():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_int64_beyond_2_53():
+    """Integer columns bisect in native int64 space (round-3 advisor
+    fix): adjacent huge ints that collapse to the same float64 must stay
+    distinguishable and come back as exact Python ints."""
+    import ray.data as rd
+
+    from spatula_ray.stages.selection import exact_quantiles
+
+    base = (1 << 60) + 12345
+    vals = np.array([base + i for i in range(101)], dtype=np.int64)
+    assert float(base) == float(base + 1)      # the float map would merge
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    for thr in (0, 10):
+        got = exact_quantiles(ds, "v", [0.5, 0.99], bins=64,
+                              gather_threshold=thr)
+        assert got[0.5] == base + 50 and isinstance(got[0.5], int)
+        assert got[0.99] == base + 99      # ceil(0.99 * 101) - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_overflow_guard():
+    import ray.data as rd
+
+    from spatula_ray.stages.graph import pagerank
+
+    edges = rd.from_arrow(pa.table({"src": pa.array([0], type=pa.int64()),
+                                    "dst": pa.array([1], type=pa.int64())}))
+    with pytest.raises(ValueError, match="int64 overflow"):
+        pagerank(edges, num_nodes=10_000_000_000)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_distinct_accuracy_and_determinism():
     import ray.data as rd
 
