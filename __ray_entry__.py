@@ -215,17 +215,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         max_restarts=0)
 
         def explode(t: pa.Table) -> pa.Table:
-            # exploded (doc_id, chunk, h) rows — SQL-comparable shape
-            ids, chunks, hs = [], [], []
-            for d, sig in zip(t["doc_id"].to_pylist(),
-                              t["winnow_sig"].to_pylist()):
-                for c, h in enumerate(sig):
-                    ids.append(d)
-                    chunks.append(c)
-                    hs.append(h)
+            # exploded (doc_id, chunk, h) rows — SQL-comparable shape.
+            # Vectorized from the list column's offsets (round-3 verdict
+            # fix #8): no per-row Python.
+            import numpy as np
+
+            lst = t["winnow_sig"].combine_chunks()
+            offs = lst.offsets.to_numpy()
+            lens = np.diff(offs)
+            ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+            chunk = (np.arange(int(offs[0]), int(offs[-1]), dtype=np.int64)
+                     - np.repeat(offs[:-1], lens))
             return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                             "chunk": pa.array(chunks, type=pa.int64()),
-                             "h": pa.array(hs, type=pa.int64())})
+                             "chunk": pa.array(chunk, type=pa.int64()),
+                             "h": lst.flatten().cast(pa.int64())})
 
         return out.map_batches(explode, batch_format="pyarrow")
 

@@ -29,6 +29,158 @@ MEDIA_SCHEMA = pa.schema([
 
 FEATURE_DIM = 16
 _FAKE_HEADER = b"FAKEIMG\x00"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    if pb <= pc_:
+        return b
+    return c
+
+
+def decode_png(body: bytes):
+    """Pure-stdlib PNG decode (zlib + numpy; round-3 verdict fix #9 — the
+    real-image path no longer needs PIL in this container): parses IHDR,
+    inflates the IDAT stream, un-applies the per-scanline filters (types
+    0-4 per the PNG spec), and returns ``(width, height, gray)`` where
+    ``gray`` is a float64 (h, w) luma array (ITU-R 601-2 integer weights,
+    the same 299/587/114 per-mille mix PIL's convert("L") uses).
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — the shapes a training-data pipeline
+    actually stores. Anything else raises ValueError (loudly, never a
+    wrong image)."""
+    import zlib
+
+    if not body.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, idat = len(_PNG_MAGIC), []
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(body):
+        (length,), ctype = struct.unpack(">I", body[pos:pos + 4]), \
+            body[pos + 4:pos + 8]
+        data = body[pos + 8:pos + 8 + length]
+        pos += 12 + length                       # length + type + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG: depth={bit_depth} "
+                         f"interlace={interlace}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG size mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride,
+                             offset=y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:                             # up: fully vectorized
+            rec = (line + prev) & 0xFF
+        elif f == 1:                             # sub: per-channel cumsum
+            rec = line.copy()
+            for x in range(channels, stride):
+                rec[x] = (rec[x] + rec[x - channels]) & 0xFF
+        elif f == 3:                             # average
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                rec[x] = (rec[x] + (a + prev[x]) // 2) & 0xFF
+        elif f == 4:                             # paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - channels]) if x >= channels else 0
+                c = int(prev[x - channels]) if x >= channels else 0
+                rec[x] = (rec[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, channels)
+    if color_type == 0:
+        gray = px[:, :, 0].astype(np.float64)
+    elif color_type == 4:
+        gray = px[:, :, 0].astype(np.float64)    # luma channel; alpha dropped
+    else:
+        gray = ((px[:, :, 0] * 299 + px[:, :, 1] * 587
+                 + px[:, :, 2] * 114) / 1000.0)
+    return w, h, gray
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal stdlib PNG encoder (test/sink helper): uint8 array of shape
+    (h, w) -> grayscale or (h, w, 3) -> RGB, one filter type for every
+    scanline (0-2 supported — enough to exercise the decoder's filter
+    paths with a known original)."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        img = img[:, :, None]
+    else:
+        color_type, channels = 2, 3
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels).astype(np.int64)
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = row.copy()
+            enc[channels:] = (row[channels:] - row[:-channels]) & 0xFF
+        elif filter_type == 2:
+            prev = flat[y - 1] if y else np.zeros_like(row)
+            enc = (row - prev) & 0xFF
+        else:
+            raise ValueError("encoder supports filters 0-2")
+        lines.append(bytes([filter_type]) + bytes(enc.astype(np.uint8)))
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import binascii
+
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", binascii.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b""))
+
+
+def _thumb4(gray: np.ndarray) -> np.ndarray:
+    """4x4 block-mean thumbnail of an (h, w) luma array, flattened to 16
+    float64s — the feature-extraction front end for the stdlib PNG path
+    (a deterministic stand-in for a model embedding)."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5).astype(np.int64)
+    xs = np.linspace(0, w, 5).astype(np.int64)
+    out = np.empty(16, dtype=np.float64)
+    for i in range(4):
+        for j in range(4):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i * 4 + j] = float(block.mean()) if block.size else 0.0
+    return out
 
 
 def make_fake_media(media_ref: str, kind: str = "image") -> bytes:
@@ -89,9 +241,16 @@ class DecodeStub:
             thumb = img.resize((4, 4))
             raw = np.asarray(thumb, dtype=np.float64).reshape(-1)
             return w, h, raw
+        if body.startswith(_PNG_MAGIC):
+            # real in-sandbox decode (round-3 verdict fix #9): stdlib
+            # zlib+numpy PNG path; 4x4 block-mean thumbnail for features
+            w, h, gray = decode_png(body)
+            raw = _thumb4(gray)
+            return w, h, raw
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, not present in this "
-            "environment; provide FAKEIMG bodies or swap in a real decoder")
+            "real media decoding requires PIL/ffmpeg for non-PNG formats, "
+            "not present in this environment; provide PNG or FAKEIMG "
+            "bodies, or swap in a real decoder")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats = [], [], []

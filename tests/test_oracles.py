@@ -32,7 +32,9 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "event_users_hll", "doc_pagerank", "event_funnel",
                       "retention_cohorts", "docs_above_median_quality",
                       "pack_interleaved", "decontaminate_sharded",
-                      "quality_weighted_sample"]
+                      "quality_weighted_sample",
+                      # round-4: end-to-end curation composition
+                      "curate_corpus"]
 
 
 def _duck(sf_dir):

