@@ -423,6 +423,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
             max_restarts=0)
 
+    def bloom_decontaminate_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from spatula_ray.stages.curate import (
+            _SAMPLE_ADD,
+            _SAMPLE_DOM,
+            _SAMPLE_MOD,
+            _SAMPLE_MULT,
+            BloomDecontaminate,
+            bloom_bits,
+        )
+
+        # same eval/train split as `decontaminate`, filtered through a
+        # 2^18-bit / 3-hash Bloom filter instead of the exact set
+        def side(t: pa.Table, want_eval: bool) -> pa.Table:
+            k = t["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+                 + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+            is_eval = (h % np.uint64(1000)) < 100
+            return t.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+        bits = bloom_bits(
+            docs.map_batches(lambda t: side(t, True), batch_format="pyarrow"),
+            oracle_parity=True)
+        train = docs.map_batches(lambda t: side(t, False),
+                                 batch_format="pyarrow")
+        return train.map_batches(
+            BloomDecontaminate, fn_constructor_kwargs={
+                "bits": ray.put(bits), "oracle_parity": True},
+            batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+            max_restarts=0)
+
+    def heavy_hitters_q(sf_dir):
+        from spatula_ray.stages.sketch import cms_heavy_hitters
+
+        def tokens(t):
+            # exactly string_split(text, ' '): empties included
+            out = []
+            for txt in t["text"].to_pylist():
+                out.extend((txt or "").split(" "))
+            return out
+
+        return cms_heavy_hitters(_docs(sf_dir, ["text"]), tokens, k=50,
+                                 oracle_parity=True)
+
     def mix_head(sf_dir):
         from spatula_ray.stages.curate import weighted_mix_head
 
@@ -724,6 +773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf_top,
         "decontaminate": decontaminate_q,
         "decontaminate_sharded": decontaminate_sharded_q,
+        "bloom_decontaminate": bloom_decontaminate_q,
+        "heavy_hitters": heavy_hitters_q,
         "quality_weighted_sample": quality_weighted_sample_q,
         "mix_head": mix_head,
         "cap_per_source": cap_per_source,
@@ -1899,6 +1950,65 @@ SELECT c.doc_id,
        CAST(CASE WHEN coalesce(o.overlap, 0)::DOUBLE / c.n_shingles >= 0.5
                  THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM cnt c LEFT JOIN ov o USING (doc_id)
+""",
+
+        # Bloom-filter decontamination: same eval/train split as
+        # `decontaminate`; membership (incl. false positives) reproduced
+        # exactly — a shingle is bloom-positive iff all 3 salted-md5 bit
+        # positions appear in the eval position set
+        "bloom_decontaminate": """
+WITH b AS (
+  SELECT doc_id, text,
+         ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+           AS bk
+  FROM documents
+),
+tok AS (SELECT doc_id, bk, string_split(text, ' ') AS ts FROM b),
+sh AS (
+  SELECT doc_id, bk, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+hs AS (SELECT unnest([0, 1, 2]) AS i),
+bits AS (SELECT DISTINCT
+           CAST(md5_number_lower(g || '#' || i) % 262144 AS BIGINT) AS pos
+         FROM (SELECT DISTINCT g FROM sh WHERE bk < 100), hs),
+tsh AS (SELECT doc_id, g FROM sh WHERE bk >= 100),
+hp AS (SELECT doc_id, g, i,
+              CAST(md5_number_lower(g || '#' || i) % 262144 AS BIGINT) AS pos
+       FROM tsh, hs),
+hit AS (SELECT doc_id, g, count(*) AS nb
+        FROM hp JOIN bits USING (pos) GROUP BY 1, 2),
+pos_doc AS (SELECT doc_id, count(*) AS bloom_hits
+            FROM hit WHERE nb = 3 GROUP BY 1),
+cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1)
+SELECT c.doc_id, c.n_shingles,
+       coalesce(p.bloom_hits, 0) AS bloom_hits,
+       CAST(coalesce(p.bloom_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM cnt c LEFT JOIN pos_doc p USING (doc_id)
+""",
+
+        # count-min-sketch heavy hitters: 4x8192 integer counters, est =
+        # min over rows of the term's bucket sum — integer-exact, so the
+        # classic CMS overestimate reproduces bit-for-bit
+        "heavy_hitters": """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+hs AS (SELECT unnest([0, 1, 2, 3]) AS j),
+hb AS (SELECT term, c, j,
+              CAST(md5_number_lower(term || '#' || j) % 8192 AS BIGINT) AS b
+       FROM tc, hs),
+counters AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS s FROM hb GROUP BY 1, 2),
+est AS (SELECT hb.term, min(cn.s) AS est
+        FROM hb JOIN counters cn ON hb.j = cn.j AND hb.b = cn.b
+        GROUP BY hb.term)
+SELECT term, CAST(est AS BIGINT) AS est
+FROM est
+ORDER BY est DESC, term
+LIMIT 50
 """,
 
         # deterministic weighted source interleave, head of the stream:

@@ -562,6 +562,88 @@ def build_membership_shards(eval_ds, k: int = 3, n_shards: int = 4):
     return shards
 
 
+_BLOOM_M = 1 << 18              # bits (32 KB packed; fits any broadcast)
+_BLOOM_K = 3                    # hash functions
+
+
+def bloom_bits(eval_ds, k: int = 3, m: int = _BLOOM_M,
+               n_hashes: int = _BLOOM_K,
+               oracle_parity: bool = False) -> np.ndarray:
+    """Distributed Bloom-filter build over an eval corpus's shingles.
+
+    The third point on the decontamination memory/exactness curve
+    (broadcast frozenset -> sharded exact actors -> Bloom): the filter is
+    a FIXED m-bit array regardless of eval size, so it broadcasts to every
+    worker for free where the exact set would not fit. Build is one
+    streaming pass: per-batch distinct shingles -> bit positions ->
+    ``groupby(pos)`` distinct (at most m rows cross the wire) -> one
+    driver fold into a bool array. Positions are the salted md5 /
+    hash_array family shared with the count-min sketch, so the DuckDB
+    oracle reproduces membership — including false positives —
+    bit-for-bit."""
+    from .sketch import salted_bucket
+
+    def feed(t: pa.Table) -> pa.Table:
+        _, flat = _distinct_shingles(t["text"].to_pylist(), k)
+        uniq = pd.unique(flat)
+        acc = np.zeros(m, dtype=bool)
+        if len(uniq):
+            u = np.asarray(uniq, dtype=str)
+            for i in range(n_hashes):
+                acc[salted_bucket(u, i, oracle_parity, m)] = True
+        nz = np.nonzero(acc)[0]
+        return pa.table({"pos": pa.array(nz, type=pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    folded = (eval_ds.map_batches(feed, batch_format="pyarrow")
+              .groupby("pos").aggregate(Count(alias_name="_n")))
+    bits = np.zeros(m, dtype=bool)
+    for row in folded.take_all():          # <= m rows
+        bits[row["pos"]] = True
+    return bits
+
+
+class BloomDecontaminate:
+    """Decontaminate against a broadcast Bloom filter: a doc is flagged
+    when ANY of its shingles is bloom-positive (all ``n_hashes`` bits
+    set). Same streaming-map shape as :class:`Decontaminate`; memory per
+    actor is the m-bit array instead of the eval shingle set. Output is
+    deterministic (false positives included) and SQL-mirrorable."""
+
+    def __init__(self, bits, k: int = 3, m: int = _BLOOM_M,
+                 n_hashes: int = _BLOOM_K, oracle_parity: bool = False):
+        import ray
+
+        if isinstance(bits, ray.ObjectRef):
+            bits = ray.get(bits)
+        self._bits = np.asarray(bits, dtype=bool)
+        self._k = k
+        self._m = m
+        self._n_hashes = n_hashes
+        self._parity = oracle_parity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .sketch import salted_bucket
+
+        texts = batch["text"].to_pylist()
+        idx, flat = _distinct_shingles(texts, self._k)
+        n_docs = len(texts)
+        hit = np.ones(len(flat), dtype=bool)
+        if len(flat):
+            f = np.asarray(flat, dtype=str)
+            for i in range(self._n_hashes):
+                hit &= self._bits[salted_bucket(f, i, self._parity, self._m)]
+        n_sh = np.bincount(idx, minlength=n_docs).astype(np.int64)
+        bh = np.bincount(idx, weights=hit, minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(n_sh),
+            "bloom_hits": pa.array(bh),
+            "contaminated": pa.array((bh > 0).astype(np.int64)),
+        })
+
+
 def release_membership_shards(shards) -> None:
     """Kill the membership-shard actors (round-3 advisor fix: callers own
     actor lifetime — a long driver session that builds shards per query

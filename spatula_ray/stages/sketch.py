@@ -187,6 +187,113 @@ def hll_distinct_by(ds, key_col: str,
     return folded.groupby(key_col).map_groups(finish, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_W = 8192                 # buckets per row
+_CMS_D = 4                    # hash rows
+
+
+def _cms_bucket(terms, j: int, oracle_parity: bool = False,
+                width: int = _CMS_W) -> np.ndarray:
+    """Bucket index of each term under hash row ``j``: low 8 bytes of
+    md5(term + '#' + j) mod width (== DuckDB
+    ``md5_number_lower(term || '#' || j) % width``) in parity mode, a
+    salted ``pd.util.hash_array`` otherwise."""
+    if not oracle_parity:
+        import pandas as pd
+
+        salted = np.char.add(np.asarray(terms, dtype=str), f"#{j}")
+        return (pd.util.hash_array(salted.astype(object))
+                % np.uint64(width)).astype(np.int64)
+    sj = f"#{j}".encode()
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode() + sj).digest()[8:], "little")
+         % width for t in terms), dtype=np.int64, count=len(terms))
+
+
+# shared by the Bloom-filter stages (curate.bloom_decontaminate): the same
+# salted md5 / hash_array bucket family
+salted_bucket = _cms_bucket
+
+
+def cms_heavy_hitters(ds, extract: Callable[[pa.Table], List[str]], k: int = 50,
+                      width: int = _CMS_W, depth: int = _CMS_D,
+                      oracle_parity: bool = False) -> pa.Table:
+    """Top-k most frequent items by count-min-sketch estimate.
+
+    The 100 TB shape: exact global term counts need a vocab-wide shuffle
+    of (term, count) pairs; the sketch replaces that with a FIXED
+    ``depth x width`` integer counter table (1 MB here) that reduces
+    distributively — per-batch local counters -> ``groupby(jb).sum`` over
+    at most depth*width rows, independent of corpus size. Estimates are
+    then min-of-rows lookups against the broadcast counter table; only
+    the DISTINCT term list (vocab-sized, corpus-independent) ever
+    shuffles, and only once. Estimates are integer-exact and
+    deterministic (the classic CMS >= truth overestimate), so the DuckDB
+    mirror reproduces them bit-for-bit.
+
+    Returns a k-row ``(term, est)`` pyarrow table, ordered by
+    (est desc, term asc)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def partial_counters(t: pa.Table) -> pa.Table:
+        terms = extract(t)
+        if not terms:
+            return pa.table({"jb": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(np.asarray(terms, dtype=str),
+                                 return_counts=True)
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for j in range(depth):
+            b = _cms_bucket(uniq, j, oracle_parity, width)
+            np.add.at(acc, j * width + b, counts)
+        nz = np.nonzero(acc)[0]
+        return pa.table({"jb": pa.array(nz, type=pa.int64()),
+                         "c": pa.array(acc[nz], type=pa.int64())})
+
+    folded = (ds.map_batches(partial_counters, batch_format="pyarrow")
+              .groupby("jb").aggregate(Sum("c", alias_name="c")))
+    counters = np.zeros(depth * width, dtype=np.int64)
+    for row in folded.take_all():        # <= depth*width rows
+        counters[row["jb"]] = row["c"]
+    counters_ref = ray.put(counters)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        terms = extract(t)
+        return pa.table({"term": pa.array(
+            np.unique(np.asarray(terms, dtype=str)) if terms else [],
+            type=pa.string())})
+
+    vocab = (ds.map_batches(batch_distinct, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="_n"))
+             .select_columns(["term"]))
+
+    def estimate_topk(t: pa.Table) -> pa.Table:
+        cnt = ray.get(counters_ref)
+        terms = t["term"].to_numpy(zero_copy_only=False).astype(str)
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "est": pa.array([], type=pa.int64())})
+        est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(depth):
+            b = _cms_bucket(terms, j, oracle_parity, width)
+            np.minimum(est, cnt[j * width + b], out=est)
+        # local top-k candidates only (global winners must win locally)
+        order = np.lexsort((terms, -est))[:k]
+        return pa.table({"term": pa.array(terms[order], type=pa.string()),
+                         "est": pa.array(est[order], type=pa.int64())})
+
+    cand = vocab.map_batches(estimate_topk, batch_format="pyarrow").take_all()
+    terms = np.asarray([r["term"] for r in cand], dtype=str)
+    est = np.asarray([r["est"] for r in cand], dtype=np.int64)
+    order = np.lexsort((terms, -est))[:k]
+    return pa.table({"term": pa.array(terms[order], type=pa.string()),
+                     "est": pa.array(est[order], type=pa.int64())})
+
+
 def column_str_extractor(col: str):
     """Stringified-column extractor (``str(value)`` == SQL
     ``CAST(x AS VARCHAR)`` for integer columns) for the hll operators."""

@@ -33,8 +33,10 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "retention_cohorts", "docs_above_median_quality",
                       "pack_interleaved", "decontaminate_sharded",
                       "quality_weighted_sample",
-                      # round-4: end-to-end curation composition
-                      "curate_corpus"]
+                      # round-4: end-to-end curation composition + new
+                      # sketch/filter operators
+                      "curate_corpus", "heavy_hitters",
+                      "bloom_decontaminate"]
 
 
 def _duck(sf_dir):

@@ -761,3 +761,73 @@ def test_pagerank_integer_exact_vs_reference():
     assert [int(x) for x in got.tolist()] == [int(x) for x in rank]
     # mass sanity: total rank stays within the damped bound
     assert 0 < sum(int(x) for x in rank) <= n * SCALE
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_heavy_hitters_overestimates_never_under():
+    """CMS property: est >= true count for every term, and the true
+    top-1 term must appear in the top-k (its estimate only grows)."""
+    import ray.data as rd
+
+    from spatula_ray.stages.sketch import cms_heavy_hitters
+
+    words = (["hot"] * 400 + ["warm"] * 120
+             + [f"cold{i}" for i in range(300)])
+    t = pa.table({"text": pa.array([" ".join(words[i::7])
+                                    for i in range(7)])})
+    ds = rd.from_arrow(t)
+
+    def tokens(b):
+        out = []
+        for txt in b["text"].to_pylist():
+            out.extend(txt.split(" "))
+        return out
+
+    for parity in (False, True):
+        top = cms_heavy_hitters(ds, tokens, k=10, oracle_parity=parity)
+        d = dict(zip(top["term"].to_pylist(), top["est"].to_pylist()))
+        assert d.get("hot", 0) >= 400
+        assert d.get("warm", 0) >= 120
+        assert top["term"][0].as_py() == "hot"
+        # deterministic
+        again = cms_heavy_hitters(ds, tokens, k=10, oracle_parity=parity)
+        assert top.equals(again)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_decontaminate_no_false_negatives():
+    """Every doc the exact decontaminate flags (overlap > 0) must be
+    bloom-flagged too; bloom adds only (deterministic) false positives."""
+    import ray
+    import ray.data as rd
+
+    from spatula_ray.stages.curate import (
+        BloomDecontaminate,
+        Decontaminate,
+        bloom_bits,
+        eval_shingle_set,
+    )
+
+    ev_texts = [f"secret eval passage number {i} ends here" for i in range(20)]
+    tr_texts = ([f"ordinary training doc {i} with plain words" for i in range(30)]
+                + ["x secret eval passage number 3 ends here y"])
+    ev = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), type=pa.int64()),
+        "text": pa.array(ev_texts)}))
+    tr = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(31), type=pa.int64()),
+        "text": pa.array(tr_texts)}))
+
+    exact = tr.map_batches(
+        Decontaminate, fn_constructor_kwargs={
+            "eval_shingles": eval_shingle_set(ev), "threshold": 0.5},
+        batch_format="pyarrow", concurrency=1, max_restarts=0).to_pandas()
+    bits = bloom_bits(ev)
+    bloom = tr.map_batches(
+        BloomDecontaminate, fn_constructor_kwargs={"bits": ray.put(bits)},
+        batch_format="pyarrow", concurrency=1, max_restarts=0).to_pandas()
+    m = exact.merge(bloom, on="doc_id", suffixes=("_e", "_b"))
+    flagged_exact = m[m["overlap"] > 0]
+    assert (flagged_exact["bloom_hits"] >= flagged_exact["overlap"]).all()
+    assert (flagged_exact["contaminated_b"] == 1).all()
+    assert m.loc[m["doc_id"] == 30, "contaminated_b"].iloc[0] == 1
