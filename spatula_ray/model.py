@@ -294,9 +294,12 @@ _FAKE_PDF_MARKER = b"%FAKEPDF\n"
 
 class PdfPage(Page):
     """PDF → text. Real path shells out to ``pdftotext`` exactly like the
-    reference (``pages.py:376-417``); since that binary is absent in this
-    sandbox, bodies starting with ``%FAKEPDF\\n`` take a deterministic fake
-    path (text = remaining bytes) so the plumbing stays testable.
+    reference (``pages.py:376-417``). Where the binary is absent (this
+    sandbox), real PDF bytes fall back to the stdlib extractor
+    (:mod:`spatula_ray.pdftext` — Flate streams + Tj/TJ/'/" operators;
+    round-4, closes the environment-forced gap the same way the PNG codec
+    did for images). Bodies starting with ``%FAKEPDF\\n`` take the
+    deterministic fake path used by the oracle fixtures.
     """
 
     preserve_layout = False
@@ -313,10 +316,11 @@ class PdfPage(Page):
             cmd = ["pdftotext"] + (["-layout"] if self.preserve_layout else []) + [temp.name, "-"]
             try:
                 out = subprocess.run(cmd, stdout=subprocess.PIPE, check=True).stdout
-            except OSError as e:
-                raise EnvironmentError(
-                    f"error running pdftotext, missing executable? [{e}]"
-                )
+            except OSError:
+                from .pdftext import extract_pdf_text
+
+                self.text = extract_pdf_text(content)
+                return
         self.text = out.decode("utf8")
 
     def to_spans(self) -> typing.List[dict]:
