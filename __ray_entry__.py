@@ -705,6 +705,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return epoch_shuffle(_docs(sf_dir, ["doc_id"]), epoch=3, n_shards=8)
 
+    def dedup_spans_q(sf_dir):
+        from spatula_ray.stages.curate import dedup_spans
+
+        # scanned three times (gram explode, token explode, doc metadata)
+        return dedup_spans(_docs(sf_dir, ["doc_id", "text"]).materialize(),
+                           L=5)
+
+    def lm_nll_q(sf_dir):
+        from spatula_ray.stages.curate import lm_nll
+
+        # scanned twice (bigram training, scoring)
+        return lm_nll(_docs(sf_dir, ["doc_id", "text"]).materialize(),
+                      vocab_size=200, add_k=1)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -792,6 +806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": quantize_embeddings_q,
         "stratified_sample": stratified_sample_q,
         "epoch_shuffle": epoch_shuffle_q,
+        "dedup_spans": dedup_spans_q,
+        "lm_nll": lm_nll_q,
     }
 
 
@@ -2128,6 +2144,72 @@ SELECT doc_id, source, quota_rank FROM (
                       % 4294967296, doc_id) AS quota_rank
   FROM documents)
 WHERE quota_rank <= 10
+""",
+
+        # cross-document exact substring-span removal (Lee et al. 2022
+        # shape, L=5 tokens): any 5-token window also present in a
+        # lower-doc_id doc drops the positions it covers; the min-doc_id
+        # owner keeps its copy; docs reassemble from surviving tokens
+        "dedup_spans": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, i + 1 AS pos, ws[i + 1] AS term
+        FROM w, UNNEST(generate_series(0, len(ws) - 1)) t(i)),
+g AS (SELECT doc_id, pos,
+             term || ' ' || lead(term, 1) OVER win || ' '
+                  || lead(term, 2) OVER win || ' '
+                  || lead(term, 3) OVER win || ' '
+                  || lead(term, 4) OVER win AS gram,
+             lead(term, 4) OVER win IS NOT NULL AS isfull
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, pos, gram FROM g WHERE isfull),
+own AS (SELECT gram, min(doc_id) AS own FROM grams GROUP BY gram),
+drops AS (SELECT g2.doc_id, g2.pos FROM grams g2 JOIN own o USING (gram)
+          WHERE g2.doc_id <> o.own),
+cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+        FROM drops, UNNEST(generate_series(0, 4)) t(j)),
+kept AS (SELECT t.doc_id, t.pos, t.term FROM tok t
+         LEFT JOIN cov c USING (doc_id, pos) WHERE c.pos IS NULL),
+reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       len(w.ws) AS n_tokens, coalesce(r.n_kept, 0) AS n_kept
+FROM w LEFT JOIN reb r USING (doc_id)
+""",
+
+        # bigram-LM perplexity quality score (CCNet LM-filter shape):
+        # top-200 corpus vocab + <unk>, BOS context per doc, add-1
+        # smoothing over the (|vocab|+1)-way next-token space; per-doc
+        # mean negative log-likelihood on the 1e-6 grid. The event-space
+        # size is computed from the vocab CTE (corpora with fewer than
+        # 200 distinct terms keep them all)
+        "lm_nll": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, i + 1 AS pos, ws[i + 1] AS term
+        FROM w, UNNEST(generate_series(0, len(ws) - 1)) t(i)),
+cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+vocab AS (SELECT term FROM cnt
+          QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 200),
+vsz AS (SELECT count(*) + 1 AS v1 FROM vocab),
+m AS (SELECT t.doc_id, t.pos,
+             CASE WHEN v.term IS NOT NULL THEN t.term
+                  ELSE '<unk>' END AS term
+      FROM tok t LEFT JOIN vocab v USING (term)),
+bg AS (SELECT doc_id, pos,
+              coalesce(lag(term) OVER (PARTITION BY doc_id ORDER BY pos),
+                       '<s>') AS w1,
+              term AS w2
+       FROM m),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c) AS cw1 FROM bc GROUP BY w1),
+lp AS (SELECT g.doc_id,
+              ln((b.c + 1) / (c1.cw1 + 1 * (SELECT v1 FROM vsz))) AS lp
+       FROM bg g JOIN bc b ON g.w1 = b.w1 AND g.w2 = b.w2
+                 JOIN c1 ON g.w1 = c1.w1)
+SELECT w.doc_id, len(w.ws) AS n_tokens,
+       floor(-(sum(l.lp) / len(w.ws)) * 1e6 + 0.5) / 1e6 AS nll
+FROM w JOIN lp l USING (doc_id)
+GROUP BY w.doc_id, len(w.ws)
 """,
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;

@@ -1260,3 +1260,272 @@ def strip_frequent_units(docs, sep: str = "\n", max_df_permille: int = 500,
 
     return joined.map_batches(finish, batch_format="pyarrow")
 
+
+
+# -- cross-document exact substring-span removal -------------------------------
+
+
+def _explode_grams(t, L: int, num_buckets: int):
+    """Vectorized doc -> (gram, doc_id, pos) explosion over every L-token
+    window (1-based pos, single-space join — the repo-wide
+    ``string_split(text, ' ')`` SQL-parity convention). The join of L
+    space-free tokens is bijective with the token tuple, so the gram
+    string IS the window identity."""
+    from .joins import _bucket_of
+
+    t = t.combine_chunks()
+    lst = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+    offs = lst.offsets.to_numpy()
+    lens = np.diff(offs)
+    total = int(offs[-1])
+    head = total - (L - 1)
+    empty = pa.table({
+        "gram": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int64()),
+    })
+    if head <= 0:
+        return empty.append_column(
+            "__bucket", pa.array([], type=pa.int64()))
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    ids = np.repeat(t["doc_id"].to_numpy(), lens)
+    pos0 = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    # elementwise str concat over object arrays — pandas/numpy C loop,
+    # no per-row Python in this module's code
+    gram = flat[:head] + " "
+    for j in range(1, L - 1):
+        gram = gram + flat[j:j + head] + " "
+    gram = gram + flat[L - 1:L - 1 + head]
+    valid = (np.repeat(lens, lens)[:head] - pos0[:head]) >= L
+    if not valid.any():
+        return empty.append_column(
+            "__bucket", pa.array([], type=pa.int64()))
+    out = pa.table({
+        "gram": pa.array(gram[valid], type=pa.string()),
+        "doc_id": pa.array(ids[:head][valid]),
+        "pos": pa.array(pos0[:head][valid] + 1),
+    })
+    return out.append_column("__bucket",
+                             _bucket_of(out, ["gram"], num_buckets))
+
+
+def dedup_spans(docs, L: int = 5, num_buckets: int = 32):
+    """Cross-document exact substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" span
+    rule, at token granularity): any L-token window whose exact text
+    also occurs in a LOWER-doc_id document is boilerplate — drop every
+    token position it covers; the smallest-doc_id owner keeps its copy.
+    Documents are reassembled from surviving tokens in original order.
+
+    Returns one row per input doc: ``(doc_id, clean_text, n_tokens,
+    n_kept)``; ``clean_text`` is ``''`` when every token was covered.
+
+    Shuffle plan — all-to-alls move gram/token rows, never whole docs:
+    (1) groupby gram-hash bucket; per bucket one arrow ``group_by(gram)
+    min(doc_id)`` + inner join back marks loser occurrences (a gram's
+    global min lands in one bucket because the bucket key IS the gram);
+    (2) losers expand to their L covered positions (numpy repeat/tile)
+    and union with the token explosion, groupby doc-hash bucket; per
+    bucket a packed-key ``isin`` drops covered tokens and the standard
+    segment reassembly (:func:`_rebuild_docs`) emits clean docs. Doc
+    metadata rides a third cheap scan, bucket-left-joined so fully
+    covered docs still emit a row (same shape as
+    :func:`dedup_paragraphs`).
+
+    At 100 TB the gram shuffle key should be a 128-bit fingerprint of
+    the gram rather than the string itself (swap ``gram`` for a hash
+    column in ``_explode_grams``); the string key is the SQL-parity
+    form. Mirrors ``__ray_entry__.oracle_sql``'s ``dedup_spans`` entry
+    token for token."""
+    from .joins import _bucket_of, hash_bucket_join
+
+    if L < 2:
+        raise ValueError("dedup_spans needs L >= 2")
+
+    def explode(t: pa.Table) -> pa.Table:
+        return _explode_grams(t, L, num_buckets)
+
+    def find_losers(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        m = g.group_by("gram").aggregate([("doc_id", "min")])
+        j = g.select(["gram", "doc_id", "pos"]).join(
+            m, keys=["gram"], join_type="inner")
+        j = j.filter(pc.not_equal(j["doc_id"], j["doc_id_min"]))
+        return j.select(["doc_id", "pos"])
+
+    def cover(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        out = pa.table({
+            "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), L)),
+            "pos": pa.array(np.repeat(t["pos"].to_numpy(), L)
+                            + np.tile(np.arange(L, dtype=np.int64), n)),
+            "p": pa.array([""] * (n * L), type=pa.string()),
+            "is_cov": pa.array(np.ones(n * L, dtype=np.int8)),
+        })
+        return out.append_column("__bucket",
+                                 _bucket_of(out, ["doc_id"], num_buckets))
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lst = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        offs = lst.offsets.to_numpy()
+        lens = np.diff(offs)
+        total = int(offs[-1])
+        out = pa.table({
+            "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), lens)),
+            "pos": pa.array(np.arange(total, dtype=np.int64)
+                            - np.repeat(offs[:-1], lens) + 1),
+            "p": lst.flatten(),
+            "is_cov": pa.array(np.zeros(total, dtype=np.int8)),
+        })
+        return out.append_column("__bucket",
+                                 _bucket_of(out, ["doc_id"], num_buckets))
+
+    losers = (docs.map_batches(explode, batch_format="pyarrow")
+              .groupby("__bucket").map_groups(find_losers,
+                                              batch_format="pyarrow"))
+    covered = losers.map_batches(cover, batch_format="pyarrow")
+    tokens = docs.map_batches(explode_tokens, batch_format="pyarrow")
+
+    shift = np.int64(1) << 40          # < 2**40 tokens per doc
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        key = (g["doc_id"].to_numpy() * shift + g["pos"].to_numpy())
+        cov = g["is_cov"].to_numpy().astype(bool)
+        keep = ~cov & ~pd.Series(key).isin(key[cov]).to_numpy()
+        kept = g.filter(pa.array(keep)).select(["doc_id", "pos", "p"])
+        if kept.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "clean_text": pa.array([], type=pa.string()),
+                "n_kept": pa.array([], type=pa.int64()),
+            })
+        return _rebuild_docs(kept, " ", "clean_text")
+
+    rebuilt = (tokens.union(covered)
+               .groupby("__bucket").map_groups(rebuild,
+                                               batch_format="pyarrow"))
+
+    def meta(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lst = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(np.diff(lst.offsets.to_numpy())
+                                 .astype(np.int64)),
+        })
+
+    joined = hash_bucket_join(docs.map_batches(meta, batch_format="pyarrow"),
+                              rebuilt, on=["doc_id"], how="left",
+                              num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pc.fill_null(t["clean_text"], ""),
+            "n_tokens": t["n_tokens"],
+            "n_kept": pc.fill_null(t["n_kept"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# -- bigram-LM quality scoring (CCNet-style perplexity filter) -----------------
+
+_LM_UNK = "<unk>"
+
+
+def bigram_lm_counts(docs, vocab_size: int = 200):
+    """Train an add-k-ready bigram table over the corpus: tokens map to
+    the top-``vocab_size`` corpus vocabulary (:func:`corpus_vocab`) or
+    ``<unk>``; every document contributes one bigram per token with a
+    BOS context for the first (so a doc of n tokens scores n events).
+
+    Returns ``(vocab_sorted, counts)`` where ``counts`` is a dense
+    ``(V+2, V+1)`` int64 matrix (rows = context ids: vocab, unk, BOS;
+    cols = next-token ids: vocab, unk) — bounded by construction at
+    ~(V+2)(V+1) cells, so broadcasting it is O(V^2), never O(corpus).
+
+    Shuffle plan: per-batch dense ``np.bincount`` partials over packed
+    (w1, w2) keys -> one groupby-sum on the packed int key (<= (V+2)(V+1)
+    distinct keys reach the reduce) -> driver folds the bounded table."""
+    from ray.data.aggregate import Sum
+
+    vocab = sorted(r["term"]
+                   for r in corpus_vocab(docs, vocab_size).take_all())
+    v1 = len(vocab) + 1                      # next-token space: vocab + unk
+    unk_id, bos_id = len(vocab), len(vocab) + 1
+    index = pd.Index(vocab)
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, flat, lens = _flat_tokens(t["text"].to_pylist())
+        w2 = index.get_indexer(flat)
+        w2[w2 < 0] = unk_id
+        w1 = np.empty_like(w2)
+        w1[1:] = w2[:-1]
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        w1[starts] = bos_id
+        key = np.bincount(w1 * v1 + w2, minlength=(v1 + 1) * v1)
+        nz = np.flatnonzero(key)
+        return pa.table({"k": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(key[nz].astype(np.int64))})
+
+    folded = (docs.map_batches(partials, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("c", alias_name="c")))
+    counts = np.zeros(((v1 + 1) * v1,), dtype=np.int64)
+    for row in folded.take_all():            # <= (V+2)(V+1) rows
+        counts[row["k"]] = row["c"]
+    return vocab, counts.reshape(v1 + 1, v1)
+
+
+class LMScore:
+    """Actor-pool scorer: per-document mean negative log-likelihood under
+    the broadcast add-k bigram LM. One vectorized pass per batch: token
+    -> id via ``pd.Index.get_indexer``, probability lookup via fancy
+    indexing into the dense count matrix, per-doc segment sums via
+    ``np.add.reduceat``. Emits ``(doc_id, n_tokens, nll)`` with ``nll``
+    on the 1e-6 grid (high nll = gibberish / OOD text — the CCNet
+    keep-middle / drop-tail quality signal)."""
+
+    def __init__(self, vocab, counts, add_k: int = 1):
+        self._index = pd.Index(vocab)
+        self._v1 = len(vocab) + 1
+        self._unk, self._bos = len(vocab), len(vocab) + 1
+        self._counts = counts
+        self._ctx = counts.sum(axis=1)
+        self._add_k = add_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, flat, lens = _flat_tokens(batch["text"].to_pylist())
+        w2 = self._index.get_indexer(flat)
+        w2[w2 < 0] = self._unk
+        w1 = np.empty_like(w2)
+        w1[1:] = w2[:-1]
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        w1[starts] = self._bos
+        lp = np.log((self._counts[w1, w2] + self._add_k)
+                    / (self._ctx[w1] + self._add_k * self._v1))
+        nll = -np.add.reduceat(lp, starts) / lens
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens),
+            "nll": pa.array(_grid(nll, 1e6)),
+        })
+
+
+def lm_nll(docs, vocab_size: int = 200, add_k: int = 1):
+    """Bigram-LM perplexity quality score for every document (the CCNet
+    / Wenzek et al. 2020 LM-filter shape, with the corpus itself as the
+    LM training set): two bounded-output scans train the (V+2)x(V+1)
+    count table, then a pure streaming actor-pool map scores 100 TB
+    without any further shuffle. Pass a materialized narrow projection
+    when upstream is expensive (scanned twice)."""
+    vocab, counts = bigram_lm_counts(docs, vocab_size)
+    return docs.map_batches(
+        LMScore, fn_constructor_kwargs={"vocab": vocab, "counts": counts,
+                                        "add_k": add_k},
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)

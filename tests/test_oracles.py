@@ -36,7 +36,9 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4: end-to-end curation composition + new
                       # sketch/filter operators
                       "curate_corpus", "heavy_hitters",
-                      "bloom_decontaminate"]
+                      "bloom_decontaminate",
+                      # round-4b: substring-span dedup + LM quality score
+                      "dedup_spans", "lm_nll"]
 
 
 def _duck(sf_dir):
