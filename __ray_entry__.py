@@ -719,6 +719,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lm_nll(_docs(sf_dir, ["doc_id", "text"]).materialize(),
                       vocab_size=200, add_k=1)
 
+    def semdedup_q(sf_dir):
+        from spatula_ray.ioutil import read_parquet_clean
+        from spatula_ray.stages.similarity import semdedup
+
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        # scanned twice (k-means sample, assign) — materialize the
+        # narrow projection once
+        return semdedup(ds.materialize(), n_cells=16, tau_permille=960)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -808,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": epoch_shuffle_q,
         "dedup_spans": dedup_spans_q,
         "lm_nll": lm_nll_q,
+        "semdedup": semdedup_q,
     }
 
 
@@ -824,22 +835,22 @@ from spatula_ray.stages.text import (  # noqa: E402
 )
 
 
-def _ivf_oracle_sql(n_cells: int = 16, iters: int = 5, nprobe: int = 4,
-                    sample: int = 2048, q_scale: int = 1000) -> str:
-    """Exact mirror of stages/similarity.py ``kmeans_centroids`` +
-    ``ivf_ann_topk``: the Lloyd iterations are unrolled as a CTE chain.
-    Reproducibility argument (same as the engine docstring): vectors live
-    on an integer grid (floor(x*Q+0.5)); every SUM is a sum of integers
-    below 2^53 (exact in IEEE doubles in any order); every non-sum step —
-    x/sqrt(nsq)*Q+0.5 then floor — is a chain of single IEEE ops on
-    identical operands, so numpy and DuckDB produce identical integers.
-    Final scoring is raw-double cosine snapped to the 1e-5 grid (the
-    proven lsh_ann_topk pattern)."""
+def _norm_cv(vec: str, prev: str, q_scale: int) -> str:
+    return (f"CASE WHEN {vec} IS NULL OR list_inner_product({vec}, {vec}) = 0 "
+            f"THEN {prev} ELSE list_transform({vec}, "
+            f"x -> floor(x / sqrt(list_inner_product({vec}, {vec})) "
+            f"* {q_scale}.0 + 0.5)) END")
+
+
+def _kmeans_cells_prefix(n_cells: int, iters: int, sample: int,
+                         q_scale: int) -> str:
+    """Shared CTE chain — integer-grid k-means (Lloyd iterations unrolled)
+    ending in ``cells(vec_id, cell)`` and keeping ``xi(vec_id, v, xv)``
+    in scope. Exact mirror of stages/similarity.py ``kmeans_centroids``;
+    see `_ivf_oracle_sql` for the reproducibility argument. The final
+    centroid CTE is named ``cfin``."""
     def norm_cv(vec: str, prev: str) -> str:
-        return (f"CASE WHEN {vec} IS NULL OR list_inner_product({vec}, {vec}) = 0 "
-                f"THEN {prev} ELSE list_transform({vec}, "
-                f"x -> floor(x / sqrt(list_inner_product({vec}, {vec})) "
-                f"* {q_scale}.0 + 0.5)) END")
+        return _norm_cv(vec, prev, q_scale)
 
     parts = [f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -879,13 +890,30 @@ c{t} AS (
   FROM c{p} p LEFT JOIN v{t} v USING (cell)
 )""")
     parts.append(f""",
+cfin AS (SELECT cell, cv FROM c{iters}),
 cells AS (
   SELECT vec_id, cell FROM (
     SELECT x.vec_id, c.cell,
            row_number() OVER (PARTITION BY x.vec_id
                ORDER BY list_inner_product(x.xv, c.cv) DESC, c.cell) AS rk
-    FROM xi x CROSS JOIN c{iters} c) WHERE rk = 1
-),
+    FROM xi x CROSS JOIN cfin c) WHERE rk = 1
+)""")
+    return "".join(parts)
+
+
+def _ivf_oracle_sql(n_cells: int = 16, iters: int = 5, nprobe: int = 4,
+                    sample: int = 2048, q_scale: int = 1000) -> str:
+    """Exact mirror of stages/similarity.py ``kmeans_centroids`` +
+    ``ivf_ann_topk``: the Lloyd iterations are unrolled as a CTE chain.
+    Reproducibility argument (same as the engine docstring): vectors live
+    on an integer grid (floor(x*Q+0.5)); every SUM is a sum of integers
+    below 2^53 (exact in IEEE doubles in any order); every non-sum step —
+    x/sqrt(nsq)*Q+0.5 then floor — is a chain of single IEEE ops on
+    identical operands, so numpy and DuckDB produce identical integers.
+    Final scoring is raw-double cosine snapped to the 1e-5 grid (the
+    proven lsh_ann_topk pattern)."""
+    parts = [_kmeans_cells_prefix(n_cells, iters, sample, q_scale)]
+    parts.append(f""",
 q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id
       LIMIT {_N_QUERIES}),
 qprob AS (
@@ -914,6 +942,31 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
         <= {_TOPK}
 """)
     return "".join(parts)
+
+
+def _semdedup_oracle_sql(n_cells: int = 16, iters: int = 5,
+                         sample: int = 2048, q_scale: int = 1000,
+                         tau_permille: int = 960) -> str:
+    """Exact mirror of stages/similarity.py ``semdedup``: the shared
+    integer-grid k-means prefix assigns every vector a cell; each vector
+    is sphere-normalized onto the grid (same single-IEEE-op chain), so
+    the within-cell pairwise scores are exact integer inner products and
+    the threshold compare is integer vs integer — bit-identical to the
+    engine's int64 matmul."""
+    tau_int = (tau_permille * q_scale * q_scale) // 1000
+    prefix = _kmeans_cells_prefix(n_cells, iters, sample, q_scale)
+    nv = _norm_cv("x.xv", "x.xv", q_scale)
+    return prefix + f""",
+qn AS (SELECT x.vec_id, cl.cell, {nv} AS nv
+       FROM xi x JOIN cells cl USING (vec_id)),
+dup AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM qn a JOIN qn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.nv, b.nv) >= {tau_int}
+        GROUP BY b.vec_id)
+SELECT q.vec_id, q.cell, coalesce(d.dup_of, -1) AS dup_of,
+       d.dup_of IS NULL AS keep
+FROM qn q LEFT JOIN dup d USING (vec_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2229,4 +2282,6 @@ GROUP BY w.doc_id, len(w.ws)
     # IVF ANN: integer-grid k-means training unrolled as a CTE chain —
     # bit-exact mirror of the engine's quantized trainer (see helper)
     sql["ivf_ann_topk"] = _ivf_oracle_sql()
+    # SemDeDup: same k-means prefix + integer-exact within-cell pairwise
+    sql["semdedup"] = _semdedup_oracle_sql()
     return sql

@@ -426,3 +426,84 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 
     return cand.groupby("query_id").map_groups(reduce_group,
                                                batch_format="pandas")
+
+
+# -- SemDeDup: semantic dedup over k-means cells -------------------------------
+
+
+def semdedup(ds, n_cells: int = 16, tau_permille: int = 960,
+             sample: int = 2048, iters: int = 5, q_scale: int = 1000,
+             emb_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then inside every cluster mark as duplicates the vectors
+    whose cosine similarity to a LOWER-id cluster member reaches
+    ``tau_permille / 1000`` — the lowest id in each near-duplicate
+    neighborhood is the kept representative.
+
+    Exactly SQL-reproducible end to end, the same integer-grid argument
+    as :func:`kmeans_centroids` / ``ivf_ann_topk``: centroids come from
+    the quantized trainer; each vector is sphere-normalized onto the
+    integer grid (:func:`_qnorm`), so the pairwise scores are exact
+    int64 inner products and the threshold compare
+    ``dot >= tau_permille * q_scale**2 // 1000`` has no float anywhere.
+
+    Returns one row per vector: ``(vec_id, cell, dup_of, keep)`` where
+    ``dup_of`` is the smallest qualifying lower id (-1 when kept).
+
+    Shuffle plan: one streaming assign/normalize map (centroids
+    broadcast by value — (n_cells x dim) ints), then ONE groupby(cell);
+    the per-cell kernel is a dense int64 matmul, quadratic in cell
+    occupancy. Partitioning assumption: cell occupancy bounded by
+    ``corpus / n_cells`` with balanced cells — raise ``n_cells``
+    proportionally to corpus size (SemDeDup's own recipe) so the
+    per-cell cost stays fixed; a skew guard should salt-split any cell
+    beyond ~50k members (documented, not yet automatic — embedding
+    k-means cells are far better balanced than text LSH buckets)."""
+    cents = kmeans_centroids(ds, n_cells=n_cells, sample=sample,
+                             iters=iters, q_scale=q_scale,
+                             emb_col=emb_col, id_col=id_col)
+    tau_int = (tau_permille * q_scale * q_scale) // 1000
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = _list_col_to_matrix(t[emb_col])
+        xi = _quantize(mat, q_scale)
+        cell = np.argmax(xi @ cents.T, axis=1)      # ties -> lowest cell
+        nsq = (xi * xi).sum(axis=1)
+        norm = np.sqrt(nsq.astype(np.float64))
+        norm[norm == 0] = 1.0                        # zero vec: keep as-is
+        nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
+            .astype(np.int64)
+        dim = nv.shape[1] if nv.size else 0
+        return pa.table({
+            "vec_id": t[id_col],
+            "cell": pa.array(cell.astype(np.int64)),
+            "nv": pa.FixedSizeListArray.from_arrays(
+                pa.array(nv.reshape(-1), type=pa.int64()), dim),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        nvs = g["nv"].combine_chunks()
+        n = len(ids)
+        dim = nvs.type.list_size
+        m = nvs.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, dim)[order]
+        sims = m @ m.T                               # exact int64
+        mask = sims >= tau_int
+        mask[np.tril_indices(n)] = False             # only i < j qualifies
+        has = mask.any(axis=0)
+        first = np.argmax(mask, axis=0)              # first True row = min id
+        dup_of = np.where(has, ids[first], -1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cell": pa.array(
+                g["cell"].to_numpy(zero_copy_only=False)[order]),
+            "dup_of": pa.array(dup_of.astype(np.int64)),
+            "keep": pa.array(~has),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell").map_groups(kernel, batch_format="pyarrow"))

@@ -38,7 +38,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "curate_corpus", "heavy_hitters",
                       "bloom_decontaminate",
                       # round-4b: substring-span dedup + LM quality score
-                      "dedup_spans", "lm_nll"]
+                      # + semantic dedup
+                      "dedup_spans", "lm_nll", "semdedup"]
 
 
 def _duck(sf_dir):
