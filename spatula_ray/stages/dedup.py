@@ -22,6 +22,7 @@ mirror needs identical bits (simhash with oracle_parity=True).
 from __future__ import annotations
 
 import hashlib
+from itertools import chain
 from typing import List
 
 import numpy as np
@@ -62,6 +63,57 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     if not grams:
         return np.empty(0, dtype=np.uint64)
     return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+
+
+def _shingle_hashes_batch(texts, k: int):
+    """Batch form of :func:`_shingle_hashes`: one flat uint64 array of
+    per-doc-distinct word-k-gram hashes (docs concatenated in order) plus
+    the per-doc counts. Gram strings build via elementwise object-array
+    concat (pandas/numpy C loop), ONE ``pd.util.hash_array`` call covers
+    the whole batch, and per-doc dedup is a vectorized lexsort +
+    adjacent-difference mask — same set per doc as the scalar form (order
+    within a doc differs; every consumer is order-invariant)."""
+    import pandas as pd
+
+    splits = [t.split(" ") if t else [] for t in texts]
+    lens = np.fromiter((len(s) for s in splits), dtype=np.int64,
+                       count=len(splits))
+    # short docs (0 < len < k): single gram of all tokens — rare, scalar
+    grams_parts: List[np.ndarray] = []
+    doc_parts: List[np.ndarray] = []
+    for i in np.nonzero((lens > 0) & (lens < k))[0]:
+        grams_parts.append(np.array([" ".join(splits[i])], dtype=object))
+        doc_parts.append(np.array([i], dtype=np.int64))
+    long_idx = np.nonzero(lens >= k)[0]
+    if len(long_idx):
+        flat_tok = np.fromiter(
+            chain.from_iterable(splits[i] for i in long_idx),
+            dtype=object, count=int(lens[long_idx].sum()))
+        dlens = lens[long_idx]
+        offs = np.r_[0, np.cumsum(dlens)]
+        total = int(offs[-1])
+        head = total - (k - 1)
+        g = flat_tok[:head] + " "
+        for j in range(1, k - 1):
+            g = g + flat_tok[j:j + head] + " "
+        g = g + flat_tok[k - 1:k - 1 + head]
+        pos = np.arange(total, dtype=np.int64)[:head] \
+            - np.repeat(offs[:-1], dlens)[:head]
+        valid = (np.repeat(dlens, dlens)[:head] - pos) >= k
+        grams_parts.append(g[valid])
+        doc_parts.append(np.repeat(long_idx, dlens - (k - 1)))
+    n_sh = np.zeros(len(texts), dtype=np.int64)
+    if not grams_parts:
+        return np.empty(0, dtype=np.uint64), n_sh
+    grams = np.concatenate(grams_parts)
+    docs = np.concatenate(doc_parts)
+    hashes = pd.util.hash_array(grams)
+    order = np.lexsort((hashes, docs))
+    docs, hashes = docs[order], hashes[order]
+    keep = np.r_[True, (docs[1:] != docs[:-1]) | (hashes[1:] != hashes[:-1])]
+    docs, hashes = docs[keep], hashes[keep]
+    np.add.at(n_sh, docs, 1)
+    return hashes, n_sh
 
 
 def add_text_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
@@ -130,27 +182,35 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # Shingle extraction stays per-doc (variable length), but the
-        # permute+min runs ONCE over the concatenated shingles of the
-        # whole batch with a segment-min (np.minimum.reduceat over doc
-        # boundaries) instead of a per-doc matmul — round-3 verdict
-        # fix #3's sibling: no per-doc numpy dispatch overhead.
-        shs = [_shingle_hashes(t or "", self.k)
-               for t in batch["text"].to_pylist()]
-        n_sh = np.array([len(s) for s in shs], dtype=np.int64)
-        n = len(shs)
+        # Batch-vectorized shingles (one pandas C concat + one hash_array
+        # call per batch) and a CHUNKED permute+segment-min: the permute
+        # matrix is materialized 64k shingles at a time so the three
+        # uint64 temporaries stay cache-resident — the monolithic
+        # (total_sh, n_perm) form was DRAM-bound and 6x slower (measured
+        # round 4); results are bit-identical (min is associative across
+        # chunk boundaries).
+        flat, n_sh = _shingle_hashes_batch(batch["text"].to_pylist(),
+                                           self.k)
+        n = len(n_sh)
         sig = np.zeros((n, self.n_perm), dtype=np.uint64)
         nz = np.nonzero(n_sh)[0]
         if len(nz):
-            flat = np.concatenate([shs[i] for i in nz])
-            # (total_sh, n_perm) permuted values; wraps mod 2**64 before
-            # the Mersenne reduction (deterministic, same as the scalar
-            # form — signatures are internal, never compared to SQL)
-            vals = (flat[:, None] * self.a[None, :]
-                    + self.b[None, :]) % np.uint64(_MERS61)
-            bounds = np.zeros(len(nz), dtype=np.int64)
-            bounds[1:] = np.cumsum(n_sh[nz])[:-1]
-            sig[nz] = np.minimum.reduceat(vals, bounds, axis=0)
+            ends = np.cumsum(n_sh[nz])
+            starts = ends - n_sh[nz]
+            out = np.full((len(nz), self.n_perm),
+                          np.iinfo(np.uint64).max, dtype=np.uint64)
+            ch = 65536
+            for lo in range(0, int(ends[-1]), ch):
+                hi = min(lo + ch, int(ends[-1]))
+                vals = (flat[lo:hi, None] * self.a[None, :]
+                        + self.b[None, :]) % np.uint64(_MERS61)
+                i0 = int(np.searchsorted(ends, lo, side="right"))
+                i1 = int(np.searchsorted(starts, hi, side="left"))
+                b = np.clip(starts[i0:i1] - lo, 0, None).astype(np.int64)
+                np.minimum(out[i0:i1],
+                           np.minimum.reduceat(vals, b, axis=0),
+                           out=out[i0:i1])
+            sig[nz] = out
         return pa.table({
             "doc_id": batch["doc_id"],
             "minhash": pa.FixedSizeListArray.from_arrays(
