@@ -307,21 +307,32 @@ class _JaccardVerify:
         self.thr = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        oa: List[int] = []
-        ob: List[int] = []
-        oj: List[float] = []
-        for a, b, ta, tb in zip(t["a"].to_pylist(), t["b"].to_pylist(),
-                                t["text_a"].to_pylist(),
-                                t["text_b"].to_pylist()):
-            j = jaccard_of_sets(_shingle_hashes(ta or "", self.k),
-                                _shingle_hashes(tb or "", self.k))
-            if j >= self.thr:
-                oa.append(a)
-                ob.append(b)
-                oj.append(float(np.floor(j * 1e6 + 0.5) / 1e6))
-        return pa.table({"a": pa.array(oa, type=pa.int64()),
-                        "b": pa.array(ob, type=pa.int64()),
-                         "jaccard": pa.array(oj, type=pa.float64())})
+        # Fully vectorized (round-4): both sides shingle through the
+        # batch extractor, and the per-pair intersection size is a
+        # lexsort + adjacent-equal count over (pair_id, hash) — a hash
+        # can appear at most once per side, so an adjacent duplicate
+        # means "present in both sides".
+        n = t.num_rows
+        texts_a = [x or "" for x in t["text_a"].to_pylist()]
+        texts_b = [x or "" for x in t["text_b"].to_pylist()]
+        fa, na = _shingle_hashes_batch(texts_a, self.k)
+        fb, nb = _shingle_hashes_batch(texts_b, self.k)
+        pair = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), na),
+                               np.repeat(np.arange(n, dtype=np.int64), nb)])
+        hashes = np.concatenate([fa, fb])
+        order = np.lexsort((hashes, pair))
+        pair, hashes = pair[order], hashes[order]
+        dup = (pair[1:] == pair[:-1]) & (hashes[1:] == hashes[:-1])
+        inter = np.bincount(pair[1:][dup], minlength=n)
+        union = na + nb - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = j >= self.thr
+        return pa.table({
+            "a": pa.array(_i64(t["a"])[keep]),
+            "b": pa.array(_i64(t["b"])[keep]),
+            "jaccard": pa.array(np.floor(j[keep] * 1e6 + 0.5) / 1e6),
+        })
 
 
 def minhash_dup_pairs(ds, threshold: float = 0.5, n_perm: int = 64,
