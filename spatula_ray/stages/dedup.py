@@ -544,21 +544,37 @@ class SimHasher:
         return sum(1 << i for i in range(64) if v[i] > 0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # batch-vectorized: one (total_shingles, 64) bit matrix, per-doc
-        # bit-majorities via a segment sum (np.add.reduceat)
-        shs = [self.hash_fn(t or "", self.k)
-               for t in batch["text"].to_pylist()]
-        n_sh = np.array([len(s) for s in shs], dtype=np.int64)
-        n = len(shs)
+        # batch-vectorized bit-majorities via CHUNKED segment sums: the
+        # (chunk, 64) bit matrix stays cache-resident (the monolithic
+        # form was DRAM-bound — same round-4 fix as MinHasher; add is
+        # associative across chunk boundaries). The default hash path
+        # shingles the whole batch in one extractor call; the md5
+        # oracle-parity path stays per-doc (its cost IS the md5).
+        texts = batch["text"].to_pylist()
+        if self.hash_fn is _shingle_hashes:
+            flat, n_sh = _shingle_hashes_batch(texts, self.k)
+        else:
+            shs = [self.hash_fn(t or "", self.k) for t in texts]
+            n_sh = np.array([len(s) for s in shs], dtype=np.int64)
+            flat = (np.concatenate([s for s in shs if len(s)])
+                    if n_sh.sum() else np.empty(0, dtype=np.uint64))
+        n = len(n_sh)
         out = np.zeros(n, dtype=np.uint64)
         nz = np.nonzero(n_sh)[0]
         if len(nz):
-            flat = np.concatenate([shs[i] for i in nz])
-            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            bounds = np.zeros(len(nz), dtype=np.int64)
-            bounds[1:] = np.cumsum(n_sh[nz])[:-1]
-            pos = np.add.reduceat(bits, bounds, axis=0)   # ones per bit
+            ends = np.cumsum(n_sh[nz])
+            starts = ends - n_sh[nz]
+            pos = np.zeros((len(nz), 64), dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            ch = 65536
+            for lo in range(0, int(ends[-1]), ch):
+                hi = min(lo + ch, int(ends[-1]))
+                bits = ((flat[lo:hi, None] >> shifts)
+                        & np.uint64(1)).astype(np.int64)
+                i0 = int(np.searchsorted(ends, lo, side="right"))
+                i1 = int(np.searchsorted(starts, hi, side="left"))
+                b = np.clip(starts[i0:i1] - lo, 0, None).astype(np.int64)
+                pos[i0:i1] += np.add.reduceat(bits, b, axis=0)
             v = 2 * pos - n_sh[nz, None]                  # (+1/-1 majority)
             out[nz] = ((v > 0).astype(np.uint64)
                        << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
