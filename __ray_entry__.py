@@ -729,6 +729,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # narrow projection once
         return semdedup(ds.materialize(), n_cells=16, tau_permille=960)
 
+    def dsir_select_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.curate import (
+            _SAMPLE_ADD,
+            _SAMPLE_DOM,
+            _SAMPLE_MOD,
+            _SAMPLE_MULT,
+            dsir_select,
+        )
+
+        # target = the deterministic 100-permille hash sample (stands in
+        # for the desired domain, same split as `decontaminate`); raw =
+        # the complement, ranked toward the target and top-200 selected
+        def side(t: pa.Table, want_target: bool) -> pa.Table:
+            k = t["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+                 + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+            is_t = (h % np.uint64(1000)) < 100
+            return t.filter(pa.array(is_t if want_target else ~is_t))
+
+        docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+        target = docs.map_batches(lambda t: side(t, True),
+                                  batch_format="pyarrow")
+        raw = docs.map_batches(lambda t: side(t, False),
+                               batch_format="pyarrow")
+        return dsir_select(raw, target, n=200, oracle_parity=True)
+
+    def pmi_top_pairs_q(sf_dir):
+        from spatula_ray.stages.curate import pmi_top_pairs
+
+        # scanned twice (unigram counts, bigram counts)
+        return pmi_top_pairs(_docs(sf_dir, ["text"]).materialize(),
+                             k=100, min_count=5)
+
+    def bpe_merges_q(sf_dir):
+        from spatula_ray.stages.bpe import bpe_merges
+
+        return bpe_merges(_docs(sf_dir, ["text"]), n_merges=8)
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -819,6 +861,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": dedup_spans_q,
         "lm_nll": lm_nll_q,
         "semdedup": semdedup_q,
+        "dsir_select": dsir_select_q,
+        "pmi_top_pairs": pmi_top_pairs_q,
+        "bpe_merges": bpe_merges_q,
     }
 
 
@@ -967,6 +1012,71 @@ SELECT q.vec_id, q.cell, coalesce(d.dup_of, -1) AS dup_of,
        d.dup_of IS NULL AS keep
 FROM qn q LEFT JOIN dup d USING (vec_id)
 """
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Exact mirror of stages/bpe.py ``bpe_merges`` as an unrolled CTE
+    chain (the pagerank/IVF convention): word-frequency table, codepoint
+    explode, then per merge step (1) freq-weighted adjacent-pair counts,
+    (2) winner = max count with (lhs, rhs) tie-break, (3) greedy
+    left-to-right application — within a run of consecutive candidate
+    positions only every other one applies (row_number over the run
+    parity), losers' right symbol dropped, positions renumbered. All
+    integers and strings — no float anywhere to drift. Every chain CTE
+    is AS MATERIALIZED: each s{{k}} is referenced three times and DuckDB
+    would otherwise inline it, re-expanding the chain 3^n_merges times
+    (thousands of scans of the base view — observed as an fd explosion
+    at n_merges=8)."""
+    parts = ["""WITH wrds AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM wrds WHERE word <> '' GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+  FROM wc, UNNEST(generate_series(1, length(word))) t(i))"""]
+    for k in range(n_merges):
+        parts.append(f""",
+pc{k} AS MATERIALIZED (
+  SELECT s1, s2, sum(freq) AS c FROM (
+    SELECT freq, sym AS s1,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS s2
+    FROM s{k}) q
+  WHERE s2 IS NOT NULL GROUP BY 1, 2),
+win{k} AS MATERIALIZED (
+  SELECT s1, s2, c FROM pc{k} ORDER BY c DESC, s1, s2 LIMIT 1),
+cand{k} AS MATERIALIZED (
+  SELECT q.word, q.pos FROM (
+    SELECT word, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM s{k}) q, win{k} w
+  WHERE q.sym = w.s1 AND q.nxt = w.s2),
+app{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, rid ORDER BY pos) AS rn
+    FROM (
+      SELECT word, pos,
+             sum(CASE WHEN prev = pos - 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY word ORDER BY pos) AS rid
+      FROM (SELECT word, pos,
+                   lag(pos) OVER (PARTITION BY word ORDER BY pos) AS prev
+            FROM cand{k}) l) r) f
+  WHERE rn % 2 = 1),
+s{k + 1} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS pos,
+         CASE WHEN a.pos IS NOT NULL
+              THEN (SELECT s1 || s2 FROM win{k}) ELSE s.sym END AS sym
+  FROM s{k} s
+  LEFT JOIN app{k} a ON s.word = a.word AND s.pos = a.pos
+  LEFT JOIN app{k} d ON s.word = d.word AND s.pos = d.pos + 1
+  WHERE d.pos IS NULL)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {k + 1} AS step, s1 AS lhs, s2 AS rhs, "
+        f"CAST(c AS BIGINT) AS pair_count FROM win{k}"
+        for k in range(n_merges))
+    parts.append(f"\nSELECT * FROM (\n{unions}\n) u ORDER BY step")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2264,6 +2374,75 @@ SELECT w.doc_id, len(w.ws) AS n_tokens,
 FROM w JOIN lp l USING (doc_id)
 GROUP BY w.doc_id, len(w.ws)
 """,
+
+        # DSIR (Xie et al. 2023) rank-and-select: hashed unigram+bigram
+        # bucket counts on both corpus sides, add-1 importance log-ratio
+        # per bucket snapped to integer micro-units (so the per-doc sums
+        # are bit-exact across engines), top-200 raw docs by weight
+        "dsir_select": """
+WITH b AS (
+  SELECT doc_id, text,
+         ((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1000
+           AS hk
+  FROM documents
+),
+tok AS (SELECT doc_id, hk, string_split(text, ' ') AS ts FROM b),
+feats AS (
+  SELECT doc_id, hk, unnest(ts) AS f FROM tok
+  UNION ALL
+  SELECT doc_id, hk,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1])) AS f
+  FROM tok
+),
+fb AS (SELECT doc_id, hk,
+              CAST(md5_number_lower(f || '#0') % 4096 AS BIGINT) AS bkt
+       FROM feats),
+tc AS (SELECT bkt, count(*) AS c FROM fb WHERE hk < 100 GROUP BY 1),
+rc AS (SELECT bkt, count(*) AS c FROM fb WHERE hk >= 100 GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) AS t_tot,
+               (SELECT coalesce(sum(c), 0) FROM rc) AS r_tot),
+lam AS (SELECT r.bkt,
+               CAST(floor((ln(coalesce(t.c, 0) + 1) - ln(t_tot + 4096)
+                           - ln(r.c + 1) + ln(r_tot + 4096)) * 1e6 + 0.5)
+                    AS BIGINT) AS lm
+        FROM rc r LEFT JOIN tc t USING (bkt), tot),
+sc AS (SELECT f.doc_id, count(*) AS n_feats, sum(l.lm) AS logw_micro
+       FROM fb f JOIN lam l USING (bkt) WHERE f.hk >= 100 GROUP BY 1)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(logw_micro AS BIGINT) AS logw_micro
+FROM sc
+ORDER BY logw_micro DESC, doc_id
+LIMIT 200
+""",
+
+        # PMI collocations: adjacent-token pairs scored by pointwise
+        # mutual information — fixed-order sum of lns over exact integer
+        # counts, snapped to the 1e-6 grid (engine mirrors the operand
+        # order exactly)
+        "pmi_top_pairs": """
+WITH w AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS term FROM w),
+uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT count(*) AS n FROM uni),
+bi AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                    i -> ts[i] || ' ' || ts[i+1])) AS p
+       FROM w),
+bc AS (SELECT p, count(*) AS c FROM bi GROUP BY 1),
+nb AS (SELECT count(*) AS n FROM bi),
+sp AS (SELECT string_split(p, ' ')[1] AS w1, string_split(p, ' ')[2] AS w2,
+              c AS pair_count
+       FROM bc WHERE c >= 5),
+j AS (SELECT s.w1, s.w2, s.pair_count, u1.c AS c1, u2.c AS c2
+      FROM sp s JOIN uc u1 ON s.w1 = u1.term JOIN uc u2 ON s.w2 = u2.term)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       floor((ln(pair_count) - ln((SELECT n FROM nb)) - ln(c1)
+              + ln((SELECT n FROM nu)) - ln(c2) + ln((SELECT n FROM nu)))
+             * 1e6 + 0.5) / 1e6 AS pmi
+FROM j
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
+""",
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;
     # with 32 bands x 2 rows the candidate-miss probability at j=0.5 is
@@ -2284,4 +2463,6 @@ GROUP BY w.doc_id, len(w.ws)
     sql["ivf_ann_topk"] = _ivf_oracle_sql()
     # SemDeDup: same k-means prefix + integer-exact within-cell pairwise
     sql["semdedup"] = _semdedup_oracle_sql()
+    # BPE trainer: 8 merge iterations unrolled as a CTE chain
+    sql["bpe_merges"] = _bpe_oracle_sql()
     return sql

@@ -1529,3 +1529,252 @@ def lm_nll(docs, vocab_size: int = 200, add_k: int = 1):
                                         "add_k": add_k},
         batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
         max_restarts=0)
+
+
+# -- DSIR importance resampling (Xie et al. 2023) ------------------------------
+
+_DSIR_B = 4096
+
+
+def _dsir_feature_stream(texts):
+    """DSIR's hashed-ngram feature space: word unigrams + word bigrams
+    per document (space-split, the repo-wide SQL-parity tokenization;
+    empty text contributes the single '' unigram, exactly
+    ``string_split(text, ' ')``). Returns ``(feats, doc_idx)`` — a flat
+    str array of every feature OCCURRENCE (multiplicity kept, as the
+    multinomial model requires) and its owning document index."""
+    idx, flat, _lens = _flat_tokens(texts)
+    uni = flat.astype(str)
+    if len(uni) > 1:
+        same = idx[:-1] == idx[1:]
+        bi = np.char.add(np.char.add(uni[:-1], " "), uni[1:])[same]
+        bidx = idx[:-1][same]
+        return np.concatenate([uni, bi]), np.concatenate([idx, bidx])
+    return uni, idx
+
+
+def dsir_bucket_totals(ds, n_buckets: int = _DSIR_B,
+                       oracle_parity: bool = False) -> np.ndarray:
+    """Hashed-ngram bucket counts over a corpus — the sufficient
+    statistic for one side of the DSIR importance ratio. Per-batch dense
+    ``np.bincount`` partials -> one ``groupby('b').sum`` (at most
+    ``n_buckets`` rows reach the reduce, independent of corpus size) ->
+    driver folds the bounded vector. Buckets come from the repo's shared
+    salted md5 / hash_array family (:func:`sketch.salted_bucket`, salt
+    0), so the DuckDB mirror reproduces them bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from .sketch import salted_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        feats, _ = _dsir_feature_stream(t["text"].to_pylist())
+        if not len(feats):
+            return pa.table({"b": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        acc = np.bincount(salted_bucket(feats, 0, oracle_parity, n_buckets),
+                          minlength=n_buckets)
+        nz = np.flatnonzero(acc)
+        return pa.table({"b": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(acc[nz].astype(np.int64))})
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("b").aggregate(Sum("c", alias_name="c")))
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for row in folded.take_all():            # <= n_buckets rows
+        counts[row["b"]] = row["c"]
+    return counts
+
+
+def dsir_log_ratio_micro(target_counts: np.ndarray, raw_counts: np.ndarray,
+                         add_k: int = 1) -> np.ndarray:
+    """Per-bucket importance log-ratio lambda[b] = log p_target[b] -
+    log p_raw[b] under add-k smoothing, snapped to integer micro-units
+    (the repo's integer-exact parity convention: per-doc sums over int64
+    lambdas are bit-identical in numpy and SQL — no float-accumulation
+    order hazard). Operand order mirrors the SQL exactly:
+    ``ln(ct+k) - ln(T+kB) - ln(cr+k) + ln(R+kB)``."""
+    b = len(raw_counts)
+    t_tot = int(target_counts.sum())
+    r_tot = int(raw_counts.sum())
+    k = float(add_k)
+    lam = (np.log(target_counts + k) - np.log(float(t_tot) + k * b)
+           - np.log(raw_counts + k) + np.log(float(r_tot) + k * b))
+    return np.floor(lam * 1e6 + 0.5).astype(np.int64)
+
+
+class DsirScore:
+    """Actor-pool scorer: per-document DSIR importance log-weight under
+    the broadcast micro-unit lambda table (``n_buckets`` int64s — 32 KB
+    at the default 4096, free to ship to every worker). One vectorized
+    pass per batch: feature stream -> salted bucket -> lambda lookup ->
+    per-doc ``np.bincount`` segment sums (exact: |sum| bounded well
+    below 2^53). Emits ``(doc_id, n_feats, logw_micro)``."""
+
+    def __init__(self, lam_micro, n_buckets: int = _DSIR_B,
+                 oracle_parity: bool = False):
+        import ray
+
+        if isinstance(lam_micro, ray.ObjectRef):
+            lam_micro = ray.get(lam_micro)
+        self._lam = np.asarray(lam_micro, dtype=np.int64)
+        self._b = n_buckets
+        self._parity = oracle_parity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .sketch import salted_bucket
+
+        texts = batch["text"].to_pylist()
+        n_docs = len(texts)
+        feats, fidx = _dsir_feature_stream(texts)
+        buckets = salted_bucket(feats, 0, self._parity, self._b)
+        w = self._lam[buckets].astype(np.float64)
+        logw = np.bincount(fidx, weights=w, minlength=n_docs)
+        n_feats = np.bincount(fidx, minlength=n_docs)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_feats": pa.array(n_feats.astype(np.int64)),
+            "logw_micro": pa.array(logw.astype(np.int64)),
+        })
+
+
+def dsir_select(raw, target, n: int, n_buckets: int = _DSIR_B,
+                add_k: int = 1, oracle_parity: bool = False) -> pa.Table:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    deterministic rank-and-select variant): score every raw document by
+    its hashed-ngram importance log-weight toward the target corpus and
+    keep the top ``n`` by (logw desc, doc_id asc).
+
+    100 TB shape: two bounded-output counting scans (each folds to a
+    <= ``n_buckets``-row vector), one 32 KB lambda broadcast, one pure
+    streaming scoring pass over raw, then per-batch partial top-n and a
+    tiny driver fold — no all-to-all anywhere; the raw corpus is read
+    twice (counts + scoring), so pass a materialized narrow projection
+    when upstream is expensive. Integer micro-unit lambdas make the
+    per-doc sums bit-exact across engines (see
+    :func:`dsir_log_ratio_micro`)."""
+    import ray
+
+    lam = dsir_log_ratio_micro(
+        dsir_bucket_totals(target, n_buckets, oracle_parity),
+        dsir_bucket_totals(raw, n_buckets, oracle_parity), add_k)
+    scored = raw.map_batches(
+        DsirScore, fn_constructor_kwargs={
+            "lam_micro": ray.put(lam), "n_buckets": n_buckets,
+            "oracle_parity": oracle_parity},
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        max_restarts=0)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        lw = t["logw_micro"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.take(np.lexsort((did, -lw))[:n])
+
+    cand = scored.map_batches(local_top, batch_format="pyarrow").take_all()
+    did = np.asarray([r["doc_id"] for r in cand], dtype=np.int64)
+    nf = np.asarray([r["n_feats"] for r in cand], dtype=np.int64)
+    lw = np.asarray([r["logw_micro"] for r in cand], dtype=np.int64)
+    order = np.lexsort((did, -lw))[:n]
+    return pa.table({"doc_id": pa.array(did[order]),
+                     "n_feats": pa.array(nf[order]),
+                     "logw_micro": pa.array(lw[order])})
+
+
+# -- PMI co-occurrence (phrase mining) ------------------------------------------
+
+
+def pmi_top_pairs(docs, k: int = 100, min_count: int = 5):
+    """Top-k adjacent-token pairs by pointwise mutual information — the
+    classic phrase-mining / collocation signal (Church & Hanks 1990).
+
+    Shuffle plan (100 TB shape): per-batch partial (term, c) and
+    (pair, c) counts -> vocab-bounded groupby-sums (corpus rows never
+    shuffle, only distinct terms/pairs), ``min_count`` prunes the pair
+    table BEFORE the two pair->unigram hash-bucket joins, then per-batch
+    partial top-k folds a <= k*blocks candidate list on the driver.
+    PMI is computed as a fixed-order sum of lns over exact integer
+    operands and snapped to the 1e-6 grid, so the DuckDB mirror
+    reproduces it bit-for-bit. Returns ``(w1, w2, pair_count, pmi)``
+    ordered by (pmi desc, w1, w2). ``docs`` is scanned twice — pass a
+    materialized narrow projection."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_bucket_join
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        _, flat, _ = _flat_tokens(t["text"].to_pylist())
+        terms, counts = np.unique(flat.astype(str), return_counts=True)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        idx, flat, _ = _flat_tokens(t["text"].to_pylist())
+        uni = flat.astype(str)
+        if len(uni) < 2:
+            return pa.table({"p": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        same = idx[:-1] == idx[1:]
+        pairs = np.char.add(np.char.add(uni[:-1], " "), uni[1:])[same]
+        ps, counts = np.unique(pairs, return_counts=True)
+        return pa.table({"p": pa.array(ps, type=pa.string()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    uc = (docs.map_batches(uni_partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c", alias_name="c"))
+          .materialize())
+    bc = (docs.map_batches(bi_partial, batch_format="pyarrow")
+          .groupby("p").aggregate(Sum("c", alias_name="c"))
+          .materialize())
+    n_uni = float(uc.aggregate(Sum("c", alias_name="s"))["s"])
+    n_bi = float(bc.aggregate(Sum("c", alias_name="s"))["s"])
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["c"], min_count)).combine_chunks()
+        parts = pc.split_pattern(t["p"], " ")
+        return pa.table({"w1": pc.list_element(parts, 0),
+                         "w2": pc.list_element(parts, 1),
+                         "pair_count": t["c"]})
+
+    def rename_uni(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({col: t["term"], f"c_{col}": t["c"]})
+        return fn
+
+    j = hash_bucket_join(
+        bc.map_batches(split_pair, batch_format="pyarrow"),
+        uc.map_batches(rename_uni("w1"), batch_format="pyarrow"),
+        on=["w1"], num_buckets=16)
+    j = hash_bucket_join(
+        j, uc.map_batches(rename_uni("w2"), batch_format="pyarrow"),
+        on=["w2"], num_buckets=16)
+
+    def score_top(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        c12 = t["pair_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = t["c_w1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c_w2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # fixed operand order, mirrored in the SQL oracle
+        pmi = (np.log(c12) - np.log(n_bi) - np.log(c1) + np.log(n_uni)
+               - np.log(c2) + np.log(n_uni))
+        pmi = np.floor(pmi * 1e6 + 0.5) / 1e6
+        w1 = t["w1"].to_numpy(zero_copy_only=False).astype(str)
+        w2 = t["w2"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((w2, w1, -pmi))[:k]
+        return pa.table({
+            "w1": pa.array(w1[order], type=pa.string()),
+            "w2": pa.array(w2[order], type=pa.string()),
+            "pair_count": pa.array(t["pair_count"].to_numpy(
+                zero_copy_only=False)[order].astype(np.int64)),
+            "pmi": pa.array(pmi[order], type=pa.float64()),
+        })
+
+    cand = j.map_batches(score_top, batch_format="pyarrow").take_all()
+    w1 = np.asarray([r["w1"] for r in cand], dtype=str)
+    w2 = np.asarray([r["w2"] for r in cand], dtype=str)
+    pcnt = np.asarray([r["pair_count"] for r in cand], dtype=np.int64)
+    pmi = np.asarray([r["pmi"] for r in cand], dtype=np.float64)
+    order = np.lexsort((w2, w1, -pmi))[:k]
+    return pa.table({"w1": pa.array(w1[order], type=pa.string()),
+                     "w2": pa.array(w2[order], type=pa.string()),
+                     "pair_count": pa.array(pcnt[order]),
+                     "pmi": pa.array(pmi[order])})

@@ -39,7 +39,10 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "bloom_decontaminate",
                       # round-4b: substring-span dedup + LM quality score
                       # + semantic dedup
-                      "dedup_spans", "lm_nll", "semdedup"]
+                      "dedup_spans", "lm_nll", "semdedup",
+                      # round-4c: DSIR importance resampling + PMI
+                      # + distributed BPE trainer
+                      "dsir_select", "pmi_top_pairs", "bpe_merges"]
 
 
 def _duck(sf_dir):

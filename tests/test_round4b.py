@@ -101,3 +101,85 @@ def test_semdedup_marks_planted_near_duplicates():
         assert out.loc[vid, "dup_of"] == 0            # min qualifying id
     # kept rows carry the -1 sentinel
     assert (out[out["keep"]]["dup_of"] == -1).all()
+
+
+# -- DSIR importance resampling ------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_ranks_target_like_docs_first():
+    from spatula_ray.stages.curate import dsir_select
+
+    target = _docs_ds([
+        (100, "cats purr softly on warm rugs"),
+        (101, "cats chase yarn and purr at night"),
+        (102, "warm cats sleep and purr on rugs"),
+    ])
+    raw = _docs_ds([
+        (1, "cats purr on rugs at night"),            # target-like
+        (2, "cats sleep on warm rugs and purr"),      # target-like
+        (3, "quarterly revenue grew nine percent"),   # off-domain
+        (4, "the compiler emits llvm bitcode"),       # off-domain
+    ])
+    out = dsir_select(raw, target, n=2).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
+    # weights of the selected docs strictly beat the off-domain ones
+    all4 = dsir_select(raw, target, n=4).to_pandas() \
+        .set_index("doc_id")["logw_micro"]
+    assert min(all4[1], all4[2]) > max(all4[3], all4[4])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_select_is_partitioning_invariant():
+    from spatula_ray.stages.curate import dsir_select
+
+    target = _docs_ds([(100 + i, f"tok{i} alpha beta") for i in range(5)])
+    rows = [(i, f"alpha beta tok{i % 7} gamma delta word{i}")
+            for i in range(40)]
+    a = dsir_select(_docs_ds(rows), target, n=10).to_pandas()
+    b = dsir_select(_docs_ds(rows).repartition(7), target, n=10).to_pandas()
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_finds_planted_collocation():
+    from spatula_ray.stages.curate import pmi_top_pairs
+
+    # "hong kong" always co-occurs; "the" pairs with everything
+    rows = [(i, "the hong kong office called the office") for i in range(5)]
+    rows += [(100 + i, "the office saw the report") for i in range(5)]
+    out = pmi_top_pairs(_docs_ds(rows), k=3, min_count=5).to_pandas()
+    assert (out.iloc[0]["w1"], out.iloc[0]["w2"]) == ("hong", "kong")
+    assert out.iloc[0]["pair_count"] == 5
+    # PMI is monotone down the returned list
+    assert (np.diff(out["pmi"].to_numpy()) <= 0).all()
+
+
+# -- BPE trainer -----------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_learns_planted_merges_greedily():
+    from spatula_ray.stages.bpe import bpe_merges
+
+    # 'aaaa' x freq: greedy left-to-right means (a,a) pairs count
+    # non-overlapping runs correctly and the second merge sees 'aa aa'
+    rows = [(1, "aaaa aaaa aaaa"), (2, "aaaa xy xy xy xy")]
+    out = bpe_merges(_docs_ds(rows), n_merges=3).to_pandas()
+    assert list(out["step"]) == [1, 2, 3]
+    # step 1: (a,a) appears 3 per 'aaaa' x 4 words = 12 > (x,y) = 4
+    assert (out.iloc[0]["lhs"], out.iloc[0]["rhs"]) == ("a", "a")
+    assert out.iloc[0]["pair_count"] == 12
+    # after greedy application 'aaaa' -> ['aa','aa']: (aa,aa) = 4 = (x,y);
+    # tie broken lexicographically -> ('aa','aa')
+    assert (out.iloc[1]["lhs"], out.iloc[1]["rhs"]) == ("aa", "aa")
+    assert out.iloc[1]["pair_count"] == 4
+    assert (out.iloc[2]["lhs"], out.iloc[2]["rhs"]) == ("x", "y")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_is_partitioning_invariant():
+    from spatula_ray.stages.bpe import bpe_merges
+
+    rows = [(i, f"banana bandana ban{i % 3}") for i in range(30)]
+    a = bpe_merges(_docs_ds(rows), n_merges=5).to_pandas()
+    b = bpe_merges(_docs_ds(rows).repartition(7), n_merges=5).to_pandas()
+    assert a.equals(b)
