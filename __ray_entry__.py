@@ -771,6 +771,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_merges(_docs(sf_dir, ["text"]), n_merges=8)
 
+    def bpe_token_counts_q(sf_dir):
+        from spatula_ray.stages.bpe import bpe_token_counts
+
+        return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]),
+                                n_merges=8).sort("doc_id")
+
     def media_features(sf_dir):
         from spatula_ray.stages.multimodal import (
             DecodeStubExploded,
@@ -864,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": dsir_select_q,
         "pmi_top_pairs": pmi_top_pairs_q,
         "bpe_merges": bpe_merges_q,
+        "bpe_token_counts": bpe_token_counts_q,
     }
 
 
@@ -1077,6 +1084,27 @@ s{k + 1} AS MATERIALIZED (
         for k in range(n_merges))
     parts.append(f"\nSELECT * FROM (\n{unions}\n) u ORDER BY step")
     return "".join(parts)
+
+
+def _bpe_counts_oracle_sql(n_merges: int = 8) -> str:
+    """Per-doc token counts under the learned merges: reuse the trainer
+    chain's final s{n} symbol table (word -> symbol count after all
+    merges), join each document's nonempty words to it, sum. Mirrors
+    ``bpe.bpe_token_counts`` exactly (inner-join semantics: no-word docs
+    absent)."""
+    chain = _bpe_oracle_sql(n_merges)
+    prefix = chain[:chain.index("\nSELECT * FROM (")]
+    return f"""{prefix},
+wn AS MATERIALIZED (
+  SELECT word, count(*) AS n_sym FROM s{n_merges} GROUP BY 1),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w.n_sym) AS BIGINT) AS n_tokens
+FROM dw d JOIN wn w USING (word)
+WHERE d.word <> ''
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2465,4 +2493,6 @@ LIMIT 100
     sql["semdedup"] = _semdedup_oracle_sql()
     # BPE trainer: 8 merge iterations unrolled as a CTE chain
     sql["bpe_merges"] = _bpe_oracle_sql()
+    # BPE encoder: same chain's final vocab joined back to doc words
+    sql["bpe_token_counts"] = _bpe_counts_oracle_sql()
     return sql

@@ -136,6 +136,20 @@ def bpe_merges(docs, n_merges: int = 8, text_col: str = "text") -> pa.Table:
     the merge table ``(step, lhs, rhs, pair_count)`` ordered by step —
     the tokenizer artifact a training pipeline ships. Winner election:
     max summed freq, ties broken by (lhs, rhs) ascending."""
+    steps, _ = _train(docs, n_merges, text_col)
+    return pa.table({
+        "step": pa.array([s[0] for s in steps], type=pa.int64()),
+        "lhs": pa.array([s[1] for s in steps], type=pa.string()),
+        "rhs": pa.array([s[2] for s in steps], type=pa.string()),
+        "pair_count": pa.array([s[3] for s in steps], type=pa.int64()),
+    })
+
+
+def _train(docs, n_merges: int, text_col: str = "text"):
+    """Shared trainer: returns ``(steps, final_vocab_ds)`` where steps is
+    the learned merge list and final_vocab_ds the (word, freq, syms)
+    Dataset AFTER all merges — i.e. the encoded form of every distinct
+    word, which is all a tokenizer needs to encode the corpus."""
     from ray.data.aggregate import Sum
 
     ds = word_symbol_table(docs, text_col).materialize()
@@ -152,9 +166,73 @@ def bpe_merges(docs, n_merges: int = 8, text_col: str = "text") -> pa.Table:
         steps.append((step, w1, w2, int(best["c"])))
         ds = ds.map_batches(_apply_merge(w1, w2),
                             batch_format="pyarrow").materialize()
-    return pa.table({
-        "step": pa.array([s[0] for s in steps], type=pa.int64()),
-        "lhs": pa.array([s[1] for s in steps], type=pa.string()),
-        "rhs": pa.array([s[2] for s in steps], type=pa.string()),
-        "pair_count": pa.array([s[3] for s in steps], type=pa.int64()),
-    })
+    return steps, ds
+
+
+def bpe_token_counts(docs, n_merges: int = 8, text_col: str = "text"):
+    """Encode the corpus under the learned merge table and return the
+    per-document token count ``(doc_id, n_words, n_tokens)`` — the
+    budget number every training-mixture planner needs.
+
+    100 TB shape: encoding is word-level, so it never touches document
+    text a second time beyond a per-batch (doc_id, word, c) count
+    partial — docs with many repeated words shuffle one row per DISTINCT
+    word. The per-word token lengths come from the trainer's final vocab
+    table (vocab-bounded), joined in via a hash-bucket join on the word
+    (the vocab may exceed broadcast size at corpus scale), then one
+    groupby(doc_id) sum. All integers — the SQL mirror reuses the
+    trainer's unrolled CTE chain and reproduces counts bit-for-bit.
+    Docs whose text has no nonempty word are absent from the output
+    (inner-join semantics, mirrored by the oracle)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_bucket_join
+
+    _, vocab = _train(docs, n_merges, text_col)
+
+    def word_len(t: pa.Table) -> pa.Table:
+        syms = t["syms"].combine_chunks()
+        n = np.diff(syms.offsets.to_numpy(zero_copy_only=False))
+        return pa.table({"word": t["word"],
+                         "n_sym": pa.array(n.astype(np.int64))})
+
+    def doc_word_partial(t: pa.Table) -> pa.Table:
+        ids: list = []
+        words: list = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t[text_col].to_pylist()):
+            ws = [w for w in (txt or "").split(" ") if w]
+            words.extend(ws)
+            ids.extend([did] * len(ws))
+        if not words:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "word": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        did = np.asarray(ids, dtype=np.int64)
+        ws = np.asarray(words, dtype=str)
+        # count per (doc, word) without a string concat: lexsort + run ends
+        order = np.lexsort((ws, did))
+        did, ws = did[order], ws[order]
+        brk = np.r_[True, (did[1:] != did[:-1]) | (ws[1:] != ws[:-1])]
+        starts = np.flatnonzero(brk)
+        c = np.diff(np.r_[starts, len(ws)])
+        return pa.table({"doc_id": pa.array(did[starts]),
+                         "word": pa.array(ws[starts], type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    j = hash_bucket_join(
+        docs.map_batches(doc_word_partial, batch_format="pyarrow"),
+        vocab.map_batches(word_len, batch_format="pyarrow"),
+        on=["word"], num_buckets=16)
+
+    def partial_tok(t: pa.Table) -> pa.Table:
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n_sym"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": t["c"],
+                         "n_tokens": pa.array((c * n).astype(np.int64))})
+
+    return (j.map_batches(partial_tok, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_words", alias_name="n_words"),
+                       Sum("n_tokens", alias_name="n_tokens")))

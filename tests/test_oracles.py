@@ -42,7 +42,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "dedup_spans", "lm_nll", "semdedup",
                       # round-4c: DSIR importance resampling + PMI
                       # + distributed BPE trainer
-                      "dsir_select", "pmi_top_pairs", "bpe_merges"]
+                      "dsir_select", "pmi_top_pairs", "bpe_merges",
+                      "bpe_token_counts"]
 
 
 def _duck(sf_dir):

@@ -183,3 +183,16 @@ def test_bpe_is_partitioning_invariant():
     a = bpe_merges(_docs_ds(rows), n_merges=5).to_pandas()
     b = bpe_merges(_docs_ds(rows).repartition(7), n_merges=5).to_pandas()
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_token_counts_under_learned_merges():
+    from spatula_ray.stages.bpe import bpe_token_counts
+
+    # 1 merge learns (a,a); greedy encode: 'aa'->1 token, 'aaa'->2
+    rows = [(1, "aa aa b"), (2, "aaa"), (3, "")]
+    out = bpe_token_counts(_docs_ds(rows), n_merges=1).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "n_words"] == 3 and out.loc[1, "n_tokens"] == 3
+    assert out.loc[2, "n_words"] == 1 and out.loc[2, "n_tokens"] == 2
+    assert 3 not in out.index                   # no-word doc absent
