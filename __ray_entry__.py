@@ -128,6 +128,31 @@ def _docs_with_pii(sf_dir: str):
     return _pii_inject(_docs(sf_dir, ["doc_id", "text"]))
 
 
+_GOPHER_SUFFIX = {
+    0: "\n- bullet item\nmore with that text...",
+    1: " with that have",
+    2: " ### ## #",
+}
+
+
+def _docs_with_structure(sf_dir: str):
+    """documents with doc_id%4-keyed structural suffixes (bullet +
+    ellipsis lines / extra stopwords / symbol runs) so every Gopher rule
+    has both outcomes in the corpus. SQL mirror: CASE doc_id % 4."""
+    import pyarrow as pa
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txt = [s + _GOPHER_SUFFIX.get(d % 4, "")
+               for d, s in zip(ids, t["text"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(txt, type=pa.string())})
+
+    return base.map_batches(inject, batch_format="pyarrow")
+
+
 def _embeddings_with_copies(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -771,6 +796,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_merges(_docs(sf_dir, ["text"]), n_merges=8)
 
+    def audio_features_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.multimodal import audio_features, synth_wav
+
+        ids = _docs(sf_dir, ["doc_id"])
+
+        # fixture: real RIFF/WAV blobs synthesized deterministically per
+        # doc id — the engine decodes the container; the oracle
+        # regenerates the PCM integers in SQL
+        def make(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "wav": pa.array([synth_wav(d)
+                                 for d in t["doc_id"].to_pylist()],
+                                type=pa.binary()),
+            })
+
+        return audio_features(
+            ids.map_batches(make, batch_format="pyarrow")).sort("doc_id")
+
+    def gopher_rules_q(sf_dir):
+        from spatula_ray.stages.text import gopher_rules
+
+        return gopher_rules(_docs_with_structure(sf_dir)).sort("doc_id")
+
     def bpe_token_counts_q(sf_dir):
         from spatula_ray.stages.bpe import bpe_token_counts
 
@@ -871,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_pairs": pmi_top_pairs_q,
         "bpe_merges": bpe_merges_q,
         "bpe_token_counts": bpe_token_counts_q,
+        "gopher_rules": gopher_rules_q,
+        "audio_features": audio_features_q,
     }
 
 
@@ -2470,6 +2523,91 @@ SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
 FROM j
 ORDER BY pmi DESC, w1, w2
 LIMIT 100
+""",
+
+        # Gopher quality rules (Rae et al. 2021): every threshold is an
+        # integer comparison and mean word length a round-half-up integer
+        # micro-unit, so flags reproduce bit-for-bit; structural suffixes
+        # keyed on doc_id % 4 give every rule both outcomes
+        "gopher_rules": """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN chr(10) || '- bullet item' || chr(10)
+                       || 'more with that text...'
+           WHEN 1 THEN ' with that have'
+           WHEN 2 THEN ' ### ## #'
+           ELSE '' END AS text
+  FROM documents),
+w AS (
+  SELECT doc_id, count(*) AS n_words, sum(length(w)) AS n_chars,
+         sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)
+           AS alpha_words,
+         count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that',
+                                        'have','with') THEN w END) AS n_stop
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d) q
+  WHERE w <> '' GROUP BY 1),
+l AS (
+  SELECT doc_id, count(*) AS n_lines,
+         sum(CASE WHEN ln LIKE '- %' OR ln LIKE '* %' THEN 1 ELSE 0 END)
+           AS bullet_lines,
+         sum(CASE WHEN ln LIKE '%...' THEN 1 ELSE 0 END) AS ell_lines
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM d) q
+  GROUP BY 1),
+s AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+  FROM d)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       CAST((w.n_chars * 2000000 + w.n_words) // (2 * w.n_words) AS BIGINT)
+         AS mean_wl_micro,
+       (w.n_words >= 50 AND w.n_words <= 100000) AS words_ok,
+       (3 * w.n_words <= w.n_chars AND w.n_chars <= 10 * w.n_words)
+         AS mean_wl_ok,
+       (10 * s.symbols < w.n_words) AS symbol_ok,
+       (10 * l.bullet_lines < 9 * l.n_lines) AS bullet_ok,
+       (10 * l.ell_lines < 3 * l.n_lines) AS ellipsis_ok,
+       (5 * w.alpha_words > 4 * w.n_words) AS alpha_ok,
+       (w.n_stop >= 2) AS stop_ok,
+       ((w.n_words >= 50 AND w.n_words <= 100000)
+        AND (3 * w.n_words <= w.n_chars AND w.n_chars <= 10 * w.n_words)
+        AND (10 * s.symbols < w.n_words)
+        AND (10 * l.bullet_lines < 9 * l.n_lines)
+        AND (10 * l.ell_lines < 3 * l.n_lines)
+        AND (5 * w.alpha_words > 4 * w.n_words)
+        AND (w.n_stop >= 2)) AS keep
+FROM w JOIN l USING (doc_id) JOIN s USING (doc_id)
+ORDER BY w.doc_id
+""",
+
+        # WAV audio features: the engine decodes real RIFF/WAV blobs
+        # (stdlib wave) built by synth_wav; the oracle regenerates the
+        # identical PCM integer stream with generate_series — decode
+        # correctness is exactly what the hash compares. 8 kHz: one
+        # sample = 125 us exactly, all aggregates int64
+        "audio_features": """
+WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 80 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, i,
+         ((doc_id * 7919 + i * 104729) % 20001) - 10000 AS v
+  FROM p, UNNEST(generate_series(0, n - 1)) t(i)),
+z AS (
+  SELECT doc_id, n, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+  FROM s)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) * 125 AS BIGINT) AS duration_us,
+       CAST(sum(v) AS BIGINT) AS sum_amp,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN nv IS NOT NULL AND v * nv < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM z
+GROUP BY doc_id
+ORDER BY doc_id
 """,
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;

@@ -220,3 +220,96 @@ def pii_scrub(docs):
         })
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# -- Gopher quality rules (Rae et al. 2021, Table A1) ---------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs, min_words: int = 50, max_words: int = 100_000):
+    """Per-document Gopher quality-rule flags — the standard pre-filter
+    of web-scale training corpora. Emits one row per doc with the raw
+    integer signals, the seven rule booleans, and the composite ``keep``.
+
+    Every rule threshold is evaluated in INTEGER arithmetic (e.g.
+    symbol-ratio < 0.1 as ``10*symbols < n_words``, mean word length in
+    [3, 10] as ``3*n_words <= n_chars <= 10*n_words``), and the reported
+    mean word length is a round-half-up integer micro-unit — so the
+    DuckDB oracle reproduces every flag and value bit-for-bit, no float
+    anywhere. Words are the repo-wide SQL-parity tokenization
+    (``string_split(text, ' ')``), nonempty only; docs with zero
+    nonempty words are absent (inner-join semantics, mirrored).
+
+    Pure streaming ``map_batches`` — one narrow (doc_id, text)
+    projection, token-level work fully vectorized (pyarrow RE2 for the
+    alphabetic test, numpy bincount segment sums), per-LINE work a
+    per-doc loop only when a newline exists. No shuffle; at 100 TB this
+    is embarrassingly parallel."""
+    from .curate import _flat_tokens
+
+    def rules(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_docs = len(texts)
+        idx, flat, _lens = _flat_tokens(texts)
+        warr = pa.array(flat, type=pa.string())
+        wlen = pc.utf8_length(warr).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nonempty = wlen > 0
+        n_words = np.bincount(idx[nonempty], minlength=n_docs)
+        n_chars = np.bincount(idx[nonempty], weights=wlen[nonempty],
+                              minlength=n_docs).astype(np.int64)
+        alpha = pc.match_substring_regex(warr, "[A-Za-z]") \
+            .to_numpy(zero_copy_only=False)
+        alpha_words = np.bincount(idx[nonempty & alpha], minlength=n_docs)
+        n_stop = np.zeros(n_docs, dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            hit = flat == w
+            n_stop += np.bincount(idx[hit], minlength=n_docs) > 0
+
+        txt = t["text"].combine_chunks()
+        symbols = pc.add(
+            pc.count_substring(txt, "#"),
+            pc.count_substring(txt, "..."),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lines = np.ones(n_docs, dtype=np.int64)
+        bullet_lines = np.zeros(n_docs, dtype=np.int64)
+        ell_lines = np.zeros(n_docs, dtype=np.int64)
+        for i, s in enumerate(texts):
+            s = s or ""
+            ls = s.split("\n") if "\n" in s else (s,)
+            n_lines[i] = len(ls)
+            bullet_lines[i] = sum(
+                1 for l in ls if l.startswith("- ") or l.startswith("* "))
+            ell_lines[i] = sum(1 for l in ls if l.endswith("..."))
+
+        keep_rows = n_words > 0
+        nw = n_words[keep_rows]
+        nc = n_chars[keep_rows]
+        mean_wl_micro = (nc * 2_000_000 + nw) // (2 * nw)
+        words_ok = (nw >= min_words) & (nw <= max_words)
+        mean_wl_ok = (3 * nw <= nc) & (nc <= 10 * nw)
+        symbol_ok = 10 * symbols[keep_rows] < nw
+        bullet_ok = 10 * bullet_lines[keep_rows] < 9 * n_lines[keep_rows]
+        ellipsis_ok = 10 * ell_lines[keep_rows] < 3 * n_lines[keep_rows]
+        alpha_ok = 5 * alpha_words[keep_rows] > 4 * nw
+        stop_ok = n_stop[keep_rows] >= 2
+        keep = (words_ok & mean_wl_ok & symbol_ok & bullet_ok
+                & ellipsis_ok & alpha_ok & stop_ok)
+        did = t["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)[keep_rows]
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_words": pa.array(nw.astype(np.int64)),
+            "mean_wl_micro": pa.array(mean_wl_micro.astype(np.int64)),
+            "words_ok": pa.array(words_ok),
+            "mean_wl_ok": pa.array(mean_wl_ok),
+            "symbol_ok": pa.array(symbol_ok),
+            "bullet_ok": pa.array(bullet_ok),
+            "ellipsis_ok": pa.array(ellipsis_ok),
+            "alpha_ok": pa.array(alpha_ok),
+            "stop_ok": pa.array(stop_ok),
+            "keep": pa.array(keep),
+        })
+
+    return docs.map_batches(rules, batch_format="pyarrow")

@@ -43,7 +43,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4c: DSIR importance resampling + PMI
                       # + distributed BPE trainer
                       "dsir_select", "pmi_top_pairs", "bpe_merges",
-                      "bpe_token_counts"]
+                      "bpe_token_counts", "gopher_rules",
+                      "audio_features"]
 
 
 def _duck(sf_dir):

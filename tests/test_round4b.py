@@ -196,3 +196,72 @@ def test_bpe_token_counts_under_learned_merges():
     assert out.loc[1, "n_words"] == 3 and out.loc[1, "n_tokens"] == 3
     assert out.loc[2, "n_words"] == 1 and out.loc[2, "n_tokens"] == 2
     assert 3 not in out.index                   # no-word doc absent
+
+
+# -- Gopher quality rules --------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_rules_flags():
+    from spatula_ray.stages.text import gopher_rules
+
+    good = " ".join(["the"] + ["word"] * 30 + ["with", "that"]
+                    + ["term"] * 20)                     # 53 words, all rules pass
+    rows = [
+        (1, good),
+        (2, "short doc with the that"),                  # < 50 words
+        (3, good + " " + "#" * 1 + " ##### ####"),       # 10 '#' on 56 words: symbol fail
+        (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nthe with "
+            + " ".join(["w"] * 60)),                     # 10/11 bullet lines: bullet fail
+        (5, ""),                                         # no words: absent
+    ]
+    out = gopher_rules(_docs_ds(rows)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "words_ok"]) and not bool(out.loc[2, "keep"])
+    assert not bool(out.loc[3, "symbol_ok"])
+    assert not bool(out.loc[4, "bullet_ok"])
+    assert 5 not in out.index
+    # mean word length micro-units: round-half-up integer arithmetic
+    nw, nc = out.loc[1, "n_words"], sum(len(w) for w in good.split(" "))
+    assert out.loc[1, "mean_wl_micro"] == (nc * 2_000_000 + nw) // (2 * nw)
+
+
+# -- WAV audio features ----------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_features_decodes_real_wav():
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from spatula_ray.stages.multimodal import (
+        AUDIO_RATE,
+        audio_features,
+        synth_wav,
+    )
+
+    # the blob is a genuine RIFF container stdlib wave can read back
+    blob = synth_wav(7)
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) \
+            == (1, 2, AUDIO_RATE)
+        n = w.getnframes()
+    assert n == 800 + (7 % 5) * 80
+
+    # hand-built square wave: +1000 x4, -1000 x4, repeated 100x
+    sq = np.tile(np.r_[np.full(4, 1000), np.full(4, -1000)], 100)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(sq.astype("<i2").tobytes())
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "wav": pa.array([buf.getvalue()], type=pa.binary()),
+    }))
+    out = audio_features(ds).to_pandas().iloc[0]
+    assert out["n_samples"] == 800
+    assert out["duration_us"] == 100_000
+    assert out["sum_amp"] == 0
+    assert out["sum_sq"] == 800 * 1000 * 1000
+    assert out["peak"] == 1000
+    assert out["zero_crossings"] == 199       # 2 per period x100 - 1
