@@ -822,6 +822,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_rules(_docs_with_structure(sf_dir)).sort("doc_id")
 
+    def _png_fixture(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.multimodal import synth_png
+
+        # fixture: real PNG blobs (stdlib zlib containers, filter types
+        # rotating by doc id) — the engine decodes them; the oracle
+        # regenerates the pixel integers in SQL
+        def make(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "png": pa.array([synth_png(d)
+                                 for d in t["doc_id"].to_pylist()],
+                                type=pa.binary()),
+            })
+
+        return _docs(sf_dir, ["doc_id"]).map_batches(
+            make, batch_format="pyarrow")
+
+    def image_dhash_q(sf_dir):
+        from spatula_ray.stages.multimodal import image_dhash
+
+        return image_dhash(_png_fixture(sf_dir)).sort("doc_id")
+
+    def image_dup_groups_q(sf_dir):
+        from spatula_ray.stages.multimodal import image_dup_groups
+
+        return image_dup_groups(_png_fixture(sf_dir)).sort(["rep", "doc_id"])
+
     def bpe_token_counts_q(sf_dir):
         from spatula_ray.stages.bpe import bpe_token_counts
 
@@ -924,6 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": bpe_token_counts_q,
         "gopher_rules": gopher_rules_q,
         "audio_features": audio_features_q,
+        "image_dhash": image_dhash_q,
+        "image_dup_groups": image_dup_groups_q,
     }
 
 
@@ -2608,6 +2639,77 @@ SELECT doc_id,
 FROM z
 GROUP BY doc_id
 ORDER BY doc_id
+""",
+
+        # Image dHash: the engine decodes real PNG containers (stdlib
+        # zlib inflate + filter reversal) built by synth_png; the oracle
+        # regenerates the pixel integers with generate_series. 4x4 block
+        # SUMS compared adjacently (no division) and MSB-first bit packing
+        # into two 32-bit halves keep every value in BIGINT — bit-exact
+        "image_dhash": """
+WITH px AS (
+  SELECT doc_id, y, x,
+         ((doc_id % 97 + 1) * (13 * x + 7 * y + 3)) % 256 AS v
+  FROM documents,
+       UNNEST(generate_series(0, 31)) ty(y),
+       UNNEST(generate_series(0, 35)) tx(x)),
+b AS (
+  SELECT doc_id, y // 4 AS by, x // 4 AS bx, sum(v) AS s
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT l.doc_id, l.by, l.bx,
+         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+  FROM b l JOIN b r
+    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+  WHERE l.bx < 8)
+SELECT doc_id,
+       CAST(36 AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       CAST(sum(CASE WHEN by < 4
+                THEN bit * (CAST(1 AS BIGINT) << (31 - (by * 8 + bx)))
+                ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN by >= 4
+                THEN bit * (CAST(1 AS BIGINT) << (31 - ((by - 4) * 8 + bx)))
+                ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+
+        # Perceptual-dup membership: min-doc-id representative per
+        # identical-dHash group, non-representative members only
+        "image_dup_groups": """
+WITH px AS (
+  SELECT doc_id, y, x,
+         ((doc_id % 97 + 1) * (13 * x + 7 * y + 3)) % 256 AS v
+  FROM documents,
+       UNNEST(generate_series(0, 31)) ty(y),
+       UNNEST(generate_series(0, 35)) tx(x)),
+b AS (
+  SELECT doc_id, y // 4 AS by, x // 4 AS bx, sum(v) AS s
+  FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT l.doc_id, l.by, l.bx,
+         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+  FROM b l JOIN b r
+    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+  WHERE l.bx < 8),
+h AS (
+  SELECT doc_id,
+         sum(CASE WHEN by < 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - (by * 8 + bx)))
+             ELSE 0 END) AS dhash_hi,
+         sum(CASE WHEN by >= 4
+             THEN bit * (CAST(1 AS BIGINT) << (31 - ((by - 4) * 8 + bx)))
+             ELSE 0 END) AS dhash_lo
+  FROM bits GROUP BY doc_id),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS rep
+  FROM h)
+SELECT CAST(rep AS BIGINT) AS rep, CAST(doc_id AS BIGINT) AS doc_id
+FROM g WHERE doc_id <> rep
+ORDER BY rep, doc_id
 """,
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;

@@ -401,3 +401,95 @@ def audio_features(wav_ds, concurrency=(2, 8), batch_size: int = 64):
                               concurrency=concurrency,
                               batch_size=batch_size, num_cpus=0.5,
                               max_restarts=0)
+
+
+# -- Image: real PNG decode -> dHash perceptual fingerprint ----------------------
+
+IMG_W, IMG_H = 36, 32        # 4x4 blocks -> a 9x8 grid -> 8x8 dHash bits
+
+
+def synth_png(doc_id: int, n_seeds: int = 97) -> bytes:
+    """Deterministic grayscale PNG for a doc id: pixel (y, x) is
+    ``((doc_id % n_seeds + 1) * (13*x + 7*y + 3)) % 256`` — multiplicative
+    in the seed so different seeds produce genuinely different wrap
+    patterns, while doc ids sharing a seed are exact image copies
+    (planted perceptual-dup groups). Encoded rotating through the three
+    encoder filter types (``doc_id % 3``) so the DECODER's none/sub/up
+    filter branches are all on the verified path. PNG is lossless and the
+    SQL oracle regenerates the same pixels with ``generate_series`` — the
+    binary decode itself is what the gate hash verifies."""
+    seed = doc_id % n_seeds + 1
+    x = np.arange(IMG_W, dtype=np.int64)[None, :]
+    y = np.arange(IMG_H, dtype=np.int64)[:, None]
+    v = (seed * (13 * x + 7 * y + 3)) % 256
+    return encode_png(v.astype(np.uint8), filter_type=doc_id % 3)
+
+
+class ImageDHash:
+    """Actor-pool dHash fingerprinter: stdlib PNG decode
+    (:func:`decode_png`) -> exact 4x4 integer block sums -> row-major
+    adjacent-compare bits (``sum[bx] > sum[bx+1]``, the classic dHash but
+    on sums so there is NO division) -> 64-bit fingerprint split into two
+    int64 halves (``dhash_hi`` = rows 0-3 MSB-first, ``dhash_lo`` = rows
+    4-7) so every value stays in signed-int64 / SQL BIGINT range. All
+    integer end to end — grayscale luma decodes exactly — so the
+    fingerprint reproduces bit-for-bit in SQL."""
+
+    _SHIFTS = np.int64(1) << (31 - np.arange(32, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        his, los, ws, hs = [], [], [], []
+        for body in batch["png"].to_pylist():
+            w, h, gray = decode_png(bytes(body))
+            if h % 4 or w % 4 or (w // 4) != (h // 4) + 1:
+                raise ValueError(
+                    f"dHash expects a {4 * 9}x{4 * 8}-shaped image "
+                    f"(9x8 blocks of 4x4); got {w}x{h}")
+            s = gray.astype(np.int64).reshape(h // 4, 4, w // 4, 4) \
+                .sum(axis=(1, 3))
+            bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+            his.append(int((bits[:4].ravel() * self._SHIFTS).sum()))
+            los.append(int((bits[4:].ravel() * self._SHIFTS).sum()))
+            ws.append(w)
+            hs.append(h)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "dhash_hi": pa.array(his, type=pa.int64()),
+            "dhash_lo": pa.array(los, type=pa.int64()),
+        })
+
+
+def image_dhash(png_ds, concurrency=(2, 8), batch_size: int = 64):
+    """Distributed perceptual fingerprints over a (doc_id, png) Dataset.
+    Same multimodal sizing rule as :func:`audio_features`: blobs dominate
+    batch memory, so batch_size x concurrency is the heap knob."""
+    return png_ds.map_batches(ImageDHash, batch_format="pyarrow",
+                              concurrency=concurrency,
+                              batch_size=batch_size, num_cpus=0.5,
+                              max_restarts=0)
+
+
+def image_dup_groups(png_ds, **kw):
+    """Perceptual-duplicate membership: group images by the 64-bit dHash
+    and elect the min doc id as each group's representative (the SemDeDup
+    convention — linear in group size, never quadratic pair emission).
+    Returns (rep, doc_id) for every NON-representative member. The only
+    shuffle moves 3 ints per image; bodies are reduced to fingerprints in
+    the decode pass and never leave their batch."""
+    import pandas as pd
+
+    hashes = image_dhash(png_ds, **kw) \
+        .select_columns(["doc_id", "dhash_hi", "dhash_lo"])
+
+    def members(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"rep": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame({"rep": np.full(len(ids) - 1, ids[0]),
+                             "doc_id": ids[1:]})
+
+    return hashes.groupby(["dhash_hi", "dhash_lo"]) \
+        .map_groups(members, batch_format="pandas")

@@ -44,7 +44,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # + distributed BPE trainer
                       "dsir_select", "pmi_top_pairs", "bpe_merges",
                       "bpe_token_counts", "gopher_rules",
-                      "audio_features"]
+                      "audio_features", "image_dhash",
+                      "image_dup_groups"]
 
 
 def _duck(sf_dir):

@@ -265,3 +265,46 @@ def test_audio_features_decodes_real_wav():
     assert out["sum_sq"] == 800 * 1000 * 1000
     assert out["peak"] == 1000
     assert out["zero_crossings"] == 199       # 2 per period x100 - 1
+
+
+# -- Image dHash over real PNG decode ---------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_dhash_known_gradients():
+    import ray.data as rd
+
+    from spatula_ray.stages.multimodal import encode_png, image_dhash
+
+    # strictly increasing-x gradient: every right block sum exceeds the
+    # left -> all bits 0; reversed gradient -> all bits 1
+    inc = np.tile(np.arange(36, dtype=np.uint8) * 7, (32, 1))
+    dec = inc[:, ::-1].copy()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "png": pa.array([encode_png(inc), encode_png(dec)],
+                        type=pa.binary()),
+    }))
+    out = image_dhash(ds).to_pandas().set_index("doc_id")
+    assert (out.loc[1, "dhash_hi"], out.loc[1, "dhash_lo"]) == (0, 0)
+    assert (out.loc[2, "dhash_hi"], out.loc[2, "dhash_lo"]) \
+        == (2**32 - 1, 2**32 - 1)
+    assert (out["width"] == 36).all() and (out["height"] == 32).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_dup_groups_elects_min_rep():
+    import ray.data as rd
+
+    from spatula_ray.stages.multimodal import image_dup_groups, synth_png
+
+    # doc ids 5, 102, 199 share seed 5 (mod 97) -> identical images;
+    # 7 stands alone
+    ids = [5, 7, 102, 199]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "png": pa.array([synth_png(d) for d in ids], type=pa.binary()),
+    }))
+    out = image_dup_groups(ds).to_pandas().sort_values(
+        ["rep", "doc_id"]).reset_index(drop=True)
+    assert list(out["rep"]) == [5, 5]
+    assert list(out["doc_id"]) == [102, 199]
