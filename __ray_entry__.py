@@ -851,6 +851,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return image_dup_groups(_png_fixture(sf_dir)).sort(["rep", "doc_id"])
 
+    def video_frame_dhash_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.multimodal import (
+            synth_apng,
+            video_frame_dhash,
+        )
+
+        # fixture: real APNG containers (acTL/fcTL/fdAT chunk layout,
+        # 4-7 frames at 25 fps) — the engine samples every 2nd frame and
+        # fingerprints it; the oracle regenerates the sampled frames'
+        # pixels in SQL
+        def make(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "video": pa.array([synth_apng(d)
+                                   for d in t["doc_id"].to_pylist()],
+                                  type=pa.binary()),
+            })
+
+        vids = _docs(sf_dir, ["doc_id"]).map_batches(
+            make, batch_format="pyarrow")
+        return video_frame_dhash(vids, stride=2) \
+            .sort(["doc_id", "frame_idx"])
+
     def bpe_token_counts_q(sf_dir):
         from spatula_ray.stages.bpe import bpe_token_counts
 
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": audio_features_q,
         "image_dhash": image_dhash_q,
         "image_dup_groups": image_dup_groups_q,
+        "video_frame_dhash": video_frame_dhash_q,
     }
 
 
@@ -2710,6 +2736,47 @@ g AS (
 SELECT CAST(rep AS BIGINT) AS rep, CAST(doc_id AS BIGINT) AS doc_id
 FROM g WHERE doc_id <> rep
 ORDER BY rep, doc_id
+""",
+
+        # Video frame sampling: the engine decodes real APNG containers
+        # (acTL/fcTL/fdAT), keeps every 2nd frame, and dHashes each kept
+        # frame; the oracle regenerates only the SAMPLED frames' pixels.
+        # 25 fps -> each frame exactly 40 ms, so duration is int64-exact
+        "video_frame_dhash": """
+WITH p AS (SELECT doc_id, 4 + doc_id % 4 AS n_frames FROM documents),
+fr AS (
+  SELECT doc_id, n_frames, f
+  FROM p, UNNEST(generate_series(0, n_frames - 1)) tf(f)
+  WHERE f % 2 = 0),
+px AS (
+  SELECT doc_id, n_frames, f, y, x,
+         ((doc_id % 97 + 1) * (13 * x + 7 * y + 3) + f * 31) % 256 AS v
+  FROM fr,
+       UNNEST(generate_series(0, 31)) ty(y),
+       UNNEST(generate_series(0, 35)) tx(x)),
+b AS (
+  SELECT doc_id, n_frames, f, y // 4 AS by, x // 4 AS bx, sum(v) AS s
+  FROM px GROUP BY 1, 2, 3, 4, 5),
+bits AS (
+  SELECT l.doc_id, l.n_frames, l.f, l.by, l.bx,
+         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+  FROM b l JOIN b r
+    ON r.doc_id = l.doc_id AND r.f = l.f AND r.by = l.by
+   AND r.bx = l.bx + 1
+  WHERE l.bx < 8)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 40 AS BIGINT) AS duration_ms,
+       CAST(sum(CASE WHEN by < 4
+                THEN bit * (CAST(1 AS BIGINT) << (31 - (by * 8 + bx)))
+                ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN by >= 4
+                THEN bit * (CAST(1 AS BIGINT) << (31 - ((by - 4) * 8 + bx)))
+                ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits
+GROUP BY doc_id, f, n_frames
+ORDER BY doc_id, frame_idx
 """,
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;

@@ -493,3 +493,162 @@ def image_dup_groups(png_ds, **kw):
 
     return hashes.groupby(["dhash_hi", "dhash_lo"]) \
         .map_groups(members, batch_format="pandas")
+
+
+# -- Video: APNG container -> frame sampling -> per-frame dHash ------------------
+
+def _dhash64(gray: np.ndarray) -> tuple:
+    """64-bit dHash of an exact-integer luma array shaped for a 9x8 grid
+    of 4x4 blocks (see :class:`ImageDHash`); returns (hi, lo) int64
+    halves."""
+    h, w = gray.shape
+    if h % 4 or w % 4 or (w // 4) != (h // 4) + 1:
+        raise ValueError(f"dHash expects 9x8 blocks of 4x4; got {w}x{h}")
+    s = gray.astype(np.int64).reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3))
+    bits = (s[:, :-1] > s[:, 1:]).astype(np.int64)
+    shifts = np.int64(1) << (31 - np.arange(32, dtype=np.int64))
+    return (int((bits[:4].ravel() * shifts).sum()),
+            int((bits[4:].ravel() * shifts).sum()))
+
+
+def _apng_chunk(ctype: bytes, data: bytes) -> bytes:
+    import binascii
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", binascii.crc32(ctype + data)))
+
+
+def synth_apng(doc_id: int, n_seeds: int = 97) -> bytes:
+    """Deterministic grayscale APNG (the public 'animated PNG' extension:
+    acTL/fcTL/fdAT chunks per the spec) with ``4 + doc_id % 4`` full-size
+    frames at 25 fps (delay 4/100 s): frame f's pixel (y, x) is
+    ``((doc_id % n_seeds + 1) * (13*x + 7*y + 3) + f * 31) % 256``. Frame
+    0 rides in IDAT, later frames in fdAT with running sequence numbers —
+    the real container layout browsers decode."""
+    import zlib
+
+    n_frames = 4 + doc_id % 4
+    seed = doc_id % n_seeds + 1
+    x = np.arange(IMG_W, dtype=np.int64)[None, :]
+    y = np.arange(IMG_H, dtype=np.int64)[:, None]
+    base = seed * (13 * x + 7 * y + 3)
+
+    out = [_PNG_MAGIC,
+           _apng_chunk(b"IHDR", struct.pack(">IIBBBBB", IMG_W, IMG_H,
+                                            8, 0, 0, 0, 0)),
+           _apng_chunk(b"acTL", struct.pack(">II", n_frames, 0))]
+    seq = 0
+    for f in range(n_frames):
+        px = ((base + f * 31) % 256).astype(np.uint8)
+        raw = zlib.compress(b"".join(
+            b"\x00" + px[r].tobytes() for r in range(IMG_H)))
+        out.append(_apng_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, IMG_W, IMG_H, 0, 0, 4, 100, 0, 0)))
+        seq += 1
+        if f == 0:
+            out.append(_apng_chunk(b"IDAT", raw))
+        else:
+            out.append(_apng_chunk(b"fdAT", struct.pack(">I", seq) + raw))
+            seq += 1
+    out.append(_apng_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode_apng(body: bytes):
+    """Parse an APNG container and return ``(w, h, delays, frames)``:
+    ``delays`` a list of (num, den) per frame, ``frames`` a list of exact
+    luma arrays. Frames must be full-size (offset 0/0, the layout
+    :func:`synth_apng` and most screen-capture tools emit); each frame's
+    zlib stream is re-wrapped as a standalone PNG and fed through
+    :func:`decode_png`, so every filter type the still path supports works
+    per-frame too. Non-animated PNGs raise (use :func:`decode_png`)."""
+    if not body.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    ihdr = None
+    n_frames = None
+    delays, datas = [], []
+    while pos + 8 <= len(body):
+        (length,) = struct.unpack(">I", body[pos:pos + 4])
+        ctype = body[pos + 4:pos + 8]
+        data = body[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"acTL":
+            n_frames = struct.unpack(">II", data)[0]
+        elif ctype == b"fcTL":
+            _seq, fw, fh, fx, fy, dnum, dden, _disp, _blend = \
+                struct.unpack(">IIIIIHHBB", data)
+            w0, h0 = struct.unpack(">II", ihdr[:8])
+            if (fw, fh, fx, fy) != (w0, h0, 0, 0):
+                raise ValueError("sub-frame APNG regions unsupported")
+            delays.append((dnum, dden))
+            datas.append([])
+        elif ctype == b"IDAT":
+            datas[-1].append(data)
+        elif ctype == b"fdAT":
+            datas[-1].append(data[4:])          # strip sequence number
+        elif ctype == b"IEND":
+            break
+    if n_frames is None or ihdr is None:
+        raise ValueError("not an APNG (no acTL)")
+    if len(datas) != n_frames:
+        raise ValueError(f"APNG frame count mismatch: "
+                         f"{len(datas)} vs acTL {n_frames}")
+    frames = []
+    for parts in datas:
+        png = (_PNG_MAGIC + _apng_chunk(b"IHDR", ihdr)
+               + _apng_chunk(b"IDAT", b"".join(parts))
+               + _apng_chunk(b"IEND", b""))
+        w, h, gray = decode_png(png)
+        frames.append(gray)
+    return w, h, delays, frames
+
+
+class VideoFrameDHash:
+    """Actor-pool video frame sampler: decode the APNG container, keep
+    every ``stride``-th frame, fingerprint each kept frame with the same
+    integer dHash as the still-image path. Emits one row per SAMPLED
+    frame — (doc_id, frame_idx, n_frames, duration_ms, dhash_hi,
+    dhash_lo) — so a 2-hour clip costs rows proportional to the sample
+    rate, not the frame rate. duration_ms is exact when every delay
+    divides 1000 (it does at 25 fps: 4/100 s = 40 ms)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nfr, dur, his, los = [], [], [], [], [], []
+        for did, body in zip(batch["doc_id"].to_pylist(),
+                             batch["video"].to_pylist()):
+            _w, _h, delays, frames = decode_apng(bytes(body))
+            total_ms = sum(n * 1000 // d for n, d in delays)
+            for f in range(0, len(frames), self.stride):
+                hi, lo = _dhash64(frames[f])
+                ids.append(did)
+                fidx.append(f)
+                nfr.append(len(frames))
+                dur.append(total_ms)
+                his.append(hi)
+                los.append(lo)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(fidx, type=pa.int64()),
+            "n_frames": pa.array(nfr, type=pa.int64()),
+            "duration_ms": pa.array(dur, type=pa.int64()),
+            "dhash_hi": pa.array(his, type=pa.int64()),
+            "dhash_lo": pa.array(los, type=pa.int64()),
+        })
+
+
+def video_frame_dhash(video_ds, stride: int = 2, concurrency=(2, 8),
+                      batch_size: int = 16):
+    """Distributed frame-sampled fingerprints over a (doc_id, video)
+    Dataset. Video blobs are the largest multimodal payloads — the
+    default batch_size is deliberately the smallest of the media stages."""
+    return video_ds.map_batches(VideoFrameDHash, batch_format="pyarrow",
+                                fn_constructor_kwargs=dict(stride=stride),
+                                concurrency=concurrency,
+                                batch_size=batch_size, num_cpus=0.5,
+                                max_restarts=0)

@@ -45,7 +45,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "dsir_select", "pmi_top_pairs", "bpe_merges",
                       "bpe_token_counts", "gopher_rules",
                       "audio_features", "image_dhash",
-                      "image_dup_groups"]
+                      "image_dup_groups",
+                      "video_frame_dhash"]
 
 
 def _duck(sf_dir):

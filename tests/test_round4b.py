@@ -308,3 +308,43 @@ def test_image_dup_groups_elects_min_rep():
         ["rep", "doc_id"]).reset_index(drop=True)
     assert list(out["rep"]) == [5, 5]
     assert list(out["doc_id"]) == [102, 199]
+
+
+# -- APNG video frame sampling -----------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_frame_dhash_samples_and_matches_stills():
+    import ray.data as rd
+
+    from spatula_ray.stages.multimodal import (
+        decode_apng,
+        image_dhash,
+        synth_apng,
+        synth_png,
+        video_frame_dhash,
+    )
+
+    # doc 6 -> 6 frames; stride 2 samples frames 0, 2, 4
+    blob = synth_apng(6)
+    w, h, delays, frames = decode_apng(blob)
+    assert (w, h, len(frames)) == (36, 32, 6)
+    assert all(d == (4, 100) for d in delays)
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([6], type=pa.int64()),
+        "video": pa.array([blob], type=pa.binary()),
+    }))
+    out = video_frame_dhash(ds, stride=2).to_pandas() \
+        .sort_values("frame_idx").reset_index(drop=True)
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    assert (out["n_frames"] == 6).all()
+    assert (out["duration_ms"] == 240).all()
+
+    # frame 0 is pixel-identical to the still synth_png image of the same
+    # seed, so its fingerprint must equal the image path's
+    still = image_dhash(rd.from_arrow(pa.table({
+        "doc_id": pa.array([6], type=pa.int64()),
+        "png": pa.array([synth_png(6)], type=pa.binary()),
+    }))).to_pandas().iloc[0]
+    assert out.loc[0, "dhash_hi"] == still["dhash_hi"]
+    assert out.loc[0, "dhash_lo"] == still["dhash_lo"]
