@@ -754,6 +754,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # narrow projection once
         return semdedup(ds.materialize(), n_cells=16, tau_permille=960)
 
+    def knn_graph_q(sf_dir):
+        from spatula_ray.ioutil import read_parquet_clean
+        from spatula_ray.stages.similarity import knn_graph
+
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        # scanned twice (k-means sample, assign) — materialize the
+        # narrow projection once
+        return knn_graph(ds.materialize(), k=4, n_cells=16) \
+            .sort(["vec_id", "nn_rank"])
+
+    def zipf_fit_q(sf_dir):
+        from spatula_ray.stages.curate import zipf_fit
+
+        return zipf_fit(_docs(sf_dir, ["doc_id", "text"]), top_v=100)
+
     def dsir_select_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -876,6 +892,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return video_frame_dhash(vids, stride=2) \
             .sort(["doc_id", "frame_idx"])
 
+    def interleaved_dedup_q(sf_dir):
+        import hashlib as _hl
+
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.dedup import interleaved_fingerprint_dedup
+
+        # fixture: every doc becomes a 2-span interleaved sequence —
+        # [text span, image span] — where the image is keyed by
+        # length(text) % 7 (content-derived, so exact text copies get the
+        # SAME media and the planted copies form fingerprint groups);
+        # media bytes are the md5 digest of the ref, so the oracle can
+        # regenerate the payload hex as md5(ref)
+        def spans(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            texts = t["text"].to_pylist()
+            n = len(ids)
+            media = [_hl.md5(("m/%d.png" % (len(x or "") % 7)).encode())
+                     .digest() for x in texts]
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, 2), type=pa.int64()),
+                "seq": pa.array(np.tile([0, 1], n), type=pa.int64()),
+                "kind": pa.array(["text", "image"] * n, type=pa.string()),
+                "text": pa.array(
+                    [v for x in texts for v in ((x or ""), None)],
+                    type=pa.string()),
+                "media": pa.array(
+                    [v for m in media for v in (None, m)],
+                    type=pa.binary()),
+            })
+
+        span_ds = _docs_with_copies(sf_dir).map_batches(
+            spans, batch_format="pyarrow")
+        return interleaved_fingerprint_dedup(span_ds).sort("doc_id")
+
     def bpe_token_counts_q(sf_dir):
         from spatula_ray.stages.bpe import bpe_token_counts
 
@@ -981,6 +1033,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": image_dhash_q,
         "image_dup_groups": image_dup_groups_q,
         "video_frame_dhash": video_frame_dhash_q,
+        "interleaved_dedup": interleaved_dedup_q,
+        "knn_graph": knn_graph_q,
+        "zipf_fit": zipf_fit_q,
     }
 
 
@@ -1128,6 +1183,33 @@ dup AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
 SELECT q.vec_id, q.cell, coalesce(d.dup_of, -1) AS dup_of,
        d.dup_of IS NULL AS keep
 FROM qn q LEFT JOIN dup d USING (vec_id)
+"""
+
+
+def _knn_graph_oracle_sql(k: int = 4, n_cells: int = 16, iters: int = 5,
+                          sample: int = 2048, q_scale: int = 1000) -> str:
+    """Exact mirror of stages/similarity.py ``knn_graph``: the shared
+    integer-grid k-means prefix assigns cells; within-cell similarities
+    are integer inner products of the grid-normalized vectors (each
+    product <= q_scale**2 and dim <= ~100, so DuckDB's double
+    list_inner_product is integer-exact under 2^53), ranked with the
+    engine's exact tie convention (dot DESC, neighbor id ASC)."""
+    prefix = _kmeans_cells_prefix(n_cells, iters, sample, q_scale)
+    nv = _norm_cv("x.xv", "x.xv", q_scale)
+    return prefix + f""",
+qn AS (SELECT x.vec_id, cl.cell, {nv} AS nv
+       FROM xi x JOIN cells cl USING (vec_id)),
+edges AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(list_inner_product(a.nv, b.nv) AS BIGINT) AS dot,
+         row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.nv, b.nv) DESC, b.vec_id
+         ) AS nn_rank
+  FROM qn a JOIN qn b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, CAST(nn_rank AS BIGINT) AS nn_rank, dot
+FROM edges WHERE nn_rank <= {k}
+ORDER BY vec_id, nn_rank
 """
 
 
@@ -2778,6 +2860,67 @@ FROM bits
 GROUP BY doc_id, f, n_frames
 ORDER BY doc_id, frame_idx
 """,
+
+        # Zipf rank-frequency fit: ln values snapped to an int64
+        # micro-grid, normal-equation sums exact (HUGEINT / Python int),
+        # one identical IEEE division closes the slope — bit-exact.
+        # Tokenization mirrors corpus_vocab (vocab_coverage CTE, no
+        # empty-token filter); rank ties break on term ascending
+        "zipf_fit": """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+top AS (SELECT c FROM tc
+        QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 100),
+i AS (SELECT
+        CAST(floor(ln(CAST(row_number()
+                           OVER (ORDER BY c DESC) AS DOUBLE)) * 1e6 + 0.5)
+             AS HUGEINT) AS li,
+        CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS ci
+      FROM top),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(li) AS sx, sum(ci) AS sy,
+             sum(li * ci) AS sxy, sum(li * li) AS sxx
+      FROM i)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+                 / 1e6
+       END AS zipf_slope
+FROM s
+""",
+
+        # Order-sensitive exact dedup of interleaved text+media span
+        # sequences: unit = md5(kind:payload) per span (media payload =
+        # lowercase hex of the blob, which the fixture makes md5(ref)),
+        # fingerprint = md5 of the '|'-joined units in seq order; groups
+        # by fingerprint with min-id representative
+        "interleaved_dedup": f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, coalesce(text, '') FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS seq, 'text' AS kind, text AS payload FROM docs
+  UNION ALL
+  SELECT doc_id, 1, 'image',
+         md5(printf('m/%d.png', length(text) % 7))
+  FROM docs
+),
+units AS (SELECT doc_id, seq, md5(kind || ':' || payload) AS unit
+          FROM spans),
+fp AS (SELECT doc_id,
+              md5(string_agg(unit, '|' ORDER BY seq)) AS fingerprint
+       FROM units GROUP BY doc_id),
+g AS (SELECT fingerprint, count(*) AS group_size,
+             min(doc_id) AS rep_id
+      FROM fp GROUP BY fingerprint)
+SELECT f.doc_id, f.fingerprint, g.group_size, g.rep_id,
+       g.group_size > 1 AS is_dup
+FROM fp f JOIN g USING (fingerprint)
+ORDER BY f.doc_id
+""",
     }
     # MinHash-LSH verification is exact Jaccard over the LSH candidates;
     # with 32 bands x 2 rows the candidate-miss probability at j=0.5 is
@@ -2798,6 +2941,8 @@ ORDER BY doc_id, frame_idx
     sql["ivf_ann_topk"] = _ivf_oracle_sql()
     # SemDeDup: same k-means prefix + integer-exact within-cell pairwise
     sql["semdedup"] = _semdedup_oracle_sql()
+    # cell-bounded exact k-NN graph: same k-means prefix, top-k ranking
+    sql["knn_graph"] = _knn_graph_oracle_sql()
     # BPE trainer: 8 merge iterations unrolled as a CTE chain
     sql["bpe_merges"] = _bpe_oracle_sql()
     # BPE encoder: same chain's final vocab joined back to doc words

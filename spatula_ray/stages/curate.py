@@ -1778,3 +1778,45 @@ def pmi_top_pairs(docs, k: int = 100, min_count: int = 5):
                      "w2": pa.array(w2[order], type=pa.string()),
                      "pair_count": pa.array(pcnt[order]),
                      "pmi": pa.array(pmi[order])})
+
+
+def zipf_fit(docs, top_v: int = 100):
+    """Zipf rank-frequency fit over the corpus head vocabulary: the
+    least-squares slope of ln(count) vs ln(rank) across the ``top_v``
+    most frequent whitespace tokens (rank 1 = most frequent; ties break
+    on term ascending — the :func:`corpus_vocab` total order). A healthy
+    natural-language corpus sits near slope -1 (Zipf's law); a corpus
+    polluted by boilerplate or template spam flattens or steepens the
+    head — the same diagnostic Gopher/CCNet-style audits run per dump.
+
+    Integer-exact parity: each ln is snapped to an int64 micro-grid
+    (floor(ln(x) * 1e6 + 0.5)); the normal-equation sums are exact big
+    integers on both sides (Python int here, HUGEINT in the DuckDB
+    mirror), so the single closing division divides identical integers —
+    the slope reproduces bit-for-bit under the repo's 1e-6 grid.
+
+    Distributed shape: the heavy work is :func:`corpus_vocab` (per-batch
+    partial counts, one term groupby-sum, partial top-V reduce); the
+    driver sees <= top_v (term, cnt) rows — bounded by construction, so
+    the take_all is justified. Returns a one-row table
+    (n_terms, zipf_slope)."""
+    import math
+
+    rows = corpus_vocab(docs, vocab_size=top_v).take_all()
+    rows.sort(key=lambda r: (-r["cnt"], r["term"]))
+    n = len(rows)
+    li = [int(math.floor(math.log(i + 1) * 1e6 + 0.5)) for i in range(n)]
+    ci = [int(math.floor(math.log(r["cnt"]) * 1e6 + 0.5)) for r in rows]
+    sx, sy = sum(li), sum(ci)
+    sxy = sum(a * b for a, b in zip(li, ci))
+    sxx = sum(a * a for a in li)
+    den = n * sxx - sx * sx
+    if den == 0:
+        slope = 0.0
+    else:
+        slope = float(n * sxy - sx * sy) / float(den)
+        slope = math.floor(slope * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "n_terms": pa.array([n], type=pa.int64()),
+        "zipf_slope": pa.array([slope], type=pa.float64()),
+    })

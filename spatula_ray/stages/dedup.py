@@ -804,3 +804,86 @@ def embedding_dup_pairs(ds, threshold: float = 0.999,
     return pairs.groupby("__b2").map_groups(
         lambda g: g[["a", "b", "cosine"]].drop_duplicates(["a", "b"]),
         batch_format="pandas")
+
+
+def interleaved_fingerprint_dedup(span_ds, num_buckets: int = 64):
+    """Order-sensitive exact dedup of interleaved text+media documents.
+
+    Input: one row per span — ``(doc_id int64, seq int64, kind string,
+    text string, media binary|null)`` — the span-sequence form the crawl
+    emits (reference span model: /root/reference/src/spatula/pages.py
+    pages yield ordered content; the engine's HtmlPage emitter preserves
+    span order — spatula_ray/model.py). Two documents are duplicates iff
+    their whole span SEQUENCES match: same kinds, same text payloads,
+    same media bytes, same order — the interleaved analogue of
+    ``exact_dedup`` (text-only dedup treats a caption move or an image
+    swap as identical; this does not).
+
+    Per-span unit = md5(kind + ':' + payload), payload = the text for
+    text spans, the lowercase hex of the media bytes for media spans —
+    blobs are reduced to a 32-hex unit inside the first streaming map
+    and never shuffle. Doc fingerprint = md5('|'.join(units ordered by
+    seq)). md5 is the documented oracle-parity choice (DuckDB mirrors
+    the same strings); swap to ``pd.util.hash_array`` off the parity
+    path as in simhash.
+
+    Shuffles: (1) (doc_id, seq, unit) rows bucketed by doc_id hash;
+    (2) (doc_id, fingerprint) rows bucketed by fingerprint prefix. Both
+    move ~50 bytes/span regardless of payload size. Output: one row per
+    doc — (doc_id, fingerprint, group_size, rep_id, is_dup), rep_id =
+    min doc_id of the fingerprint group (SemDeDup representative
+    convention).
+    """
+    import pandas as pd
+
+    def units(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = t["kind"].to_pylist()
+        texts = t["text"].to_pylist()
+        medias = t["media"].to_pylist()
+        unit = [hashlib.md5(
+                    (k + ":" + (m.hex() if m is not None else (x or "")))
+                    .encode()).hexdigest()
+                for k, x, m in zip(kinds, texts, medias)]
+        b = (pd.util.hash_array(ids) % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "seq": t["seq"].cast(pa.int64()).combine_chunks(),
+            "unit": pa.array(unit, type=pa.string()),
+            "__b": pa.array(b),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seq"], kind="mergesort")
+        fp = g.groupby("doc_id", sort=True)["unit"].agg(
+            lambda u: hashlib.md5("|".join(u).encode()).hexdigest())
+        return pd.DataFrame({
+            "doc_id": fp.index.to_numpy(dtype=np.int64),
+            "fingerprint": fp.to_numpy(),
+        })
+
+    fps = span_ds.map_batches(units, batch_format="pyarrow") \
+        .groupby("__b").map_groups(fold, batch_format="pandas")
+
+    def fp_bucket(t: pa.Table) -> pa.Table:
+        pre = np.array([int(f[:8], 16)
+                        for f in t["fingerprint"].to_pylist()],
+                       dtype=np.int64)
+        return t.append_column(
+            "__b2", pa.array((pre % num_buckets).astype(np.int32)))
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("fingerprint")["doc_id"]
+        size = gg.transform("size").to_numpy(dtype=np.int64)
+        rep = gg.transform("min").to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "fingerprint": g["fingerprint"].to_numpy(),
+            "group_size": size,
+            "rep_id": rep,
+            "is_dup": size > 1,
+        })
+
+    return fps.map_batches(fp_bucket, batch_format="pyarrow") \
+        .groupby("__b2").map_groups(groups, batch_format="pandas")

@@ -507,3 +507,84 @@ def semdedup(ds, n_cells: int = 16, tau_permille: int = 960,
 
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cell").map_groups(kernel, batch_format="pyarrow"))
+
+
+def knn_graph(ds, k: int = 4, n_cells: int = 16, sample: int = 2048,
+              iters: int = 5, q_scale: int = 1000,
+              emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Cell-bounded exact k-NN graph over an embedding column — the
+    graph-construction primitive behind SemDeDup-style cluster pruning
+    and embedding-diversity curation (each node's nearest neighbors
+    WITHIN its k-means cell, the same locality contract as IVF search).
+
+    Reuses the integer-grid machinery of :func:`kmeans_centroids` /
+    :func:`semdedup`: vectors are quantized and sphere-normalized onto
+    an integer grid, so within-cell similarities are exact int64 inner
+    products (``dot``; cosine ~= dot / q_scale**2) and the whole graph
+    is bit-reproducible — ties broken by lower neighbor id via a stable
+    argsort over id-sorted columns.
+
+    Returns edge rows ``(vec_id, neighbor_id, nn_rank, dot)`` with nn_rank
+    1..min(k, cell_size - 1); singleton cells emit no edges.
+
+    Shuffle plan: one streaming assign/normalize map (centroids
+    broadcast by value), ONE groupby(cell); the per-cell kernel is a
+    dense int64 matmul, quadratic in cell occupancy — the same
+    partitioning assumption as ``semdedup`` (raise ``n_cells`` with
+    corpus size so per-cell cost stays fixed; brute-force/LSH/IVF
+    ``*_ann_topk`` remain the query-time search paths)."""
+    cents = kmeans_centroids(ds, n_cells=n_cells, sample=sample,
+                             iters=iters, q_scale=q_scale,
+                             emb_col=emb_col, id_col=id_col)
+    lo = -2 * q_scale * q_scale          # below any achievable dot
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = _list_col_to_matrix(t[emb_col])
+        xi = _quantize(mat, q_scale)
+        cell = np.argmax(xi @ cents.T, axis=1)
+        nsq = (xi * xi).sum(axis=1)
+        norm = np.sqrt(nsq.astype(np.float64))
+        norm[norm == 0] = 1.0
+        nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
+            .astype(np.int64)
+        dim = nv.shape[1] if nv.size else 0
+        return pa.table({
+            "vec_id": t[id_col],
+            "cell": pa.array(cell.astype(np.int64)),
+            "nv": pa.FixedSizeListArray.from_arrays(
+                pa.array(nv.reshape(-1), type=pa.int64()), dim),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        nvs = g["nv"].combine_chunks()
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "nn_rank": pa.array([], type=pa.int64()),
+                "dot": pa.array([], type=pa.int64()),
+            })
+        dim = nvs.type.list_size
+        m = nvs.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, dim)[order]
+        sims = m @ m.T                                # exact int64
+        np.fill_diagonal(sims, lo)
+        # stable argsort over id-ascending columns: ties -> lower id
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, kk)),
+            "neighbor_id": pa.array(ids[top.reshape(-1)]),
+            "nn_rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                     n)),
+            "dot": pa.array(np.take_along_axis(sims, top, axis=1)
+                            .reshape(-1)),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell").map_groups(kernel, batch_format="pyarrow"))

@@ -46,7 +46,10 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "bpe_token_counts", "gopher_rules",
                       "audio_features", "image_dhash",
                       "image_dup_groups",
-                      "video_frame_dhash"]
+                      "video_frame_dhash",
+                      # round-4d: interleaved span-sequence dedup +
+                      # cell-bounded exact k-NN graph
+                      "interleaved_dedup", "knn_graph", "zipf_fit"]
 
 
 def _duck(sf_dir):

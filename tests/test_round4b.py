@@ -348,3 +348,145 @@ def test_video_frame_dhash_samples_and_matches_stills():
     }))).to_pandas().iloc[0]
     assert out.loc[0, "dhash_hi"] == still["dhash_hi"]
     assert out.loc[0, "dhash_lo"] == still["dhash_lo"]
+
+
+def _span_ds(rows):
+    """rows: (doc_id, seq, kind, text, media_bytes|None)"""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "seq": pa.array([r[1] for r in rows], type=pa.int64()),
+        "kind": pa.array([r[2] for r in rows], type=pa.string()),
+        "text": pa.array([r[3] for r in rows], type=pa.string()),
+        "media": pa.array([r[4] for r in rows], type=pa.binary()),
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interleaved_dedup_groups_and_order_sensitivity():
+    from spatula_ray.stages.dedup import interleaved_fingerprint_dedup
+
+    img_a, img_b = b"\x01\x02pixels", b"\x99\x98other"
+    rows = [
+        # doc 1 and doc 2: identical interleaved sequences -> one group
+        (1, 0, "text", "hello world", None), (1, 1, "image", None, img_a),
+        (2, 0, "text", "hello world", None), (2, 1, "image", None, img_a),
+        # doc 3: same spans as 1 but REVERSED order -> distinct
+        (3, 0, "image", None, img_a), (3, 1, "text", "hello world", None),
+        # doc 4: same text as 1 but different media bytes -> distinct
+        (4, 0, "text", "hello world", None), (4, 1, "image", None, img_b),
+    ]
+    out = interleaved_fingerprint_dedup(_span_ds(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    assert len(out) == 4
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert bool(out.loc[1, "is_dup"]) and bool(out.loc[2, "is_dup"])
+    assert out.loc[1, "group_size"] == out.loc[2, "group_size"] == 2
+    assert out.loc[2, "rep_id"] == 1                  # min-id representative
+    assert out.loc[3, "fingerprint"] != out.loc[1, "fingerprint"]
+    assert not bool(out.loc[3, "is_dup"])
+    assert out.loc[4, "fingerprint"] != out.loc[1, "fingerprint"]
+    assert out.loc[4, "group_size"] == 1 and out.loc[4, "rep_id"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interleaved_dedup_seq_order_not_row_order():
+    """Fingerprints follow the seq column, not row arrival order: the
+    same doc with its span rows shuffled hashes identically."""
+    from spatula_ray.stages.dedup import interleaved_fingerprint_dedup
+
+    img = b"\xaa\xbb"
+    ordered = [(1, 0, "text", "a b c", None), (1, 1, "image", None, img),
+               (1, 2, "text", "tail", None)]
+    shuffled = [(2, 2, "text", "tail", None), (2, 0, "text", "a b c", None),
+                (2, 1, "image", None, img)]
+    out = interleaved_fingerprint_dedup(_span_ds(ordered + shuffled)) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[1, "group_size"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_within_cell_exact_neighbors():
+    """Two tight clusters far apart: with enough cells they separate,
+    and each node's neighbors are exactly its own cluster mates ranked
+    by integer dot (ties -> lower id)."""
+    import ray.data as rd
+
+    from spatula_ray.stages.similarity import knn_graph
+
+    base_a, base_b = np.array([10.0, 0.0, 0.0]), np.array([0.0, 10.0, 0.0])
+    rows = []
+    for i in range(4):
+        rows.append((i, (base_a + i * 0.01).tolist()))          # cluster A
+    for i in range(4, 8):
+        rows.append((i, (base_b + (i - 4) * 0.01).tolist()))    # cluster B
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              type=pa.list_(pa.float64())),
+    }))
+    out = knn_graph(ds, k=3, n_cells=2, sample=8, iters=3).to_pandas()
+
+    # every node gets min(k, cell_size-1) = 3 neighbors, all in-cluster
+    assert len(out) == 8 * 3
+    for vid, grp in out.groupby("vec_id"):
+        mates = {0, 1, 2, 3} if vid < 4 else {4, 5, 6, 7}
+        assert set(grp["neighbor_id"]) == mates - {vid}
+        assert sorted(grp["nn_rank"]) == [1, 2, 3]
+        # ranks follow dot desc with lower-id tie-break
+        g = grp.sort_values("nn_rank")
+        dots = g["dot"].to_numpy()
+        assert (dots[:-1] >= dots[1:]).all()
+        ties = dots[:-1] == dots[1:]
+        nbrs = g["neighbor_id"].to_numpy()
+        assert (nbrs[:-1][ties] < nbrs[1:][ties]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_singleton_cell_emits_no_edges():
+    import ray.data as rd
+
+    from spatula_ray.stages.similarity import knn_graph
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([7], type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]], type=pa.list_(pa.float64())),
+    }))
+    out = knn_graph(ds, k=3, n_cells=1, sample=1, iters=1)
+    assert out.count() == 0
+    # an all-empty Dataset drops pandas column names; check Arrow schema
+    assert out.schema().names == ["vec_id", "neighbor_id", "nn_rank", "dot"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_fit_recovers_planted_power_law():
+    """Counts planted as c_r = 720 // r for ranks 1..6: ln(c) vs ln(r)
+    is near-perfectly linear with slope -1 (harmonic Zipf), and the
+    engine's integer-grid least squares must land within the fit noise
+    of the integer division."""
+    from spatula_ray.stages.curate import zipf_fit
+
+    # build a corpus whose term counts are exactly 720//r
+    docs = []
+    for r in range(1, 7):
+        docs.extend(["w%d" % r] * (720 // r))
+    # one doc per token keeps tokenization trivial
+    ds = _docs_ds(list(enumerate(docs)))
+    out = zipf_fit(ds, top_v=10).to_pandas()
+
+    assert out.loc[0, "n_terms"] == 6
+    slope = out.loc[0, "zipf_slope"]
+    assert -1.05 < slope < -0.95
+    # exact-grid reproducibility: same formula recomputed locally
+    import math
+    cnts = sorted([720 // r for r in range(1, 7)], reverse=True)
+    li = [int(math.floor(math.log(i + 1) * 1e6 + 0.5)) for i in range(6)]
+    ci = [int(math.floor(math.log(c) * 1e6 + 0.5)) for c in cnts]
+    n, sx, sy = 6, sum(li), sum(ci)
+    sxy = sum(a * b for a, b in zip(li, ci))
+    sxx = sum(a * a for a in li)
+    exp = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert slope == math.floor(exp * 1e6 + 0.5) / 1e6
