@@ -770,6 +770,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return zipf_fit(_docs(sf_dir, ["doc_id", "text"]), top_v=100)
 
+    def vocab_growth_q(sf_dir):
+        from spatula_ray.stages.curate import vocab_growth
+
+        return vocab_growth(_docs(sf_dir, ["doc_id", "text"]),
+                            n_checkpoints=10)
+
     def dsir_select_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -1036,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_dedup": interleaved_dedup_q,
         "knn_graph": knn_graph_q,
         "zipf_fit": zipf_fit_q,
+        "vocab_growth": vocab_growth_q,
     }
 
 
@@ -2888,6 +2895,30 @@ SELECT CAST(n AS BIGINT) AS n_terms,
                  / 1e6
        END AS zipf_slope
 FROM s
+""",
+
+        # Heaps vocabulary-growth audit: all-integer cumulative token
+        # and first-occurrence vocab counts at 10 doc_id checkpoints;
+        # thresholds ((k*(max+1))//10)-1, token convention
+        # len(string_split(text,' '))
+        "vocab_growth": """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+thr AS (SELECT k, ((k * (m + 1)) // 10) - 1 AS t
+        FROM mx, UNNEST(generate_series(1, 10)) tk(k)),
+base AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+tok AS (SELECT th.k, sum(b.n) AS n_tokens
+        FROM thr th JOIN base b ON b.doc_id <= th.t GROUP BY th.k),
+firsts AS (
+  SELECT term, min(doc_id) AS first
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) GROUP BY term),
+voc AS (SELECT th.k, count(*) AS vocab
+        FROM thr th JOIN firsts f ON f.first <= th.t GROUP BY th.k)
+SELECT th.k AS checkpoint, CAST(th.t AS BIGINT) AS doc_id_thr,
+       CAST(coalesce(tok.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(voc.vocab, 0) AS BIGINT) AS vocab
+FROM thr th LEFT JOIN tok USING (k) LEFT JOIN voc USING (k)
+ORDER BY checkpoint
 """,
 
         # Order-sensitive exact dedup of interleaved text+media span

@@ -1820,3 +1820,84 @@ def zipf_fit(docs, top_v: int = 100):
         "n_terms": pa.array([n], type=pa.int64()),
         "zipf_slope": pa.array([slope], type=pa.float64()),
     })
+
+
+def vocab_growth(docs, n_checkpoints: int = 10):
+    """Heaps'-law vocabulary-growth audit: cumulative token count and
+    distinct-vocabulary size at ``n_checkpoints`` doc_id thresholds —
+    the per-dump curve (V(n) ~ K * n^beta) that flags template spam
+    (flat growth) or OCR noise (super-linear growth) in a crawl corpus.
+
+    Checkpoint k (1-based) covers doc_id <= ((k * (max_id + 1)) //
+    n_checkpoints) - 1, so the last checkpoint is the whole corpus. All
+    outputs are exact integers — bit-reproducible by construction.
+
+    Distributed shape: one max(doc_id) scalar; token counts are a pure
+    streaming map emitting <= n_checkpoints partial-sum rows per batch
+    + one tiny groupby(k); vocabulary needs term first-occurrence — one
+    (term, min doc_id) groupby (map-side pre-combined by a local
+    per-batch min) followed by the same bounded per-checkpoint count
+    reduce. Driver sees 2 x n_checkpoints rows.
+
+    Returns (checkpoint, doc_id_thr, n_tokens, vocab), one row per
+    checkpoint."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    max_id = int(docs.max("doc_id"))
+    K = n_checkpoints
+    thr = np.array([((k + 1) * (max_id + 1)) // K - 1 for k in range(K)],
+                   dtype=np.int64)
+
+    def token_partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # '' splits to [''] (len 1); null text follows the same
+        # convention via fill_null — mirrors len(string_split(text, ' '))
+        ntok = pc.fill_null(pc.list_value_length(
+            pc.split_pattern(t["text"], " ")), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.array([ntok[ids <= b].sum() for b in thr],
+                        dtype=np.int64)
+        return pa.table({
+            "k": pa.array(np.arange(1, K + 1, dtype=np.int64)),
+            "c": pa.array(sums),
+        })
+
+    tokens = (docs.map_batches(token_partials, batch_format="pyarrow")
+              .groupby("k").aggregate(Sum("c", alias_name="n_tokens")))
+
+    def first_partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx, flat, _ = _flat_tokens(t["text"].to_pylist())
+        df = pd.DataFrame({"term": flat, "first": ids[idx]})
+        g = df.groupby("term", sort=False)["first"].min()
+        return pa.table({
+            "term": pa.array(g.index.to_numpy(), type=pa.string()),
+            "first": pa.array(g.to_numpy().astype(np.int64)),
+        })
+
+    firsts = (docs.map_batches(first_partials, batch_format="pyarrow")
+              .groupby("term").aggregate(Min("first", alias_name="first")))
+
+    def vocab_partials(t: pa.Table) -> pa.Table:
+        f = t["first"].to_numpy(zero_copy_only=False)
+        cnt = np.array([(f <= b).sum() for b in thr], dtype=np.int64)
+        return pa.table({
+            "k": pa.array(np.arange(1, K + 1, dtype=np.int64)),
+            "c": pa.array(cnt),
+        })
+
+    vocab = (firsts.map_batches(vocab_partials, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("c", alias_name="vocab")))
+
+    tok_by_k = {int(r["k"]): int(r["n_tokens"]) for r in tokens.take_all()}
+    voc_by_k = {int(r["k"]): int(r["vocab"]) for r in vocab.take_all()}
+    ks = list(range(1, K + 1))
+    return pa.table({
+        "checkpoint": pa.array(ks, type=pa.int64()),
+        "doc_id_thr": pa.array([int(b) for b in thr], type=pa.int64()),
+        "n_tokens": pa.array([tok_by_k.get(k, 0) for k in ks],
+                             type=pa.int64()),
+        "vocab": pa.array([voc_by_k.get(k, 0) for k in ks],
+                          type=pa.int64()),
+    })

@@ -49,7 +49,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "video_frame_dhash",
                       # round-4d: interleaved span-sequence dedup +
                       # cell-bounded exact k-NN graph
-                      "interleaved_dedup", "knn_graph", "zipf_fit"]
+                      "interleaved_dedup", "knn_graph", "zipf_fit",
+                      "vocab_growth"]
 
 
 def _duck(sf_dir):

@@ -490,3 +490,22 @@ def test_zipf_fit_recovers_planted_power_law():
     sxx = sum(a * a for a in li)
     exp = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
     assert slope == math.floor(exp * 1e6 + 0.5) / 1e6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_growth_checkpoints_exact():
+    from spatula_ray.stages.curate import vocab_growth
+
+    # doc_id 0..9, each doc i = "t0 t1 ... ti" (i+1 tokens, introduces
+    # exactly one new term ti)
+    rows = [(i, " ".join("t%d" % j for j in range(i + 1)))
+            for i in range(10)]
+    out = vocab_growth(_docs_ds(rows), n_checkpoints=5).to_pandas()
+
+    assert list(out["checkpoint"]) == [1, 2, 3, 4, 5]
+    # thresholds: ((k*10)//5)-1 = 1, 3, 5, 7, 9
+    assert list(out["doc_id_thr"]) == [1, 3, 5, 7, 9]
+    # cumulative tokens: sum_{i<=thr}(i+1)
+    assert list(out["n_tokens"]) == [3, 10, 21, 36, 55]
+    # vocab at thr = thr+1 distinct terms
+    assert list(out["vocab"]) == [2, 4, 6, 8, 10]
