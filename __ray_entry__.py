@@ -776,6 +776,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return vocab_growth(_docs(sf_dir, ["doc_id", "text"]),
                             n_checkpoints=10)
 
+    def corpus_report_q(sf_dir):
+        from spatula_ray.stages.curate import corpus_report
+
+        return corpus_report(_docs(sf_dir, ["doc_id", "text", "source"]))
+
     def dsir_select_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -1043,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": knn_graph_q,
         "zipf_fit": zipf_fit_q,
         "vocab_growth": vocab_growth_q,
+        "corpus_report": corpus_report_q,
     }
 
 
@@ -2895,6 +2901,30 @@ SELECT CAST(n AS BIGINT) AS n_terms,
                  / 1e6
        END AS zipf_slope
 FROM s
+""",
+
+        # Per-source corpus health report: all-integer aggregates (mean
+        # quality = micro-unit sum // count, exact floor division); the
+        # quality micro-units are the doc_quality formula before the
+        # /1e6 de-scale
+        "corpus_report": """
+WITH q AS (
+  SELECT source, md5(text) AS h,
+         len(string_split(text, ' ')) AS nt,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(floor(
+                (0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                        / len(string_split(text, ' ')))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                        / length(text))
+               + 0.3 * least(1.0, length(text) / 500.0)) * 1e6 + 0.5)
+                AS BIGINT)
+         END AS qm
+  FROM documents)
+SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       count(DISTINCT h) AS n_distinct_texts,
+       CAST(sum(qm) // count(*) AS BIGINT) AS mean_quality_micro
+FROM q GROUP BY source ORDER BY source
 """,
 
         # Heaps vocabulary-growth audit: all-integer cumulative token

@@ -1901,3 +1901,108 @@ def vocab_growth(docs, n_checkpoints: int = 10):
         "vocab": pa.array([voc_by_k.get(k, 0) for k in ks],
                           type=pa.int64()),
     })
+
+
+class _ReportPartials:
+    """Per-batch per-source partials for :func:`corpus_report`: doc
+    count, token count (string_split convention), and the integer-micro
+    quality sum (the QualityScore formula inlined so source/text ride
+    one pass). Actor-pool stage: regex compiled once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.non_alpha = re.compile(r"[^a-zA-Z]")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_rows = len(texts)
+        nt = np.empty(n_rows, dtype=np.int64)
+        qm = np.empty(n_rows, dtype=np.int64)
+        for i, x in enumerate(texts):
+            toks = x.split(" ") if x else [""]
+            nt[i] = len(toks)
+            n = len(x)
+            if n == 0:
+                qm[i] = 0
+                continue
+            ttr = len(set(toks)) / len(toks)
+            alpha = len(self.non_alpha.sub("", x)) / n
+            q = 0.4 * ttr + 0.3 * alpha + 0.3 * min(1.0, n / 500.0)
+            qm[i] = int(np.floor(q * 1e6 + 0.5))
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "n": np.ones(n_rows, dtype=np.int64),
+                           "nt": nt, "qm": qm})
+        g = df.groupby("source", sort=False).sum()
+        return pa.table({
+            "source": pa.array(g.index.to_numpy(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy()),
+            "nt": pa.array(g["nt"].to_numpy()),
+            "qm": pa.array(g["qm"].to_numpy()),
+        })
+
+
+def corpus_report(docs):
+    """Per-source corpus health report — the audit table a curation run
+    publishes per dump: document count, token count, distinct-text
+    count (exact-dup exposure), and mean quality in integer
+    micro-units (sum // count, exact floor division — no float mean to
+    drift).
+
+    Distributed shape: ONE streaming pass over text emits per-batch
+    per-source partials (bounded by sources x blocks rows) + a
+    (source, md5) hash stream; shuffles move count rows and 32-hex
+    hashes only, never documents. Driver sees <= n_sources rows
+    (bounded-enum key, the lang_counts assumption).
+
+    Returns (source, n_docs, n_tokens, n_distinct_texts,
+    mean_quality_micro) sorted by source."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    agg = (docs.map_batches(_ReportPartials, batch_format="pyarrow",
+                            concurrency=(2, 8), num_cpus=0.5,
+                            max_restarts=0)
+           .groupby("source").aggregate(Sum("n", alias_name="n_docs"),
+                                        Sum("nt", alias_name="n_tokens"),
+                                        Sum("qm", alias_name="qm")))
+
+    def hashes(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5((x or "").encode()).hexdigest()
+             for x in t["text"].to_pylist()]
+        out = pa.table({"source": t["source"], "h": pa.array(h)})
+        # local dedup shrinks the shuffle
+        return out.group_by(["source", "h"]).aggregate([])
+
+    def per_source(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "c": np.ones(t.num_rows, dtype=np.int64)})
+        g = df.groupby("source", sort=False)["c"].sum()
+        return pa.table({
+            "source": pa.array(g.index.to_numpy(), type=pa.string()),
+            "c": pa.array(g.to_numpy()),
+        })
+
+    distinct = (docs.map_batches(hashes, batch_format="pyarrow")
+                .groupby(["source", "h"]).count()
+                .map_batches(per_source, batch_format="pyarrow")
+                .groupby("source")
+                .aggregate(Sum("c", alias_name="n_distinct_texts")))
+
+    a = {r["source"]: r for r in agg.take_all()}
+    d = {r["source"]: int(r["n_distinct_texts"])
+         for r in distinct.take_all()}
+    srcs = sorted(a)
+    return pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "n_docs": pa.array([int(a[s]["n_docs"]) for s in srcs],
+                           type=pa.int64()),
+        "n_tokens": pa.array([int(a[s]["n_tokens"]) for s in srcs],
+                             type=pa.int64()),
+        "n_distinct_texts": pa.array([d.get(s, 0) for s in srcs],
+                                     type=pa.int64()),
+        "mean_quality_micro": pa.array(
+            [int(a[s]["qm"]) // int(a[s]["n_docs"]) for s in srcs],
+            type=pa.int64()),
+    })
