@@ -744,6 +744,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lm_nll(_docs(sf_dir, ["doc_id", "text"]).materialize(),
                       vocab_size=200, add_k=1)
 
+    def filter_ensemble_q(sf_dir):
+        import pyarrow.compute as pc
+
+        from spatula_ray.stages.curate import lm_nll
+        from spatula_ray.stages.joins import hash_bucket_join
+        from spatula_ray.stages.selection import exact_quantiles
+
+        # FineWeb-style quality stack: heuristic quality score + LM
+        # fluency, each thresholded at an EXACT distributed quantile of
+        # its own corpus distribution (no fixed magic numbers), then one
+        # doc_id hash-bucket join carrying only (doc_id, score) pairs.
+        # keep = quality above p25 AND nll at-or-below p75
+        docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+        scored = docs.map_batches(
+            tx.QualityScore, batch_format="pyarrow", concurrency=(2, 8),
+            num_cpus=0.5, max_restarts=0).materialize()
+        fluent = lm_nll(docs, vocab_size=200, add_k=1) \
+            .select_columns(["doc_id", "nll"]).materialize()
+        q25 = exact_quantiles(scored, "quality", [0.25],
+                              gather_threshold=0)[0.25]
+        n75 = exact_quantiles(fluent, "nll", [0.75],
+                              gather_threshold=0)[0.75]
+        joined = hash_bucket_join(scored, fluent, on=["doc_id"])
+
+        def flag(t):
+            keep = pc.and_(pc.greater(t["quality"], q25),
+                           pc.less_equal(t["nll"], n75))
+            return t.append_column("keep", keep)
+
+        return joined.map_batches(flag, batch_format="pyarrow") \
+            .sort("doc_id")
+
     def semdedup_q(sf_dir):
         from spatula_ray.ioutil import read_parquet_clean
         from spatula_ray.stages.similarity import semdedup
@@ -1049,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": zipf_fit_q,
         "vocab_growth": vocab_growth_q,
         "corpus_report": corpus_report_q,
+        "filter_ensemble": filter_ensemble_q,
     }
 
 
@@ -3004,6 +3037,19 @@ ORDER BY f.doc_id
     sql["semdedup"] = _semdedup_oracle_sql()
     # cell-bounded exact k-NN graph: same k-means prefix, top-k ranking
     sql["knn_graph"] = _knn_graph_oracle_sql()
+    # quality-stack ensemble: composes the doc_quality and lm_nll mirrors
+    # verbatim as CTEs; thresholds are exact quantile_disc over each
+    # score distribution (the docs_above_median_quality convention)
+    sql["filter_ensemble"] = f"""
+WITH qy AS ({sql["doc_quality"]}),
+lm AS ({sql["lm_nll"]}),
+tq AS (SELECT quantile_disc(quality, 0.25) AS q25 FROM qy),
+tn AS (SELECT quantile_disc(nll, 0.75) AS n75 FROM lm)
+SELECT qy.doc_id, qy.quality, lm.nll,
+       (qy.quality > tq.q25 AND lm.nll <= tn.n75) AS keep
+FROM qy JOIN lm USING (doc_id), tq, tn
+ORDER BY qy.doc_id
+"""
     # BPE trainer: 8 merge iterations unrolled as a CTE chain
     sql["bpe_merges"] = _bpe_oracle_sql()
     # BPE encoder: same chain's final vocab joined back to doc words
