@@ -776,6 +776,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def tokenizer_fertility_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        from spatula_ray.stages.bpe import bpe_token_counts
+        from spatula_ray.stages.joins import hash_bucket_join
+
+        # tokenizer audit: chars-per-token / tokens-per-word by language
+        # under the 8-merge learned BPE — the fertility table a tokenizer
+        # rollout reviews per corpus; all-integer ratios (micro-units,
+        # exact floor division)
+        docs = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+        bt = bpe_token_counts(docs, n_merges=8)
+
+        def meta(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "nc": pc.utf8_length(t["text"]).cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            })
+
+        joined = hash_bucket_join(
+            bt, docs.map_batches(meta, batch_format="pyarrow"),
+            on=["doc_id"])
+        agg = joined.groupby("lang").aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("nc", alias_name="n_chars"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_tokens", alias_name="n_tokens"))
+
+        def ratios(t: pa.Table) -> pa.Table:
+            nc = t["n_chars"].to_numpy(zero_copy_only=False)
+            nw = t["n_words"].to_numpy(zero_copy_only=False)
+            nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "lang": t["lang"],
+                "n_docs": t["n_docs"].cast(pa.int64()).combine_chunks(),
+                "n_chars": pa.array(nc.astype(np.int64)),
+                "n_words": pa.array(nw.astype(np.int64)),
+                "n_tokens": pa.array(nt.astype(np.int64)),
+                "chars_per_token_micro": pa.array(
+                    1_000_000 * nc.astype(np.int64) // nt.astype(np.int64)),
+                "tokens_per_word_micro": pa.array(
+                    1_000_000 * nt.astype(np.int64) // nw.astype(np.int64)),
+            })
+
+        return agg.map_batches(ratios, batch_format="pyarrow").sort("lang")
+
     def semdedup_q(sf_dir):
         from spatula_ray.ioutil import read_parquet_clean
         from spatula_ray.stages.similarity import semdedup
@@ -1082,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": vocab_growth_q,
         "corpus_report": corpus_report_q,
         "filter_ensemble": filter_ensemble_q,
+        "tokenizer_fertility": tokenizer_fertility_q,
     }
 
 
@@ -3054,4 +3106,20 @@ ORDER BY qy.doc_id
     sql["bpe_merges"] = _bpe_oracle_sql()
     # BPE encoder: same chain's final vocab joined back to doc words
     sql["bpe_token_counts"] = _bpe_counts_oracle_sql()
+    # tokenizer audit: per-language fertility over the SAME encoder
+    # mirror (composed verbatim); ratios are exact integer micro-units
+    sql["tokenizer_fertility"] = f"""
+WITH bt AS ({sql["bpe_token_counts"]}),
+d AS (SELECT doc_id, lang, length(text) AS nc FROM documents)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(d.nc) AS BIGINT) AS n_chars,
+       CAST(sum(bt.n_words) AS BIGINT) AS n_words,
+       CAST(sum(bt.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(1000000 * sum(d.nc) // sum(bt.n_tokens) AS BIGINT)
+         AS chars_per_token_micro,
+       CAST(1000000 * sum(bt.n_tokens) // sum(bt.n_words) AS BIGINT)
+         AS tokens_per_word_micro
+FROM bt JOIN d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
     return sql

@@ -154,7 +154,10 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "strip_boilerplate", "purchase_followups",
                     "value_quantiles_global", "distinct_shingles_hll",
                     "event_users_hll", "doc_pagerank", "event_funnel",
-                    "retention_cohorts", "docs_above_median_quality"]
+                    "retention_cohorts", "docs_above_median_quality",
+                    # round-4d additions
+                    "interleaved_dedup", "knn_graph", "zipf_fit",
+                    "vocab_growth", "corpus_report", "filter_ensemble"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:
@@ -290,7 +293,10 @@ def run_suite10x() -> None:
     qs = entrymod.queries()
     out = {"metric": "suite10x", "unit": "sec", "num_cpus": ncpu,
            "sf_dir": sf_dir, "big_dir": big_dir, "queries": {}}
-    for name in SUITE10X_QUERIES:
+    # GRAFT_SUITE_QUERIES=a,b,c restricts the sweep (incremental runs)
+    sel = [s for s in os.environ.get("GRAFT_SUITE_QUERIES", "").split(",")
+           if s]
+    for name in (sel or SUITE10X_QUERIES):
         t0 = time.time()
         n1 = _consume(qs[name](sf_dir))
         t1 = round(time.time() - t0, 3)

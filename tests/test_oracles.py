@@ -50,7 +50,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4d: interleaved span-sequence dedup +
                       # cell-bounded exact k-NN graph
                       "interleaved_dedup", "knn_graph", "zipf_fit",
-                      "vocab_growth", "corpus_report", "filter_ensemble"]
+                      "vocab_growth", "corpus_report", "filter_ensemble",
+                      "tokenizer_fertility"]
 
 
 def _duck(sf_dir):
