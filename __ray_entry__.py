@@ -776,6 +776,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def interleaved_neardup_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.dedup import interleaved_neardup_pairs
+
+        # fixture: each doc becomes [text span, image span]; the image is
+        # keyed by the doc's TOKEN COUNT % 7, which the every-10th-token
+        # perturbation preserves — so a near-dup copy keeps its media and
+        # the media unit joins the intersection; blob = the ref string's
+        # utf-8 bytes, so the oracle's unit is md5(printf(...))
+        def spans(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            texts = t["text"].to_pylist()
+            n = len(ids)
+            blobs = [("m/%d.png" % (len((x or "").split(" ")) % 7))
+                     .encode() for x in texts]
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, 2), type=pa.int64()),
+                "seq": pa.array(np.tile([0, 1], n), type=pa.int64()),
+                "kind": pa.array(["text", "image"] * n, type=pa.string()),
+                "text": pa.array(
+                    [v for x in texts for v in ((x or ""), None)],
+                    type=pa.string()),
+                "media": pa.array(
+                    [v for b in blobs for v in (None, b)],
+                    type=pa.binary()),
+            })
+
+        span_ds = _docs_with_neardups(sf_dir).map_batches(
+            spans, batch_format="pyarrow")
+        return interleaved_neardup_pairs(span_ds, threshold=0.5,
+                                         k_shingle=3)
+
     def tokenizer_fertility_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -1134,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": corpus_report_q,
         "filter_ensemble": filter_ensemble_q,
         "tokenizer_fertility": tokenizer_fertility_q,
+        "interleaved_neardup": interleaved_neardup_q,
     }
 
 
@@ -2957,6 +2992,44 @@ SELECT doc_id,
 FROM bits
 GROUP BY doc_id, f, n_frames
 ORDER BY doc_id, frame_idx
+""",
+
+        # Interleaved near-dup pairs: the ngram_jaccard join with one
+        # 'media:'+md5 unit per media span UNIONed into each doc's set
+        # (media keyed by token count, preserved by the perturbation)
+        "interleaved_neardup": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+  UNION ALL
+  SELECT doc_id, 'media:' || md5(printf('m/%d.png', len(ts) % 7))
+  FROM tok
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       floor(c::DOUBLE / (ca.n + cb.n - c) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = a
+JOIN cnt cb ON cb.doc_id = b
+WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.5
 """,
 
         # Zipf rank-frequency fit: ln values snapped to an int64

@@ -467,6 +467,17 @@ def exact_jaccard_pairs(ds, threshold: float = 0.5, k_shingle: int = 3,
 
     inv = ds.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow")
+    return _jaccard_join(inv, threshold, num_buckets, max_df)
+
+
+def _jaccard_join(inv, threshold: float, num_buckets: int, max_df):
+    """The inverted-index set-similarity join core shared by
+    :func:`exact_jaccard_pairs` (text shingles) and
+    :func:`interleaved_neardup_pairs` (text + media units): takes the
+    exploded ``(shingle uint64, doc_id, n_sh, __bucket)`` table and runs
+    partial shared-unit counts per unit bucket -> pair-bucket sum ->
+    jaccard filter. Two compact-int shuffles, pandas C kernels."""
+    import pandas as pd
 
     def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
         if max_df is not None:
@@ -887,3 +898,78 @@ def interleaved_fingerprint_dedup(span_ds, num_buckets: int = 64):
 
     return fps.map_batches(fp_bucket, batch_format="pyarrow") \
         .groupby("__b2").map_groups(groups, batch_format="pandas")
+
+
+def interleaved_neardup_pairs(span_ds, threshold: float = 0.5,
+                              k_shingle: int = 3, num_buckets: int = 64,
+                              max_df: int = None):
+    """Near-duplicate pairs over INTERLEAVED text+media documents — the
+    fuzzy counterpart of :func:`interleaved_fingerprint_dedup`: two docs
+    are near-dups when the Jaccard similarity of their combined unit
+    sets reaches ``threshold``, where a doc's units are (a) the distinct
+    word ``k_shingle``-gram hashes of each of its TEXT spans and (b) one
+    unit ``'media:' + md5-hex(blob)`` per media span. A doc that swaps
+    an image but keeps its text (or vice versa) loses exactly that
+    unit's share of the intersection — text-only near-dup treats the two
+    as identical.
+
+    Input: the span table of :func:`interleaved_fingerprint_dedup`
+    (``doc_id, seq, kind, text, media``). Partitioning assumption
+    (same as the text explode in :func:`exact_jaccard_pairs`): all spans
+    of a document arrive in one batch — true for any per-doc span
+    producer; repartitioning by doc first restores it otherwise.
+
+    Scale shape: blobs reduce to one 32-hex unit inside the streaming
+    explode and never shuffle; the join is :func:`_jaccard_join` — two
+    compact-int exchanges with the ``max_df`` hot-unit cap available.
+    Output (a, b, jaccard), jaccard on the 1e-6 grid."""
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = np.asarray(t["kind"].to_pylist(), dtype=object)
+        is_text = kinds == "text"
+        texts = t["text"].to_pylist()
+        medias = t["media"].to_pylist()
+
+        # text spans: batched shingle hashes, owner mapped back per span
+        span_texts = [texts[i] or "" for i in np.nonzero(is_text)[0]]
+        h_txt, n_per_span = _shingle_hashes_batch(span_texts, k_shingle)
+        own_txt = np.repeat(ids[is_text], n_per_span)
+
+        # media spans: one unit per blob — 'media:'+md5hex string hashed
+        # with the same fixed-key vectorized hash as the grams
+        m_idx = np.nonzero(~is_text)[0]
+        units = np.array(["media:" + hashlib.md5(medias[i]).hexdigest()
+                          for i in m_idx], dtype=object)
+        h_med = (pd.util.hash_array(units) if len(units)
+                 else np.empty(0, dtype=np.uint64))
+        own_med = ids[m_idx]
+
+        h = np.concatenate([h_txt, h_med])
+        own = np.concatenate([own_txt, own_med])
+        if not len(h):
+            return pa.table({
+                "shingle": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_sh": pa.array([], type=pa.int64()),
+                "__bucket": pa.array([], type=pa.int32()),
+            })
+        # per-doc dedup across spans (a gram repeated in two spans is
+        # one set element): lexsort + adjacent mask
+        order = np.lexsort((h, own))
+        own, h = own[order], h[order]
+        keep = np.r_[True, (own[1:] != own[:-1]) | (h[1:] != h[:-1])]
+        own, h = own[keep], h[keep]
+        uniq, counts = np.unique(own, return_counts=True)
+        n_sh = np.repeat(counts, counts)
+        return pa.table({
+            "shingle": pa.array(h, type=pa.uint64()),
+            "doc_id": pa.array(own),
+            "n_sh": pa.array(n_sh),
+            "__bucket": pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int32)),
+        })
+
+    inv = span_ds.map_batches(explode, batch_format="pyarrow")
+    return _jaccard_join(inv, threshold, num_buckets, max_df)

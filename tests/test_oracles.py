@@ -51,7 +51,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # cell-bounded exact k-NN graph
                       "interleaved_dedup", "knn_graph", "zipf_fit",
                       "vocab_growth", "corpus_report", "filter_ensemble",
-                      "tokenizer_fertility"]
+                      "tokenizer_fertility", "interleaved_neardup"]
 
 
 def _duck(sf_dir):

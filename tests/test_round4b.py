@@ -509,3 +509,31 @@ def test_vocab_growth_checkpoints_exact():
     assert list(out["n_tokens"]) == [3, 10, 21, 36, 55]
     # vocab at thr = thr+1 distinct terms
     assert list(out["vocab"]) == [2, 4, 6, 8, 10]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interleaved_neardup_media_swap_lowers_jaccard():
+    """Same text, swapped image: the pair survives only because text
+    grams dominate, but its jaccard is strictly below the identical-
+    media pair's; a text rewrite with shared media falls out entirely."""
+    from spatula_ray.stages.dedup import interleaved_neardup_pairs
+
+    text = " ".join("w%d" % i for i in range(20))
+    img_a, img_b = b"blob-a", b"blob-b"
+    rows = [
+        (1, 0, "text", text, None), (1, 1, "image", None, img_a),
+        (2, 0, "text", text, None), (2, 1, "image", None, img_a),  # = 1
+        (3, 0, "text", text, None), (3, 1, "image", None, img_b),  # swap
+        (4, 0, "text", "completely different words here now", None),
+        (4, 1, "image", None, img_a),                              # text rw
+    ]
+    out = interleaved_neardup_pairs(_span_ds(rows), threshold=0.5,
+                                    k_shingle=3).to_pandas() \
+        .set_index(["a", "b"]).sort_index()
+
+    assert out.loc[(1, 2), "jaccard"] == 1.0        # identical sequences
+    j_swap = out.loc[(1, 3), "jaccard"]
+    assert 0.5 <= j_swap < 1.0                      # image swap costs J
+    assert (1, 4) not in out.index                  # text rewrite: out
+    # exact value: 18 shared grams / union of 19+19-18 = 20 units
+    assert j_swap == np.floor(18 / 20 * 1e6 + 0.5) / 1e6
