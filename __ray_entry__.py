@@ -783,16 +783,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from spatula_ray.stages.dedup import interleaved_neardup_pairs
 
         # fixture: each doc becomes [text span, image span]; the image is
-        # keyed by the doc's TOKEN COUNT % 7, which the every-10th-token
-        # perturbation preserves — so a near-dup copy keeps its media and
-        # the media unit joins the intersection; blob = the ref string's
-        # utf-8 bytes, so the oracle's unit is md5(printf(...))
+        # keyed by (first token, token count % 7) — both preserved by the
+        # every-10th-token perturbation (1-based index 10, 20, ... — the
+        # first token survives), so a near-dup copy keeps its media and
+        # the media unit joins the intersection. The FIRST-TOKEN part
+        # keeps media-unit document frequency bounded (a coarse key like
+        # len % 7 alone makes one unit common to 1/7 of the corpus and
+        # the inverted-index self-merge quadratic in that df — the
+        # hot-shingle failure max_df guards against). Blob = the ref
+        # string's utf-8 bytes, so the oracle's unit is md5 of the same
+        # printf
         def spans(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             texts = t["text"].to_pylist()
             n = len(ids)
-            blobs = [("m/%d.png" % (len((x or "").split(" ")) % 7))
-                     .encode() for x in texts]
+            blobs = []
+            for x in texts:
+                toks = (x or "").split(" ")
+                blobs.append(("m/%s-%d.png" % (toks[0], len(toks) % 7))
+                             .encode())
             return pa.table({
                 "doc_id": pa.array(np.repeat(ids, 2), type=pa.int64()),
                 "seq": pa.array(np.tile([0, 1], n), type=pa.int64()),
@@ -3015,7 +3024,8 @@ sh AS (
     END)) AS g
   FROM tok
   UNION ALL
-  SELECT doc_id, 'media:' || md5(printf('m/%d.png', len(ts) % 7))
+  SELECT doc_id,
+         'media:' || md5(printf('m/%s-%d.png', ts[1], len(ts) % 7))
   FROM tok
 ),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -157,7 +157,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "retention_cohorts", "docs_above_median_quality",
                     # round-4d additions
                     "interleaved_dedup", "knn_graph", "zipf_fit",
-                    "vocab_growth", "corpus_report", "filter_ensemble"]
+                    "vocab_growth", "corpus_report", "filter_ensemble",
+                    "interleaved_neardup", "tokenizer_fertility"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:
