@@ -75,6 +75,28 @@ def _docs_with_neardups(sf_dir: str):
     return base.union(base.map_batches(perturb, batch_format="pyarrow"))
 
 
+def _docs_with_supersets(sf_dir: str):
+    """documents UNION ALL superset copies: each copy appends four
+    doc_id-salted tail tokens, so the original's entire shingle set
+    survives in the copy (containment orig->copy = 1.0) while the copy
+    gains exactly four new tail shingles the original lacks — the
+    asymmetric case Jaccard dilutes. SQL mirror: `` || ' qq' || doc_id
+    ...`` string concat."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def extend(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txt = ["%s qq%d ww%d ee%d rr%d" % ((s or ""), d, d, d, d)
+               for d, s in zip(ids, t["text"].to_pylist())]
+        return pa.table({"doc_id": pc.add(t["doc_id"], _DUP_OFFSET),
+                         "text": pa.array(txt, type=pa.string())})
+
+    return base.union(base.map_batches(extend, batch_format="pyarrow"))
+
+
 def _docs_with_paragraphs(sf_dir: str):
     """Re-chunk each doc into 8-word newline-joined paragraphs and inject
     shared boilerplate — a header paragraph on every doc and a footer on
@@ -776,6 +798,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def temperature_mix_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.curate import temperature_mix
+
+        # fixture: the testdata sources are uniform (every rate would be
+        # the degenerate 500000), so re-key to a 70/20/10 skew — the
+        # shape temperature sampling exists for. SQL mirror: CASE on
+        # doc_id % 10.
+        def skew(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = d % 10
+            src = np.select([m < 7, m < 9], ["web", "books"],
+                            default="code")
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "source": pa.array(src, type=pa.string())})
+
+        return temperature_mix(_docs(sf_dir, ["doc_id"]).map_batches(
+            skew, batch_format="pyarrow"))
+
+    def caption_pairs_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.multimodal import caption_pairs
+
+        # fixture: each doc becomes an interleaved span sequence — 8-word
+        # text paragraphs at even seq, one image after paragraph
+        # (doc_id % n_paras) at odd seq, plus a document-FINAL image on
+        # doc_id % 3 == 0 (exercises the before-fallback). SQL mirror
+        # builds identical spans with generate_series chunking.
+        def spans(t: pa.Table) -> pa.Table:
+            ids, seqs, kinds, texts, refs = [], [], [], [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                ws = (txt or "").split(" ")
+                paras = [" ".join(ws[i:i + 8])
+                         for i in range(0, len(ws), 8)]
+                p = len(paras)
+                for i, ptxt in enumerate(paras):
+                    ids.append(d)
+                    seqs.append(2 * i)
+                    kinds.append("text")
+                    texts.append(ptxt)
+                    refs.append(None)
+                ids.append(d)
+                seqs.append(2 * (d % p) + 1)
+                kinds.append("image")
+                texts.append(None)
+                refs.append("m/%d-a.png" % d)
+                if d % 3 == 0:
+                    ids.append(d)
+                    seqs.append(2 * p)
+                    kinds.append("image")
+                    texts.append(None)
+                    refs.append("m/%d-b.png" % d)
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "seq": pa.array(seqs, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": pa.array(refs, type=pa.string()),
+            })
+
+        span_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            spans, batch_format="pyarrow")
+        return caption_pairs(span_ds)
+
+    def containment_pairs_q(sf_dir):
+        # directed containment join over the superset fixture: every
+        # original is fully contained in its extended copy (1.0) while
+        # the reverse direction only passes when the copy's four salted
+        # tail shingles are a small enough fraction of its set
+        return dd.containment_pairs(_docs_with_supersets(sf_dir),
+                                    threshold=0.9, k_shingle=3)
+
     def interleaved_neardup_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -1178,6 +1277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_ensemble": filter_ensemble_q,
         "tokenizer_fertility": tokenizer_fertility_q,
         "interleaved_neardup": interleaved_neardup_q,
+        "containment_pairs": containment_pairs_q,
+        "caption_pairs": caption_pairs_q,
+        "temperature_mix": temperature_mix_q,
     }
 
 
@@ -1802,6 +1904,124 @@ FROM pairs
 JOIN cnt ca ON ca.doc_id = a
 JOIN cnt cb ON cb.doc_id = b
 WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.5
+""",
+
+        # Directed containment (Broder): c / n_src >= 0.9, both
+        # directions emitted independently — mirrors
+        # stages/dedup.py::containment_pairs over the superset fixture
+        "containment_pairs": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         text || ' qq' || doc_id || ' ww' || doc_id
+              || ' ee' || doc_id || ' rr' || doc_id
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT a, b, c, ca.n AS na, cb.n AS nb
+  FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+)
+SELECT a AS src, b AS dst,
+       floor(c::DOUBLE / na * 1e6 + 0.5) / 1e6 AS containment
+FROM sel WHERE c::DOUBLE / na >= 0.9
+UNION ALL
+SELECT b, a, floor(c::DOUBLE / nb * 1e6 + 0.5) / 1e6
+FROM sel WHERE c::DOUBLE / nb >= 0.9
+""",
+
+        # Media->caption alignment over interleaved spans — mirrors
+        # stages/multimodal.py::caption_pairs over the paragraph+image
+        # span fixture (text paras at even seq, inline image at
+        # 2*(doc_id % n_paras)+1, doc-final image at 2*n_paras on
+        # doc_id % 3 == 0)
+        "caption_pairs": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                AS i
+       FROM w),
+paras AS (SELECT doc_id, i - 1 AS pidx,
+                 array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS ptext
+          FROM iw),
+np AS (SELECT doc_id, count(*) AS p FROM paras GROUP BY doc_id),
+spans AS (
+  SELECT doc_id, 2 * pidx AS seq, 'text' AS kind, ptext AS text,
+         NULL AS media_ref
+  FROM paras
+  UNION ALL
+  SELECT doc_id, 2 * (doc_id % p) + 1, 'image', NULL,
+         'm/' || doc_id || '-a.png'
+  FROM np
+  UNION ALL
+  SELECT doc_id, 2 * p, 'image', NULL, 'm/' || doc_id || '-b.png'
+  FROM np WHERE doc_id % 3 = 0
+),
+media AS (SELECT doc_id, seq, media_ref FROM spans WHERE kind <> 'text'),
+txt AS (SELECT doc_id, seq, text FROM spans WHERE kind = 'text'),
+nxt AS (SELECT m.doc_id, m.seq, min(t.seq) AS cs
+        FROM media m JOIN txt t
+          ON t.doc_id = m.doc_id AND t.seq > m.seq
+        GROUP BY 1, 2),
+prv AS (SELECT m.doc_id, m.seq, max(t.seq) AS cs
+        FROM media m JOIN txt t
+          ON t.doc_id = m.doc_id AND t.seq < m.seq
+        GROUP BY 1, 2)
+SELECT m.doc_id, m.seq, m.media_ref,
+       coalesce(n.cs, p.cs, -1) AS cap_seq,
+       CASE WHEN n.cs IS NOT NULL THEN 'after'
+            WHEN p.cs IS NOT NULL THEN 'before' ELSE 'none' END AS side,
+       t.text AS caption
+FROM media m
+LEFT JOIN nxt n ON n.doc_id = m.doc_id AND n.seq = m.seq
+LEFT JOIN prv p ON p.doc_id = m.doc_id AND p.seq = m.seq
+LEFT JOIN txt t ON t.doc_id = m.doc_id AND t.seq = coalesce(n.cs, p.cs)
+""",
+
+        # Temperature (alpha=0.5) source re-balancing — mirrors
+        # stages/curate.py::temperature_mix: integer micro-unit rates
+        # from IEEE-exact sqrt weights, HUGEINT intermediate products,
+        # Knuth-hash per-million acceptance
+        "temperature_mix": """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 7 THEN 'web'
+                       WHEN doc_id % 10 < 9 THEN 'books'
+                       ELSE 'code' END AS source
+           FROM documents),
+n AS (SELECT source, count(*) AS ns FROM d GROUP BY source),
+w AS (SELECT source, ns,
+             CAST(floor(sqrt(ns::DOUBLE) * 1e6) AS BIGINT) AS ws
+      FROM n),
+tot AS (SELECT CAST(sum(ns) AS HUGEINT) AS total,
+               CAST(sum(ws) AS HUGEINT) AS wsum
+        FROM w),
+r AS (SELECT source,
+             CAST(least(CAST(1000000 AS HUGEINT),
+                  ((SELECT total FROM tot) // 2 * ws * 1000000)
+                    // ((SELECT wsum FROM tot) * ns)) AS BIGINT)
+               AS rate_micro
+      FROM w)
+SELECT d.doc_id, d.source, r.rate_micro,
+       ((d.doc_id % 2147483648) * 2654435761 + 40503) % 4294967296
+         % 1000000 AS mix_key
+FROM d JOIN r ON r.source = d.source
+WHERE ((d.doc_id % 2147483648) * 2654435761 + 40503) % 4294967296
+        % 1000000 < r.rate_micro
 """,
 
         "embedding_dup_pairs": f"""

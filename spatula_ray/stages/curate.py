@@ -158,6 +158,62 @@ def weighted_hash_sample(ds, weight_permille_col: str,
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def temperature_mix(ds, source_col: str = "source", key: str = "doc_id",
+                    temperature: float = 0.5):
+    """Temperature-based source re-balancing (the XLM-R / mT5 mixture
+    recipe): sample source ``s`` at a rate proportional to
+    ``n_s^temperature / n_s`` so low-resource sources are up-weighted
+    relative to their share, targeting ``total // 2`` output rows.
+
+    Integer-exact end to end so the acceptance set is reproducible in
+    SQL and across engines: per-source weight ``w_s = floor(sqrt(n_s) *
+    1e6)`` (IEEE sqrt is correctly rounded, so numpy and DuckDB agree
+    bit-for-bit), acceptance rate ``min(1e6, (T * w_s * 1e6) // (W *
+    n_s))`` in arbitrary-precision ints (HUGEINT on the SQL side), and
+    the per-row Knuth hash bucket of :func:`hash_sample` in
+    per-million units. Only ``temperature=0.5`` is exposed — other
+    exponents need ``pow``, which IEEE does NOT require to be
+    correctly rounded, so they'd break cross-engine bit-parity.
+
+    Scale shape: one small groupby for the per-source counts (driver
+    sees #sources rows, not data), then a stateless per-batch filter —
+    no shuffle of the corpus, parallelism-invariant, resumable."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    if temperature != 0.5:
+        raise ValueError("temperature_mix: only temperature=0.5 (sqrt) "
+                         "is bit-exact across engines; got %r"
+                         % (temperature,))
+    counts = (ds.select_columns([source_col]).groupby(source_col)
+              .aggregate(Count(alias_name="ns")).take_all())
+    ns = {r[source_col]: int(r["ns"]) for r in counts}
+    total = sum(ns.values())
+    target = total // 2
+    ws = {s: int(math.floor(math.sqrt(n) * 1e6)) for s, n in ns.items()}
+    wsum = sum(ws.values())
+    rates = {s: min(1_000_000,
+                    (target * ws[s] * 1_000_000) // (wsum * ns[s]))
+             for s in ns}
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(dtype=np.uint64)
+        h = ((k % np.uint64(_SAMPLE_DOM)) * np.uint64(_SAMPLE_MULT)
+             + np.uint64(_SAMPLE_ADD)) % np.uint64(_SAMPLE_MOD)
+        mix_key = (h % np.uint64(1_000_000)).astype(np.int64)
+        rate = df[source_col].map(rates).to_numpy(dtype=np.int64)
+        out = pd.DataFrame({key: df[key].to_numpy(dtype=np.int64),
+                            source_col: df[source_col].astype("string"),
+                            "rate_micro": rate,
+                            "mix_key": mix_key})
+        return out[mix_key < rate]
+
+    return ds.select_columns([key, source_col]).map_batches(
+        pick, batch_format="pandas")
+
+
 # -- sequence packing --------------------------------------------------------
 
 def pack_sequences(ds, budget: int = 512, bucket_span: int = 4096):

@@ -447,7 +447,14 @@ def exact_jaccard_pairs(ds, threshold: float = 0.5, k_shingle: int = 3,
     Dropping only ever *undercounts* intersections, so results are exact
     whenever no shingle exceeds the cap (asserted by the conformance test)
     and conservatively approximate otherwise. Default None = exact."""
-    import pandas as pd
+    inv = _shingle_inverted_index(ds, k_shingle, num_buckets)
+    return _jaccard_join(inv, threshold, num_buckets, max_df)
+
+
+def _shingle_inverted_index(ds, k_shingle: int, num_buckets: int):
+    """Explode ``(doc_id, text)`` into the coarse-bucketed inverted index
+    ``(shingle uint64, doc_id, n_sh, __bucket)`` consumed by
+    :func:`_jaccard_join`."""
 
     def explode(batch: pa.Table) -> pa.Table:
         shs = [_shingle_hashes(t or "", k_shingle)
@@ -465,18 +472,27 @@ def exact_jaccard_pairs(ds, threshold: float = 0.5, k_shingle: int = 3,
                                  .astype(np.int32)),
         })
 
-    inv = ds.select_columns(["doc_id", "text"]).map_batches(
+    return ds.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow")
-    return _jaccard_join(inv, threshold, num_buckets, max_df)
 
 
-def _jaccard_join(inv, threshold: float, num_buckets: int, max_df):
+def _jaccard_join(inv, threshold: float, num_buckets: int, max_df,
+                  metric: str = "jaccard"):
     """The inverted-index set-similarity join core shared by
-    :func:`exact_jaccard_pairs` (text shingles) and
-    :func:`interleaved_neardup_pairs` (text + media units): takes the
+    :func:`exact_jaccard_pairs` (text shingles),
+    :func:`interleaved_neardup_pairs` (text + media units) and
+    :func:`containment_pairs` (directed containment): takes the
     exploded ``(shingle uint64, doc_id, n_sh, __bucket)`` table and runs
     partial shared-unit counts per unit bucket -> pair-bucket sum ->
-    jaccard filter. Two compact-int shuffles, pandas C kernels."""
+    similarity filter. Two compact-int shuffles, pandas C kernels.
+
+    ``metric="jaccard"`` emits undirected ``(a, b, jaccard)`` rows with
+    ``c / (na + nb - c) >= threshold``; ``metric="containment"`` emits
+    DIRECTED ``(src, dst, containment)`` rows where
+    ``containment(src->dst) = c / n_src >= threshold`` — the asymmetric
+    measure that catches a document fully embedded in a larger one,
+    which Jaccard dilutes (Broder's containment, the dedup-literature
+    complement to resemblance)."""
     import pandas as pd
 
     def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -504,6 +520,18 @@ def _jaccard_join(inv, threshold: float, num_buckets: int, max_df):
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["a", "b", "na", "nb"], sort=False)["c"].sum() \
             .reset_index()
+        if metric == "containment":
+            # directed: src's shingle set contained in dst's
+            frames = []
+            for src, dst, n in (("a", "b", "na"), ("b", "a", "nb")):
+                r = agg["c"] / agg[n]
+                d = agg[r >= threshold]
+                frames.append(pd.DataFrame({
+                    "src": d[src].to_numpy(),
+                    "dst": d[dst].to_numpy(),
+                    "containment": np.floor(
+                        (d["c"] / d[n]) * 1e6 + 0.5) / 1e6}))
+            return pd.concat(frames, ignore_index=True)
         j = agg["c"] / (agg["na"] + agg["nb"] - agg["c"])
         agg["jaccard"] = np.floor(j * 1e6 + 0.5) / 1e6
         out = agg[j >= threshold][["a", "b", "jaccard"]]
@@ -511,6 +539,22 @@ def _jaccard_join(inv, threshold: float, num_buckets: int, max_df):
 
     return partials.groupby("__b2").map_groups(reduce_pairs,
                                                batch_format="pandas")
+
+
+def containment_pairs(ds, threshold: float = 0.9, k_shingle: int = 3,
+                      num_buckets: int = 64, max_df: int = None):
+    """Directed containment join: emit ``(src, dst, containment)`` where
+    ``|shingles(src) ∩ shingles(dst)| / |shingles(src)| >= threshold``.
+
+    Catches partial duplication Jaccard misses — a short document pasted
+    verbatim into a longer one has containment 1.0 but Jaccard
+    ``|A|/|B|`` (small). Same two-shuffle inverted-index core as
+    :func:`exact_jaccard_pairs` (compact int columns, pandas C kernels,
+    ``max_df`` hot-shingle cap); the only difference is the directed
+    final filter, so scale behavior is identical."""
+    inv = _shingle_inverted_index(ds, k_shingle, num_buckets)
+    return _jaccard_join(inv, threshold, num_buckets, max_df,
+                         metric="containment")
 
 
 # ---------------------------------------------------------------------------

@@ -652,3 +652,84 @@ def video_frame_dhash(video_ds, stride: int = 2, concurrency=(2, 8),
                                 concurrency=concurrency,
                                 batch_size=batch_size, num_cpus=0.5,
                                 max_restarts=0)
+
+
+# ---------------------------------------------------------------------------
+# Caption extraction over interleaved span sequences
+# ---------------------------------------------------------------------------
+
+_SEQ_BITS = 20  # seq < 2^20 spans per document (interleaved docs are
+#                 span-bounded long before this; asserted in the kernel)
+
+
+def caption_pairs(span_ds, num_buckets: int = 32):
+    """Media->caption alignment over an interleaved span table
+    ``(doc_id int64, seq int64, kind string, text string, media_ref
+    string)``: for every non-text span, the caption is the nearest
+    FOLLOWING text span in the same document (the convention of
+    interleaved image-text corpora: alt-text / caption trails the
+    image); when the media is document-final, fall back to the nearest
+    PRECEDING text span. Emits ``(doc_id, seq, media_ref, cap_seq,
+    side, caption)`` with ``side`` in ``after | before | none`` and
+    ``cap_seq = -1`` when the document has no text at all.
+
+    Scale shape: one int-keyed shuffle (hash-bucket by doc_id so a
+    document's spans co-locate even when they cross input blocks),
+    then a per-bucket numpy kernel — sort by a packed ``doc_id *
+    2^20 + seq`` key and ``searchsorted`` the media keys into the text
+    keys, so next/previous-text lookup is O(log n) vectorized with no
+    per-row Python. No all-pairs, no driver materialization; buckets
+    stay balanced because documents hash independently of size."""
+    import pandas as pd
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            if t.num_rows else np.empty(0, dtype=np.int64)
+        return t.append_column(
+            "__bucket", pa.array((ids % num_buckets).astype(np.int32)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        seq = g["seq"].to_numpy(dtype=np.int64)
+        if seq.size and int(seq.max()) >= (1 << _SEQ_BITS):
+            raise ValueError("caption_pairs: seq >= 2^20 in one document")
+        key = (doc << _SEQ_BITS) | seq
+        order = np.argsort(key, kind="stable")
+        doc, seq, key = doc[order], seq[order], key[order]
+        kind = g["kind"].to_numpy()[order]
+        text = g["text"].to_numpy()[order]
+        ref = g["media_ref"].to_numpy()[order]
+
+        is_text = kind == "text"
+        tkey, tdoc, tseq, ttext = (key[is_text], doc[is_text],
+                                   seq[is_text], text[is_text])
+        m = ~is_text
+        mdoc, mseq, mref, mkey = doc[m], seq[m], ref[m], key[m]
+
+        pos = np.searchsorted(tkey, mkey)          # first text key > media
+        nxt_ok = (pos < tkey.size)
+        nxt_ok[nxt_ok] &= tdoc[pos[nxt_ok]] == mdoc[nxt_ok]
+        prv = pos - 1
+        prv_ok = (prv >= 0) & ~nxt_ok              # fallback only
+        prv_ok[prv_ok] &= tdoc[prv[prv_ok]] == mdoc[prv_ok]
+
+        cap_seq = np.full(mdoc.size, -1, dtype=np.int64)
+        cap_seq[nxt_ok] = tseq[pos[nxt_ok]]
+        cap_seq[prv_ok] = tseq[prv[prv_ok]]
+        side = np.where(nxt_ok, "after", np.where(prv_ok, "before", "none"))
+        caption = np.full(mdoc.size, None, dtype=object)
+        caption[nxt_ok] = ttext[pos[nxt_ok]]
+        caption[prv_ok] = ttext[prv[prv_ok]]
+        out = pd.DataFrame({"doc_id": mdoc, "seq": mseq,
+                            "media_ref": mref, "cap_seq": cap_seq,
+                            "side": side, "caption": caption})
+        # force string dtype so an all-None group doesn't infer Arrow
+        # `null` and poison the cross-block schema merge
+        out["caption"] = out["caption"].astype("string")
+        out["side"] = out["side"].astype("string")
+        out["media_ref"] = out["media_ref"].astype("string")
+        return out
+
+    return (span_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

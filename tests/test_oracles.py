@@ -51,7 +51,11 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # cell-bounded exact k-NN graph
                       "interleaved_dedup", "knn_graph", "zipf_fit",
                       "vocab_growth", "corpus_report", "filter_ensemble",
-                      "tokenizer_fertility", "interleaved_neardup"]
+                      "tokenizer_fertility", "interleaved_neardup",
+                      # round-4e: directed containment, interleaved
+                      # media->caption alignment, temperature mixing
+                      "containment_pairs", "caption_pairs",
+                      "temperature_mix"]
 
 
 def _duck(sf_dir):
