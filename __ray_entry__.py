@@ -798,6 +798,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def bm25_topk_q(sf_dir):
+        from spatula_ray.stages.curate import bm25_topk
+
+        return bm25_topk(_docs(sf_dir, ["doc_id", "text"]))
+
     def temperature_mix_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -1280,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": containment_pairs_q,
         "caption_pairs": caption_pairs_q,
         "temperature_mix": temperature_mix_q,
+        "bm25_topk": bm25_topk_q,
     }
 
 
@@ -2022,6 +2028,39 @@ SELECT d.doc_id, d.source, r.rate_micro,
 FROM d JOIN r ON r.source = d.source
 WHERE ((d.doc_id % 2147483648) * 2654435761 + 40503) % 4294967296
         % 1000000 < r.rate_micro
+""",
+
+        # BM25 top-20 against the corpus's own top-3 terms — mirrors
+        # stages/curate.py::bm25_topk: pure-integer tf normalization
+        # (k1=1.2, b=0.75 multiplied through by 20*total), Lucene
+        # always-positive idf on the 1e-6 grid, HUGEINT intermediates
+        "bm25_topk": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+qt AS (SELECT t FROM tc
+       QUALIFY row_number() OVER (ORDER BY c DESC, t) <= 3),
+len AS (SELECT doc_id, len(string_split(text, ' ')) AS l
+        FROM documents),
+gl AS (SELECT count(*) AS n, sum(l) AS total FROM len),
+tf AS (SELECT tok.doc_id, tok.t, count(*) AS tf
+       FROM tok JOIN qt USING (t) GROUP BY 1, 2),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+idf AS (SELECT t,
+               CAST(floor(ln(1 + (gl.n - df + 0.5) / (df + 0.5))
+                          * 1e6 + 0.5) AS BIGINT) AS idf_micro
+        FROM df, gl),
+tfp AS (SELECT f.doc_id, f.t,
+               CAST((CAST(44 AS HUGEINT) * f.tf * gl.total * 1000000)
+                    // (CAST(20 AS HUGEINT) * f.tf * gl.total
+                        + 6 * gl.total + 18 * len.l * gl.n) AS BIGINT)
+                 AS tfp_micro
+        FROM tf f JOIN len USING (doc_id), gl),
+sc AS (SELECT doc_id,
+              sum((i.idf_micro * p.tfp_micro) // 1000000) AS s
+       FROM tfp p JOIN idf i USING (t) GROUP BY doc_id)
+SELECT doc_id, CAST(s AS BIGINT) AS score FROM sc
+QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 20
 """,
 
         "embedding_dup_pairs": f"""

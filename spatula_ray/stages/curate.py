@@ -1106,6 +1106,101 @@ def tfidf_top_terms(docs, n_docs: int, k: int = 10):
                                              batch_format="pyarrow")
 
 
+def bm25_topk(docs, n_query_terms: int = 3, k: int = 20):
+    """BM25 document ranking against the corpus's own top-``n`` most
+    frequent terms (deterministic query: count desc, term asc — no
+    external query set needed, so the operator is self-contained on any
+    corpus).
+
+    Integer-exact BM25 (k1 = 1.2, b = 0.75): multiplying the classic tf
+    normalization ``tf*(k1+1) / (tf + k1*(1 - b + b*l/avgl))`` through
+    by ``20 * total`` turns it into the pure-integer rational
+
+        tfp_micro = 44*tf*total*1e6 // (20*tf*total + 6*total + 18*l*N)
+
+    and the idf uses Lucene's always-positive form on the suite's
+    micro-grid: ``idf_micro = floor(ln(1 + (N - df + .5)/(df + .5)) *
+    1e6 + .5)`` (all-positive so ``//`` floor == truncate in both
+    engines). Per-(doc, term) contribution ``(idf_micro * tfp_micro) //
+    1e6`` sums in int64; a per-batch guard raises before any int64
+    product can wrap (the SQL mirror runs the same expression in
+    HUGEINT, so the guard marks where a SCALE rescale would be needed,
+    the same convention as graph.pagerank's bound).
+
+    Shuffle plan: one map for partial term counts -> small term groupby
+    -> sort/limit for the query terms (driver sees n rows); ONE
+    tokenization pass emits the compact per-doc ``(doc_id, l, tf_j,
+    ind_j)`` int table, which is materialized (2 + 2n ints per doc —
+    the corpus text never re-tokenizes and never re-reads) and feeds
+    both the global aggregate (N, total, df_j — a counts-only reduce)
+    and the streaming scoring map; final top-k is a distributed sort +
+    limit on two int columns."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    base = docs.select_columns(["doc_id", "text"])
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        _, flat, _ = _flat_tokens(t["text"].to_pylist())
+        vc = pd.Series(flat).value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(), type=pa.string()),
+            "c": pa.array(vc.to_numpy().astype(np.int64))})
+
+    tc = (base.map_batches(term_partials, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("c", alias_name="c")))
+    qterms = [r["term"] for r in
+              tc.sort(["c", "term"], descending=[True, False])
+              .limit(n_query_terms).take_all()]
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        idx, flat, lens = _flat_tokens(texts)
+        cols = {"doc_id": t["doc_id"], "l": pa.array(lens)}
+        for j, q in enumerate(qterms):
+            tfj = np.bincount(idx[flat == q],
+                              minlength=len(texts)).astype(np.int64)
+            cols["tf%d" % j] = pa.array(tfj)
+            cols["d%d" % j] = pa.array((tfj > 0).astype(np.int64))
+        return pa.table(cols)
+
+    tft = base.map_batches(tf_batch, batch_format="pyarrow").materialize()
+    agg = tft.aggregate(Count(alias_name="n"),
+                        Sum("l", alias_name="total"),
+                        *[Sum("d%d" % j, alias_name="df%d" % j)
+                          for j in range(len(qterms))])
+    n, total = int(agg["n"]), int(agg["total"])
+    idf = [int(math.floor(
+        math.log(1 + (n - int(agg["df%d" % j]) + 0.5)
+                 / (int(agg["df%d" % j]) + 0.5)) * 1e6 + 0.5))
+        for j in range(len(qterms))]
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        l = t["l"].to_numpy(zero_copy_only=False)
+        score = np.zeros(t.num_rows, dtype=np.int64)
+        any_tf = np.zeros(t.num_rows, dtype=bool)
+        for j in range(len(qterms)):
+            tf = t["tf%d" % j].to_numpy(zero_copy_only=False)
+            if t.num_rows and (44 * int(tf.max()) * total * 1_000_000
+                               >= 2 ** 63
+                               or 18 * int(l.max()) * n >= 2 ** 63):
+                raise ValueError(
+                    "bm25_topk: int64 would overflow at this corpus "
+                    "size — rescale the 1e6 micro-unit (see docstring)")
+            num = 44 * tf * total * 1_000_000
+            den = 20 * tf * total + 6 * total + 18 * l * n
+            tfp = num // den
+            score += (idf[j] * tfp) // 1_000_000
+            any_tf |= tf > 0
+        out = pa.table({"doc_id": t["doc_id"],
+                        "score": pa.array(score)})
+        return out.filter(pa.array(any_tf))
+
+    res = tft.map_batches(score_batch, batch_format="pyarrow")
+    return res.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
 # -- paragraph-level exact dedup ---------------------------------------------
 
 

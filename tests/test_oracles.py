@@ -55,7 +55,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4e: directed containment, interleaved
                       # media->caption alignment, temperature mixing
                       "containment_pairs", "caption_pairs",
-                      "temperature_mix"]
+                      "temperature_mix", "bm25_topk"]
 
 
 def _duck(sf_dir):

@@ -123,6 +123,31 @@ def test_temperature_mix_rates_monotone():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bm25_prefers_dense_short_docs():
+    """Classic BM25 behavior: for the same tf, shorter docs score
+    higher (length normalization); higher tf scores higher at the same
+    length. Query terms are the corpus's own top-3."""
+    from spatula_ray.stages.curate import bm25_topk
+
+    filler = lambda i, n: " ".join(f"f{i}_{j}" for j in range(n))  # noqa: E731
+    docs = {
+        1: "hot hot " + filler(1, 4),      # tf=2, short
+        2: "hot hot " + filler(2, 40),     # tf=2, long
+        3: "hot " + filler(3, 4),          # tf=1, short
+        4: filler(4, 6),                   # no query term
+    }
+    out = bm25_topk(
+        _ds(pa.table({"doc_id": pa.array(sorted(docs), type=pa.int64()),
+                      "text": pa.array([docs[k] for k in sorted(docs)])})),
+        n_query_terms=1, k=10).to_pandas()
+    assert out["doc_id"].tolist()[:3] == [1, 2, 3] or \
+        out["doc_id"].tolist()[:3] == [1, 3, 2]
+    s = dict(zip(out["doc_id"], out["score"]))
+    assert s[1] > s[2] and s[1] > s[3]     # dense+short beats both
+    assert 4 not in s                      # no-term docs excluded
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_temperature_mix_rejects_other_alpha():
     from spatula_ray.stages.curate import temperature_mix
 
