@@ -798,6 +798,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def unigram_entropy_q(sf_dir):
+        from spatula_ray.stages.curate import unigram_entropy
+
+        return unigram_entropy(_docs(sf_dir, ["lang", "text"]))
+
     def bm25_topk_q(sf_dir):
         from spatula_ray.stages.curate import bm25_topk
 
@@ -1286,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_pairs": caption_pairs_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
+        "unigram_entropy": unigram_entropy_q,
     }
 
 
@@ -2061,6 +2067,22 @@ sc AS (SELECT doc_id,
        FROM tfp p JOIN idf i USING (t) GROUP BY doc_id)
 SELECT doc_id, CAST(s AS BIGINT) AS score FROM sc
 QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 20
+""",
+
+        # Per-language unigram entropy in micro-nats — mirrors
+        # stages/curate.py::unigram_entropy: H = ln(N) - (1/N) sum
+        # c*ln(c), every ln snapped to the 1e-6 grid, HUGEINT sums
+        "unigram_entropy": """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+tc AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY 1, 2),
+s AS (SELECT lang, sum(c) AS n,
+             sum(c * CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT)) AS sc
+      FROM tc GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+       CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         - CAST(sc // n AS BIGINT) AS entropy_micro
+FROM s ORDER BY lang
 """,
 
         "embedding_dup_pairs": f"""

@@ -1201,6 +1201,84 @@ def bm25_topk(docs, n_query_terms: int = 3, k: int = 20):
     return res.sort(["score", "doc_id"], descending=[True, False]).limit(k)
 
 
+def unigram_entropy(docs, num_buckets: int = 16):
+    """Per-language unigram (token) entropy in nats on the 1e-6
+    micro-grid — the corpus-diversity diagnostic a data-mixing pass
+    tracks per source/language (low entropy = templated/repetitive
+    text; it drops under aggressive dedup mistakes).
+
+    Exact-integer identity: ``H = ln(N) - (1/N) * sum_t c_t * ln(c_t)``
+    computed as ``entropy_micro = lnN_micro - S // N`` where every
+    ``ln`` snaps to ``floor(ln(x) * 1e6 + 0.5)`` (the zipf_fit
+    convention — ln parity numpy<->DuckDB is safe under the grid) and
+    ``S = sum c_t * lnc_micro`` is kept EXACT: per-bucket partial sums
+    are emitted as (hi, lo) int64 halves of the 2^32 split so no int64
+    accumulator can wrap even at 100 TB token counts (the SQL mirror
+    just sums in HUGEINT), and the driver folds #buckets x #langs rows
+    in arbitrary-precision Python ints.
+
+    Shuffle plan (tfidf's): one map over docs emits per-block partial
+    (lang, term, c) counts; one bucketed shuffle on hash(term)
+    co-locates every partial of a term (so per-bucket term totals are
+    GLOBAL totals); the per-bucket kernel reduces the token-scale term
+    table to 2 rows x #langs of counter halves. The driver never sees
+    terms, only counters."""
+    import math
+
+    from .joins import _bucket_of
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        idx, flat, _ = _flat_tokens(texts)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        per = (pd.DataFrame({"lang": langs[idx], "term": flat})
+               .groupby(["lang", "term"], sort=False).size()
+               .reset_index(name="c"))
+        out = pa.table({
+            "lang": pa.array(per["lang"].to_numpy(), type=pa.string()),
+            "term": pa.array(per["term"].to_numpy(), type=pa.string()),
+            "c": pa.array(per["c"].to_numpy().astype(np.int64))})
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["term"], num_buckets))
+
+    bt = docs.select_columns(["lang", "text"]).map_batches(
+        partials, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["lang", "term"], sort=False)["c"].sum()
+               .reset_index())
+        rows = []
+        for lang, sub in tot.groupby("lang", sort=False):
+            c = sub["c"].to_numpy(dtype=np.int64)
+            lnc = np.floor(np.log(c.astype(np.float64)) * 1e6
+                           + 0.5).astype(np.int64)
+            if c.size and int(c.max()) * int(lnc.max() if lnc.max() > 0
+                                             else 1) >= 2 ** 63:
+                raise ValueError("unigram_entropy: per-term product "
+                                 "would wrap int64 — rescale the grid")
+            prod = c * lnc
+            hi, lo = prod >> 32, prod & np.int64(0xFFFFFFFF)
+            rows.append((lang, int(c.sum()), int(hi.sum()),
+                         int(lo.sum())))
+        return pd.DataFrame(rows, columns=["lang", "n", "s_hi", "s_lo"])
+
+    parts = (bt.groupby("__bucket").map_groups(fold, batch_format="pandas")
+             .take_all())   # #buckets x #langs counter rows only
+    agg = {}
+    for r in parts:
+        n, shi, slo = agg.get(r["lang"], (0, 0, 0))
+        agg[r["lang"]] = (n + int(r["n"]), shi + int(r["s_hi"]),
+                          slo + int(r["s_lo"]))
+    out = []
+    for lang in sorted(agg):
+        n, shi, slo = agg[lang]
+        s = (shi << 32) + slo
+        ln_n = int(math.floor(math.log(n) * 1e6 + 0.5))
+        out.append((lang, n, ln_n - s // n))
+    return pd.DataFrame(out, columns=["lang", "n_tokens",
+                                      "entropy_micro"])
+
+
 # -- paragraph-level exact dedup ---------------------------------------------
 
 

@@ -55,7 +55,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4e: directed containment, interleaved
                       # media->caption alignment, temperature mixing
                       "containment_pairs", "caption_pairs",
-                      "temperature_mix", "bm25_topk"]
+                      "temperature_mix", "bm25_topk",
+                      "unigram_entropy"]
 
 
 def _duck(sf_dir):

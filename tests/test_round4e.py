@@ -148,6 +148,25 @@ def test_bm25_prefers_dense_short_docs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_unigram_entropy_uniform_vs_degenerate():
+    """A language whose tokens are all distinct hits ln(N) (maximum
+    entropy); a language repeating one token has exactly 0."""
+    import math
+
+    from spatula_ray.stages.curate import unigram_entropy
+
+    uni = " ".join(f"u{i}" for i in range(16))   # 16 distinct tokens
+    deg = " ".join(["same"] * 16)                # 1 token repeated
+    out = unigram_entropy(_ds(pa.table({
+        "lang": pa.array(["uni", "deg"]),
+        "text": pa.array([uni, deg])}))).set_index("lang")
+    assert out.loc["deg", "entropy_micro"] == 0
+    assert out.loc["uni", "entropy_micro"] == \
+        math.floor(math.log(16) * 1e6 + 0.5)
+    assert out["n_tokens"].tolist() == [16, 16]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_temperature_mix_rejects_other_alpha():
     from spatula_ray.stages.curate import temperature_mix
 
