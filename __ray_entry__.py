@@ -798,6 +798,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def media_asset_dedup_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.multimodal import media_asset_dedup
+
+        # fixture: each doc carries one image blob keyed by doc_id % 37
+        # (assets genuinely repeat across docs) and a second span of the
+        # SAME asset on doc_id % 5 == 0 (n_refs > n_docs). SQL mirror:
+        # md5('asset-' || doc_id % 37).
+        def spans(t: pa.Table) -> pa.Table:
+            ids, seqs, kinds, texts, blobs = [], [], [], [], []
+            for d in t["doc_id"].to_pylist():
+                blob = ("asset-%d" % (d % 37)).encode()
+                ids += [d, d]
+                seqs += [0, 1]
+                kinds += ["text", "image"]
+                texts += ["t", None]
+                blobs += [None, blob]
+                if d % 5 == 0:
+                    ids.append(d)
+                    seqs.append(2)
+                    kinds.append("image")
+                    texts.append(None)
+                    blobs.append(blob)
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "seq": pa.array(seqs, type=pa.int64()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media": pa.array(blobs, type=pa.binary()),
+            })
+
+        span_ds = _docs(sf_dir, ["doc_id"]).map_batches(
+            spans, batch_format="pyarrow")
+        return media_asset_dedup(span_ds)
+
+    def doc_novelty_q(sf_dir):
+        return dd.doc_novelty(_docs(sf_dir, ["doc_id", "text"]))
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1292,6 +1331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
+        "doc_novelty": doc_novelty_q,
+        "media_asset_dedup": media_asset_dedup_q,
+        "crawl_host_stats": dw.docweb_host_stats,
     }
 
 
@@ -2083,6 +2125,54 @@ SELECT lang, CAST(n AS BIGINT) AS n_tokens,
        CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
          - CAST(sc // n AS BIGINT) AS entropy_micro
 FROM s ORDER BY lang
+""",
+
+        # Per-doc novelty: fraction of the doc's distinct 3-shingles
+        # with global df = 1, exact micro-units — mirrors
+        # stages/dedup.py::doc_novelty
+        "doc_novelty": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+per AS (SELECT s.doc_id, count(*) AS n,
+               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS novel
+        FROM sh s JOIN df ON df.g = s.g GROUP BY 1)
+SELECT doc_id, CAST(n AS BIGINT) AS n_shingles,
+       CAST(novel * 1000000 // greatest(n, 1) AS BIGINT) AS novelty_micro
+FROM per
+""",
+
+        # Asset-level media dedup manifest — mirrors
+        # stages/multimodal.py::media_asset_dedup over the repeating-
+        # asset fixture (blob md5 = md5 of the same printf both sides)
+        "media_asset_dedup": """
+WITH m AS (
+  SELECT doc_id, md5('asset-' || (doc_id % 37)) AS media_md5
+  FROM documents
+  UNION ALL
+  SELECT doc_id, md5('asset-' || (doc_id % 37))
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_md5, min(doc_id) AS owner_doc,
+       count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+FROM m GROUP BY media_md5
+""",
+
+        # Per-host crawl accounting — mirrors
+        # pipelines/docweb.py::docweb_host_stats: the oracle re-derives
+        # the host routing the crawler actually performed
+        "crawl_host_stats": f"""
+WITH {_PARAMS}
+SELECT printf('h%03d.docweb.test', CAST(doc_id % p.h AS INT)) AS host,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents, params p GROUP BY 1
 """,
 
         "embedding_dup_pairs": f"""

@@ -185,3 +185,35 @@ def docweb_class_counts(sf_dir: str):
     return out.map_batches(
         lambda t: t.rename_columns(["page_class", "n_pages"]),
         batch_format="pyarrow")
+
+
+def docweb_host_stats(sf_dir: str):
+    """Per-host crawl accounting from the ACTUAL crawl output: documents
+    fetched and text volume per host — the table a politeness/capacity
+    planner reads (which hosts dominate the corpus, where a per-host
+    budget would bite). Host is parsed from each detail page's fetched
+    URL, so the oracle cross-checks the crawler's own host routing, not
+    a re-derivation from the input table."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ siblings)
+    from ray.data.aggregate import Count, Sum
+
+    result = crawl_docweb(sf_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        hosts, chars = [], []
+        for cls, url, rec in zip(batch["page_class"].to_pylist(),
+                                 batch["source_url"].to_pylist(),
+                                 batch["record_json"].to_pylist()):
+            if cls != "DocDetail":
+                continue
+            hosts.append(url.split("//", 1)[1].split("/", 1)[0])
+            chars.append(json.loads(bytes(rec))["n_chars"])
+        return pa.table({
+            "host": pa.array(hosts, type=pa.string()),
+            "n_chars": pa.array(chars, type=pa.int64()),
+        })
+
+    return (result.docs.map_batches(decode, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")))

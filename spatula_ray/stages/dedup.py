@@ -557,6 +557,52 @@ def containment_pairs(ds, threshold: float = 0.9, k_shingle: int = 3,
                          metric="containment")
 
 
+def doc_novelty(ds, k_shingle: int = 3, num_buckets: int = 64):
+    """Per-document novelty: the fraction (in exact micro-units) of a
+    document's distinct word-``k``-shingles that appear NOWHERE else in
+    the corpus (global document frequency 1). The dual of the dedup
+    joins — instead of finding the duplicated mass, it scores how much
+    of each document is unique; a curation pass uses it to favor
+    novel text and to flag template farms (novelty ~ 0).
+
+    Scale shape: the :func:`_shingle_inverted_index` explode (the dead
+    ``n_sh`` column dropped before the exchange), ONE bucket shuffle on
+    hash(shingle) (all copies of a shingle co-locate, so per-bucket df
+    is global df), per-bucket reduction to per-doc partial counters,
+    then a doc-hash-bucket fold of the (doc_id, 2 ints) partials — both
+    exchanges are coarse-bucket map_groups, never a full sort. The
+    token-scale index never reaches the driver; the ratio is exact
+    integer floor division (``novel * 1e6 // n``)."""
+    import pandas as pd
+
+    inv = _shingle_inverted_index(ds, k_shingle, num_buckets) \
+        .select_columns(["shingle", "doc_id", "__bucket"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("shingle")["doc_id"].transform("size")
+        out = (g.assign(nov=(df == 1).astype("int64"))
+               .groupby("doc_id")
+               .agg(n=("shingle", "size"), novel=("nov", "sum"))
+               .reset_index())
+        out["__b2"] = (out["doc_id"] % num_buckets).astype("int32")
+        return out
+
+    parts = inv.groupby("__bucket").map_groups(partial,
+                                               batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("doc_id", sort=False)[["n", "novel"]].sum() \
+            .reset_index()
+        n = tot["n"].to_numpy(dtype=np.int64)
+        nov = tot["novel"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": tot["doc_id"].to_numpy(dtype=np.int64),
+            "n_shingles": n,
+            "novelty_micro": nov * 1_000_000 // np.maximum(n, 1)})
+
+    return parts.groupby("__b2").map_groups(fold, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

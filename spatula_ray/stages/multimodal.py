@@ -733,3 +733,55 @@ def caption_pairs(span_ds, num_buckets: int = 32):
     return (span_ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def media_asset_dedup(span_ds, num_buckets: int = 32):
+    """Asset-level exact dedup across interleaved documents: every
+    non-text span's blob reduces to its md5 in the first streaming map
+    (payloads never shuffle), then one hash(md5)-bucket exchange of
+    compact ``(md5, doc_id, c)`` partials yields the storage manifest
+    ``(media_md5, owner_doc, n_refs, n_docs)`` — the store-once /
+    rewrite-refs step of a multimodal corpus build (owner = min doc_id,
+    the suite's representative-election convention).
+
+    ``n_refs`` counts span occurrences (a doc can embed the same image
+    twice); ``n_docs`` counts distinct documents. Partial (md5, doc, c)
+    rows from different blocks sum / distinct-count correctly per
+    bucket, so documents may span input blocks."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.equal(t["kind"], "text"))
+        m = t.filter(mask)
+        hexes = [hashlib.md5(bytes(b)).hexdigest() if b is not None else ""
+                 for b in m["media"].to_pylist()]
+        per = (pd.DataFrame({
+            "media_md5": hexes,
+            "doc_id": m["doc_id"].to_numpy(zero_copy_only=False)
+            if m.num_rows else np.empty(0, dtype=np.int64)})
+            .groupby(["media_md5", "doc_id"], sort=False).size()
+            .reset_index(name="c"))
+        buckets = np.fromiter((int(x[:8], 16) % num_buckets
+                               for x in per["media_md5"]),
+                              dtype=np.int32, count=len(per))
+        return pa.table({
+            "media_md5": pa.array(per["media_md5"].to_numpy(),
+                                  type=pa.string()),
+            "doc_id": pa.array(per["doc_id"].to_numpy().astype(np.int64)),
+            "c": pa.array(per["c"].to_numpy().astype(np.int64)),
+            "__bucket": pa.array(buckets),
+        })
+
+    def fold(g) -> "pd.DataFrame":
+        out = (g.groupby("media_md5")
+               .agg(owner_doc=("doc_id", "min"),
+                    n_refs=("c", "sum"),
+                    n_docs=("doc_id", "nunique"))
+               .reset_index())
+        for c in ("owner_doc", "n_refs", "n_docs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (span_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

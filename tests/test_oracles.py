@@ -56,7 +56,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # media->caption alignment, temperature mixing
                       "containment_pairs", "caption_pairs",
                       "temperature_mix", "bm25_topk",
-                      "unigram_entropy"]
+                      "unigram_entropy", "doc_novelty",
+                      "media_asset_dedup", "crawl_host_stats"]
 
 
 def _duck(sf_dir):

@@ -167,6 +167,30 @@ def test_unigram_entropy_uniform_vs_degenerate():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_doc_novelty_extremes():
+    """A doc sharing no shingles scores 1e6; an exact duplicate pair
+    scores 0 (every shingle has df=2); a half-shared doc in between."""
+    from spatula_ray.stages.dedup import doc_novelty
+
+    docs = {
+        1: "a b c d e",          # shared with doc 2 (exact copy)
+        2: "a b c d e",
+        3: "p q r s t",          # fully unique
+        4: "a b c z9 y8 x7",     # mixes shared and unique shingles
+    }
+    out = doc_novelty(_ds(pa.table({
+        "doc_id": pa.array(sorted(docs), type=pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)])}))) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "novelty_micro"] == 0
+    assert out.loc[2, "novelty_micro"] == 0
+    assert out.loc[3, "novelty_micro"] == 1_000_000
+    # doc 4: shingles {a b c, b c z9, c z9 y8, z9 y8 x7}; only 'a b c'
+    # also appears in docs 1/2 -> 3 of 4 novel
+    assert out.loc[4, "novelty_micro"] == 750_000
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_temperature_mix_rejects_other_alpha():
     from spatula_ray.stages.curate import temperature_mix
 
