@@ -798,6 +798,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def ann_recall_q(sf_dir):
+        import pandas as pd
+
+        # ANN quality audit: recall@k of each approximate index vs the
+        # exact top-k. The joined tables are bounded by construction
+        # (N_QUERIES x TOPK rows), so the driver-side merge is the
+        # "small results" case, not a corpus materialization.
+        ex = ann_topk(sf_dir).to_pandas()
+        rows = []
+        for method, fn in (("lsh", lsh_topk), ("ivf", ivf_topk)):
+            ap = fn(sf_dir).to_pandas()
+            m = ex.merge(ap, on=["query_id", "vec_id"], how="left",
+                         indicator=True)
+            hits = (m.assign(hit=(m["_merge"] == "both").astype("int64"))
+                    .groupby("query_id")["hit"].sum())
+            rows += [(int(q), method, int(h) * 1_000_000 // _TOPK)
+                     for q, h in hits.items()]
+        return pd.DataFrame(rows, columns=["query_id", "method",
+                                           "recall_micro"])
+
     def media_asset_dedup_q(sf_dir):
         import pyarrow as pa
 
@@ -1334,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": doc_novelty_q,
         "media_asset_dedup": media_asset_dedup_q,
         "crawl_host_stats": dw.docweb_host_stats,
+        "ann_recall": ann_recall_q,
     }
 
 
@@ -3575,5 +3596,23 @@ SELECT d.lang, count(*) AS n_docs,
          AS tokens_per_word_micro
 FROM bt JOIN d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
+"""
+    # ANN quality audit: recall@k of the LSH and IVF approximate paths
+    # vs the exact top-k — all three mirrors composed verbatim
+    sql["ann_recall"] = f"""
+WITH e AS ({sql["ann_topk"]}),
+l AS ({sql["lsh_ann_topk"]}),
+i AS ({sql["ivf_ann_topk"]}),
+lr AS (SELECT e.query_id, 'lsh' AS method, count(l.vec_id) AS hits
+       FROM e LEFT JOIN l
+         ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+       GROUP BY 1),
+ir AS (SELECT e.query_id, 'ivf' AS method, count(i.vec_id) AS hits
+       FROM e LEFT JOIN i
+         ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+       GROUP BY 1)
+SELECT query_id, method,
+       CAST(hits * 1000000 // {_TOPK} AS BIGINT) AS recall_micro
+FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir)
 """
     return sql

@@ -57,7 +57,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "containment_pairs", "caption_pairs",
                       "temperature_mix", "bm25_topk",
                       "unigram_entropy", "doc_novelty",
-                      "media_asset_dedup", "crawl_host_stats"]
+                      "media_asset_dedup", "crawl_host_stats",
+                      "ann_recall"]
 
 
 def _duck(sf_dir):
