@@ -798,6 +798,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def main_content_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.text import extract_main_content
+
+        # fixture: wrap each doc in a boilerplate page — link-only nav,
+        # link-dense ad div, link-heavy footer, and an <article> with
+        # the doc's text split across two <p> (plus an inline <a>ref</a>
+        # on doc_id % 4 == 0, so link-aware scoring is exercised INSIDE
+        # the winning block too). The extractor must pick <article> by
+        # link density alone. SQL mirror reconstructs the winner.
+        def pages(t: pa.Table) -> pa.Table:
+            ids, htmls = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                ws = (txt or "").split(" ")
+                h = (len(ws) + 1) // 2
+                p1, p2 = " ".join(ws[:h]), " ".join(ws[h:])
+                inline = '<a href="/x">ref</a>' if d % 4 == 0 else ""
+                ids.append(d)
+                htmls.append(
+                    "<html><body>"
+                    '<nav><a href="/a">home</a>'
+                    '<a href="/b">about pages</a></nav>'
+                    '<div><a href="/ad">advertisement banner</a>x</div>'
+                    f"<article><p>{p1}</p><p>{p2}{inline}</p></article>"
+                    '<footer>c<a href="/c">contact us</a></footer>'
+                    "</body></html>")
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "html": pa.array(htmls, type=pa.string()),
+            })
+
+        html_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            pages, batch_format="pyarrow")
+        return extract_main_content(html_ds)
+
     def ann_recall_q(sf_dir):
         import pandas as pd
 
@@ -1355,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_asset_dedup": media_asset_dedup_q,
         "crawl_host_stats": dw.docweb_host_stats,
         "ann_recall": ann_recall_q,
+        "main_content": main_content_q,
     }
 
 
@@ -2194,6 +2232,28 @@ WITH {_PARAMS}
 SELECT printf('h%03d.docweb.test', CAST(doc_id % p.h AS INT)) AS host,
        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents, params p GROUP BY 1
+""",
+
+        # Readability-style main-content extraction — mirrors
+        # stages/text.py::MainContentExtract over the boilerplate-page
+        # fixture: the article block always wins the link-density score
+        # (nav -15, ad div -19, footer -9, article >= len(p1) - 3), so
+        # the oracle reconstructs the winning block's text and score
+        "main_content": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, ws, (len(ws) + 1) // 2 AS h, len(ws) AS n FROM w),
+parts AS (SELECT doc_id,
+                 array_to_string(ws[1:h], ' ') AS p1,
+                 CASE WHEN n > h THEN array_to_string(ws[h+1:n], ' ')
+                      ELSE '' END AS p2,
+                 doc_id % 4 = 0 AS has_link
+          FROM s)
+SELECT doc_id,
+       p1 || CASE WHEN p2 <> '' THEN ' ' || p2 ELSE '' END
+          || CASE WHEN has_link THEN ' ref' ELSE '' END AS main_text,
+       CAST(length(p1) + length(p2)
+            - CASE WHEN has_link THEN 3 ELSE 0 END AS BIGINT) AS score
+FROM parts
 """,
 
         "embedding_dup_pairs": f"""

@@ -313,3 +313,82 @@ def gopher_rules(docs, min_words: int = 50, max_words: int = 100_000):
         })
 
     return docs.map_batches(rules, batch_format="pyarrow")
+
+
+class MainContentExtract:
+    """Readability-style main-content extraction over ``(doc_id, html)``
+    rows: parse with the engine's own stdlib DOM
+    (``spatula_ray.dom.fromstring_html``), score every direct child of
+    ``<body>`` by link density — ``score = chars of descendant text NOT
+    inside <a> minus chars inside <a>`` — and emit the winning block's
+    text (stripped text nodes joined by single spaces). The classic
+    boilerplate-vs-content split (navs/footers/ads are link-dense and
+    score negative; article prose scores its own length), implemented
+    as an actor-pool stage: the DOM machinery is per-actor state, work
+    is per batch.
+
+    Emits ``(doc_id, main_text, score)`` with document order breaking
+    ties. SQL mirror: ``__ray_entry__.oracle_sql['main_content']``
+    reconstructs the winning block for the templated fixture."""
+
+    def __init__(self):
+        from ..dom import fromstring_html
+
+        self._parse = fromstring_html
+
+    @staticmethod
+    def _lens(el, in_link: bool):
+        """(non_link_chars, link_chars) over el's text/descendants/tails-
+        of-children — raw text-node lengths, no join whitespace."""
+        inside = in_link or el.tag == "a"
+        nl = ln = 0
+        if el.text:
+            n = len(el.text)
+            ln, nl = (ln + n, nl) if inside else (ln, nl + n)
+        for c in el:
+            cnl, cln = MainContentExtract._lens(c, inside)
+            nl += cnl
+            ln += cln
+            if c.tail:
+                n = len(c.tail)
+                # tails belong to the PARENT's context, not the child's
+                ln, nl = (ln + n, nl) if inside else (ln, nl + n)
+        return nl, ln
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, texts, scores = [], [], []
+        for d, html in zip(batch["doc_id"].to_pylist(),
+                           batch["html"].to_pylist()):
+            root = self._parse(html or "<html></html>")
+            body = next((e for e in root.iter("body")), root)
+            best_el, best_score = None, None
+            for cand in body:
+                nl, ln = self._lens(cand, False)
+                score = nl - ln
+                if best_score is None or score > best_score:
+                    best_el, best_score = cand, score
+            if best_el is None:
+                ids.append(d)
+                texts.append("")
+                scores.append(0)
+                continue
+            pieces = [s for s in (p.strip() for p in best_el.itertext())
+                      if s]
+            ids.append(d)
+            texts.append(" ".join(pieces))
+            scores.append(int(best_score))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "main_text": pa.array(texts, type=pa.string()),
+            "score": pa.array(scores, type=pa.int64()),
+        })
+
+
+def extract_main_content(html_ds, concurrency=(2, 8), batch_size: int = 64):
+    """Distributed main-content extraction over an (doc_id, html)
+    Dataset — the boilerplate-removal step between fetch and text
+    curation in a crawl pipeline."""
+    return html_ds.map_batches(MainContentExtract, batch_format="pyarrow",
+                               concurrency=concurrency,
+                               batch_size=batch_size, num_cpus=0.5,
+                               max_restarts=0)

@@ -191,6 +191,27 @@ def test_doc_novelty_extremes():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_main_content_link_density():
+    """The extractor picks the prose block, not the link farm — even
+    when the link farm has MORE total text — and scores links inside
+    the winning block negatively."""
+    from spatula_ray.stages.text import extract_main_content
+
+    html = ("<html><body>"
+            '<nav><a href="/1">one very long navigation label</a>'
+            '<a href="/2">another very long navigation label</a></nav>'
+            "<article><p>short real prose</p>"
+            '<a href="/x">more</a></article>'
+            "</body></html>")
+    out = extract_main_content(_ds(pa.table({
+        "doc_id": pa.array([7], type=pa.int64()),
+        "html": pa.array([html])}))).to_pandas()
+    assert out.iloc[0]["main_text"] == "short real prose more"
+    # score = len('short real prose') - len('more') = 16 - 4
+    assert out.iloc[0]["score"] == 12
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_temperature_mix_rejects_other_alpha():
     from spatula_ray.stages.curate import temperature_mix
 
