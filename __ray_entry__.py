@@ -798,6 +798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def source_overlap_q(sf_dir):
+        return dd.source_overlap(_docs(sf_dir, ["source", "text"]))
+
     def main_content_q(sf_dir):
         import pyarrow as pa
 
@@ -1393,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": dw.docweb_host_stats,
         "ann_recall": ann_recall_q,
         "main_content": main_content_q,
+        "source_overlap": source_overlap_q,
     }
 
 
@@ -2254,6 +2258,27 @@ SELECT doc_id,
        CAST(length(p1) + length(p2)
             - CASE WHEN has_link THEN 3 ELSE 0 END AS BIGINT) AS score
 FROM parts
+""",
+
+        # Cross-source shingle contamination matrix — mirrors
+        # stages/dedup.py::source_overlap: distinct shared 3-shingles
+        # per unordered source pair
+        "source_overlap": """
+WITH tok AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source, unnest(list_distinct(
+      CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+           ELSE list_transform(generate_series(1, len(ts) - 2),
+                               i -> ts[i] || ' ' || ts[i+1] || ' '
+                                    || ts[i+2])
+      END)) AS g
+    FROM tok)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(*) AS shared_shingles
+FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
 """,
 
         "embedding_dup_pairs": f"""

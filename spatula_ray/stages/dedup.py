@@ -557,6 +557,58 @@ def containment_pairs(ds, threshold: float = 0.9, k_shingle: int = 3,
                          metric="containment")
 
 
+def source_overlap(ds, k_shingle: int = 3, num_buckets: int = 64):
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct shingles the two sources share — the
+    governance table behind "is dump B re-hosting dump A" and
+    leakage-between-splits checks.
+
+    Scale shape: docs reduce to per-block-distinct ``(shingle, source)``
+    rows in the streaming explode, ONE hash(shingle) bucket exchange
+    co-locates each shingle's source set, the per-bucket kernel merges
+    the ≤ #sources-wide set into pair partials, and a tiny
+    ``(src_a, src_b)`` groupby-sum finishes — output is bounded by
+    #sources², never corpus-sized."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        shs = [_shingle_hashes(x or "", k_shingle)
+               for x in t["text"].to_pylist()]
+        n_sh = np.array([len(s) for s in shs], dtype=np.int64)
+        srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+        sh_col = (np.concatenate(shs) if shs
+                  else np.empty(0, dtype=np.uint64))
+        per = (pd.DataFrame({"shingle": sh_col,
+                             "source": np.repeat(srcs, n_sh)})
+               .drop_duplicates())     # block-local (shingle, source)
+        sh = per["shingle"].to_numpy().astype(np.uint64)
+        return pa.table({
+            "shingle": pa.array(sh, type=pa.uint64()),
+            "source": pa.array(per["source"].to_numpy(),
+                               type=pa.string()),
+            "__bucket": pa.array((sh % np.uint64(num_buckets))
+                                 .astype(np.int32)),
+        })
+
+    inv = ds.select_columns(["source", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["shingle", "source"])   # global distinct
+        m = g.merge(g, on="shingle")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (m.groupby(["source_x", "source_y"], sort=False).size()
+               .reset_index(name="c"))
+        return out.rename(columns={"source_x": "src_a",
+                                   "source_y": "src_b"})
+
+    return (inv.groupby("__bucket").map_groups(pairs,
+                                               batch_format="pandas")
+            .groupby(["src_a", "src_b"])
+            .aggregate(Sum("c", alias_name="shared_shingles")))
+
+
 def doc_novelty(ds, k_shingle: int = 3, num_buckets: int = 64):
     """Per-document novelty: the fraction (in exact micro-units) of a
     document's distinct word-``k``-shingles that appear NOWHERE else in
