@@ -158,7 +158,12 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     # round-4d additions
                     "interleaved_dedup", "knn_graph", "zipf_fit",
                     "vocab_growth", "corpus_report", "filter_ensemble",
-                    "interleaved_neardup", "tokenizer_fertility"]
+                    "interleaved_neardup", "tokenizer_fertility",
+                    # round-4e additions
+                    "containment_pairs", "caption_pairs",
+                    "temperature_mix", "bm25_topk", "unigram_entropy",
+                    "doc_novelty", "media_asset_dedup", "main_content",
+                    "ann_recall", "source_overlap"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:
