@@ -798,6 +798,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def span_langid_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.text import span_langid_majority
+
+        # fixture: the doc's 8-word paragraphs as text spans plus ONE
+        # injected foreign passage keyed by doc_id % 3 — the mixed-
+        # language interleaved doc the per-span vote exists for. SQL
+        # mirror: the langid_pred oracle re-keyed over a spans CTE.
+        foreign = {0: "der und ist nicht ein",
+                   1: "el la de que y",
+                   2: "le la les et une"}
+
+        def spans(t: pa.Table) -> pa.Table:
+            ids, seqs, texts = [], [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                ws = (txt or "").split(" ")
+                for i in range(0, len(ws), 8):
+                    ids.append(d)
+                    seqs.append(2 * (i // 8))
+                    texts.append(" ".join(ws[i:i + 8]))
+                ids.append(d)
+                seqs.append(999999)
+                texts.append(foreign[d % 3])
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "seq": pa.array(seqs, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            })
+
+        span_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            spans, batch_format="pyarrow")
+        return span_langid_majority(span_ds)
+
     def source_overlap_q(sf_dir):
         return dd.source_overlap(_docs(sf_dir, ["source", "text"]))
 
@@ -1397,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": ann_recall_q,
         "main_content": main_content_q,
         "source_overlap": source_overlap_q,
+        "span_langid": span_langid_q,
     }
 
 
@@ -3681,6 +3717,43 @@ SELECT d.lang, count(*) AS n_docs,
          AS tokens_per_word_micro
 FROM bt JOIN d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
+"""
+    # Per-span langid + majority vote: the langid_pred mirror re-keyed
+    # over a spans CTE (doc paragraphs + one injected foreign passage),
+    # then a count-desc / lang-asc vote per document
+    spanized = (sql["langid_pred"]
+                .replace("SELECT doc_id,\n         regexp_matches",
+                         "SELECT doc_id, seq,\n         regexp_matches")
+                .replace("FROM documents", "FROM spans")
+                .replace("SELECT doc_id, cjk, len(toks) AS n,",
+                         "SELECT doc_id, seq, cjk, len(toks) AS n,")
+                .replace("SELECT doc_id,\n  CASE WHEN cjk",
+                         "SELECT doc_id, seq,\n  CASE WHEN cjk"))
+    sql["span_langid"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                AS i
+       FROM w),
+spans AS (
+  SELECT doc_id, 2 * (i - 1) AS seq,
+         array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS text
+  FROM iw
+  UNION ALL
+  SELECT doc_id, 999999,
+         CASE doc_id % 3 WHEN 0 THEN 'der und ist nicht ein'
+                         WHEN 1 THEN 'el la de que y'
+                         ELSE 'le la les et une' END
+  FROM documents
+),
+per AS ({spanized}),
+cnt AS (SELECT doc_id, lang_pred, count(*) AS c FROM per GROUP BY 1, 2),
+top AS (SELECT doc_id, lang_pred AS lang_major, c AS n_major FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, lang_pred) = 1),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM per GROUP BY 1)
+SELECT doc_id, lang_major, n_spans, n_major
+FROM tot JOIN top USING (doc_id)
 """
     # ANN quality audit: recall@k of the LSH and IVF approximate paths
     # vs the exact top-k — all three mirrors composed verbatim

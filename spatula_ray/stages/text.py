@@ -392,3 +392,62 @@ def extract_main_content(html_ds, concurrency=(2, 8), batch_size: int = 64):
                                concurrency=concurrency,
                                batch_size=batch_size, num_cpus=0.5,
                                max_restarts=0)
+
+
+class SpanLangId(LangId):
+    """Per-SPAN language ID over interleaved span tables
+    ``(doc_id, seq, text)`` — same marker-word kernel as :class:`LangId`
+    (state compiled once per actor), emitting one prediction per span."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        preds = [self.predict(t or "")[0]
+                 for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "seq": batch["seq"],
+            "lang_pred": pa.array(preds, type=pa.string()),
+        })
+
+
+def span_langid_majority(span_ds, num_buckets: int = 32):
+    """Document-level language from per-span votes: classify every text
+    span independently (:class:`SpanLangId` actor pool), then elect the
+    majority language per document — highest span count, ties broken by
+    lexicographically smallest language (the deterministic convention a
+    SQL mirror can reproduce). The per-span pass is what a mixed-language
+    interleaved corpus needs: a doc-level classifier averages away
+    embedded foreign passages; the vote preserves them as a minority
+    signal (``n_major < n_spans``).
+
+    Emits ``(doc_id, lang_major, n_spans, n_major)``. One doc-hash
+    bucket exchange of (doc_id, seq, lang) rows; the vote kernel is
+    pandas groupby C paths."""
+    import pandas as pd
+
+    preds = span_ds.map_batches(SpanLangId, batch_format="pyarrow",
+                                concurrency=(2, 8), num_cpus=0.5,
+                                max_restarts=0)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            if t.num_rows else np.empty(0, dtype=np.int64)
+        return t.append_column(
+            "__bucket", pa.array((ids % num_buckets).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(["doc_id", "lang_pred"], sort=False).size()
+               .reset_index(name="c")
+               .sort_values(["doc_id", "c", "lang_pred"],
+                            ascending=[True, False, True],
+                            kind="mergesort"))
+        top = cnt.groupby("doc_id", sort=False).head(1)
+        tot = g.groupby("doc_id", sort=False).size().reset_index(name="n")
+        out = top.merge(tot, on="doc_id")
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+            "lang_major": out["lang_pred"].astype("string"),
+            "n_spans": out["n"].to_numpy(dtype=np.int64),
+            "n_major": out["c"].to_numpy(dtype=np.int64)})
+
+    return (preds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

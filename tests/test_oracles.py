@@ -58,7 +58,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "temperature_mix", "bm25_topk",
                       "unigram_entropy", "doc_novelty",
                       "media_asset_dedup", "crawl_host_stats",
-                      "ann_recall", "main_content", "source_overlap"]
+                      "ann_recall", "main_content", "source_overlap",
+                      "span_langid"]
 
 
 def _duck(sf_dir):
