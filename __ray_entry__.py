@@ -24,6 +24,8 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+from spatula_ray.stages.curate import _CDC_POW  # noqa: E402 (oracle mirror)
+
 # constructed-duplicate offsets used by the dedup queries (mirrored in SQL)
 _DUP_OFFSET = 100_000
 _EMB_COPY_N = 50
@@ -722,6 +724,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
                                size=16, stride=12)
 
+    def cdc_chunks_q(sf_dir):
+        from spatula_ray.stages.curate import cdc_chunks
+
+        return cdc_chunks(_docs(sf_dir, ["doc_id", "text"]))
+
+    def cdc_dedup_stats_q(sf_dir):
+        from spatula_ray.stages.curate import cdc_dedup_stats
+
+        return cdc_dedup_stats(_docs_with_neardups(sf_dir))
+
     def vocab_coverage_q(sf_dir):
         from spatula_ray.stages.curate import vocab_coverage
 
@@ -1393,6 +1405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": pii_scrub_q,
         "curate_corpus": curate_corpus_q,
         "chunk_documents": chunk_documents_q,
+        "cdc_chunks": cdc_chunks_q,
+        "cdc_dedup_stats": cdc_dedup_stats_q,
         "vocab_coverage": vocab_coverage_q,
         "pack_interleaved": pack_interleaved_q,
         "distinct_shingles_hll": distinct_shingles_hll_q,
@@ -3125,6 +3139,56 @@ SELECT doc_id, i AS chunk_id,
 FROM c, UNNEST(generate_series(0, nc - 1)) t(i)
 """,
 
+        # content-defined chunking (stages/curate.cdc_chunks): cut after
+        # every 8-char window whose base-257 polynomial hash mod 2^64 is
+        # 0 mod 64 (numpy uint64 wraparound == HUGEINT % 2^64 — same
+        # inlined-power trick as winnow_fingerprints), then split
+        # segments longer than 128 at fixed offsets from the segment
+        # start; chunk_hash = md5_number_lower of the chunk text
+        "cdc_chunks": f"""
+WITH cp AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(generate_series(1, length(text)),
+                        i -> CAST(unicode(substring(text, i, 1)) AS HUGEINT))
+           AS cs
+  FROM documents WHERE length(text) >= 1
+),
+cuts AS (
+  SELECT doc_id, p + 7 AS cut
+  FROM cp, UNNEST(generate_series(1, n - 7)) s(p)
+  WHERE (cs[p] * {_CDC_POW[0]} + cs[p+1] * {_CDC_POW[1]}
+       + cs[p+2] * {_CDC_POW[2]} + cs[p+3] * {_CDC_POW[3]}
+       + cs[p+4] * {_CDC_POW[4]} + cs[p+5] * {_CDC_POW[5]}
+       + cs[p+6] * {_CDC_POW[6]} + cs[p+7])
+        % 18446744073709551616 % 64 = 0
+),
+b AS (
+  SELECT doc_id, cut FROM cuts
+  UNION SELECT doc_id, 0 FROM cp
+  UNION SELECT doc_id, n FROM cp
+),
+seg AS (
+  SELECT doc_id, cut AS s,
+         lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) - cut AS L
+  FROM b
+),
+pieces AS (
+  SELECT doc_id, s + i * 128 AS s0, least(128, L - i * 128) AS length
+  FROM seg,
+       UNNEST(generate_series(0, CAST(ceil(L / 128.0) AS BIGINT) - 1)) t(i)
+  WHERE L IS NOT NULL
+),
+ordered AS (
+  SELECT doc_id, s0 + 1 AS start, length,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s0) - 1
+           AS chunk_seq
+  FROM pieces
+)
+SELECT o.doc_id, o.chunk_seq, o.start, o.length,
+       md5_number_lower(substring(d.text, o.start, o.length)) AS chunk_hash
+FROM ordered o JOIN documents d ON o.doc_id = d.doc_id
+""",
+
         # corpus top-200 vocabulary (count desc, term asc — total order),
         # then per-doc in-vocab occurrence fraction on the 1e-6 grid
         "vocab_coverage": """
@@ -3757,6 +3821,26 @@ FROM tot JOIN top USING (doc_id)
 """
     # ANN quality audit: recall@k of the LSH and IVF approximate paths
     # vs the exact top-k — all three mirrors composed verbatim
+    # CDC chunk-level dedup manifest over the near-dup fixture: the
+    # cdc_chunks mirror re-keyed over aug (shift-invariant chunk hashes
+    # realign across the perturbed copies), wrapped in the shared-chunk
+    # GROUP BY
+    sql["cdc_dedup_stats"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+chunks AS ({sql["cdc_chunks"].replace("documents", "aug")})
+SELECT chunk_hash, length, min(doc_id) AS owner_doc,
+       count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+FROM chunks GROUP BY chunk_hash, length
+HAVING count(*) >= 2
+"""
+
     sql["ann_recall"] = f"""
 WITH e AS ({sql["ann_topk"]}),
 l AS ({sql["lsh_ann_topk"]}),

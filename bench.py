@@ -163,7 +163,9 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "containment_pairs", "caption_pairs",
                     "temperature_mix", "bm25_topk", "unigram_entropy",
                     "doc_novelty", "media_asset_dedup", "main_content",
-                    "ann_recall", "source_overlap"]
+                    "ann_recall", "source_overlap",
+                    # round-4f additions
+                    "span_langid", "cdc_chunks", "cdc_dedup_stats"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

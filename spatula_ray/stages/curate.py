@@ -20,6 +20,7 @@ scrape output); they are the curation layer the north-star pipeline feeds.
 
 from __future__ import annotations
 
+import hashlib
 from itertools import chain
 from typing import Dict, Optional
 
@@ -359,6 +360,158 @@ def chunk_documents(ds, size: int = 64, stride: int = 48):
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# -- content-defined chunking (Rabin / FastCDC-style) ---------------------------
+
+# 257^7 .. 257^0 mod 2^64 — the window polynomial, inlined on both sides
+# (numpy uint64 wraparound == DuckDB HUGEINT % 2^64; parity verified in
+# tests/test_oracles.py)
+_CDC_POW = tuple(pow(257, 7 - i, 1 << 64) for i in range(8))
+_CDC_WINDOW = 8
+
+
+def cdc_chunks(docs, divisor: int = 64, max_len: int = 128):
+    """Content-defined chunking: split each document at positions where
+    the Rabin-style polynomial hash of the trailing 8-char window is
+    ``0 mod divisor`` (expected chunk ~``divisor`` chars), then split any
+    remaining segment longer than ``max_len`` at fixed offsets from the
+    segment start. Unlike fixed-stride chunking (``chunk_documents``),
+    CDC boundaries are a pure function of local content, so an insertion
+    or deletion re-chunks only its neighborhood — downstream chunk-hash
+    dedup aligns shared content across near-identical documents (the
+    rsync / LBFS / FastCDC property). No minimum-size guard: the cut set
+    stays a pure per-position function (sequential min-guards make the
+    boundary depend on the previous cut), which is what makes an exact
+    SQL mirror possible.
+
+    Pure streaming map, no shuffle. The window hash is computed for the
+    WHOLE batch in 8 fused numpy multiply-adds over the concatenated
+    codepoint array (utf-32 decode, uint64 wraparound arithmetic);
+    boundary extraction is masked ``nonzero``. Only the final chunk-text
+    md5 is per chunk (not per char) — at 100 TB this stage is
+    embarrassingly parallel and output-bounded (~n_chars/divisor rows).
+
+    Returns ``(doc_id, chunk_seq, start, length, chunk_hash)`` with
+    1-based ``start`` (DuckDB ``substring`` convention) and
+    ``chunk_hash`` = md5 low-8-bytes little-endian of the chunk text
+    (== ``md5_number_lower``). Mirrored exactly by
+    ``__ray_entry__.oracle_sql['cdc_chunks']``."""
+    if divisor <= 0 or max_len <= 0:
+        raise ValueError("divisor and max_len must be positive")
+    div = np.uint64(divisor)
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t["text"].to_pylist()]
+        enc = [x.encode("utf-32-le") for x in texts]
+        lens = np.fromiter((len(e) >> 2 for e in enc), dtype=np.int64,
+                           count=len(enc))
+        doc_off = np.r_[0, np.cumsum(lens)]
+        cp = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+        n_all = int(doc_off[-1])
+        w = _CDC_WINDOW
+        if n_all >= w:
+            h = np.zeros(n_all - w + 1, dtype=np.uint64)
+            for k, pw in enumerate(_CDC_POW):
+                h += cp[k:n_all - w + 1 + k] * np.uint64(pw)
+            p_glob = np.nonzero(h % div == np.uint64(0))[0]
+            d_of = np.searchsorted(doc_off, p_glob, side="right") - 1
+            ok = p_glob + w <= doc_off[d_of + 1]
+            p_glob, d_of = p_glob[ok], d_of[ok]
+            cut_local = p_glob + w - doc_off[d_of]
+        else:
+            d_of = np.zeros(0, dtype=np.int64)
+            cut_local = np.zeros(0, dtype=np.int64)
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_seq, out_start, out_len, out_hash = [], [], [], [], []
+        cut_splits = np.searchsorted(d_of, np.arange(len(texts) + 1))
+        for i, txt in enumerate(texts):
+            n = lens[i]
+            if n == 0:
+                continue
+            bounds = np.unique(np.r_[0, cut_local[cut_splits[i]:
+                                               cut_splits[i + 1]], n])
+            seg_start, seg_len = bounds[:-1], np.diff(bounds)
+            n_pieces = -(-seg_len // max_len)
+            starts = (np.repeat(seg_start, n_pieces)
+                      + (np.arange(int(n_pieces.sum()))
+                         - np.repeat(np.r_[0, np.cumsum(n_pieces)][:-1],
+                                     n_pieces)) * max_len)
+            clens = np.minimum(
+                max_len, np.repeat(seg_start + seg_len, n_pieces) - starts)
+            for j, (s, ln) in enumerate(zip(starts.tolist(),
+                                            clens.tolist())):
+                out_doc.append(ids[i])
+                out_seq.append(j)
+                out_start.append(s + 1)
+                out_len.append(ln)
+                out_hash.append(int.from_bytes(
+                    hashlib.md5(txt[s:s + ln].encode()).digest()[8:],
+                    "little"))
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "chunk_seq": pa.array(out_seq, type=pa.int64()),
+            "start": pa.array(out_start, type=pa.int64()),
+            "length": pa.array(out_len, type=pa.int64()),
+            "chunk_hash": pa.array(out_hash, type=pa.uint64()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(docs, divisor: int = 64, max_len: int = 128,
+                    num_buckets: int = 32):
+    """Chunk-level storage-dedup manifest over content-defined chunks:
+    the text analogue of ``multimodal.media_asset_dedup`` — which chunks
+    are shared, by how many references and documents, and which document
+    owns the canonical copy (min doc_id). Because CDC boundaries realign
+    across edits, near-duplicate documents share most of their chunk
+    hashes, so this surfaces sub-document duplication that whole-doc
+    exact dedup misses (the rsync/LBFS store-once economics).
+
+    Chunk texts never shuffle: the first streaming map reduces each
+    batch to compact ``(chunk_hash, length, doc_id, c)`` partials, then
+    ONE chunk_hash-bucket exchange folds them (sum / min / nunique are
+    bucket-local since the bucket key is the chunk hash). Output is
+    bounded by true duplication (``n_refs >= 2`` rows only).
+
+    Returns ``(chunk_hash, length, owner_doc, n_refs, n_docs)``;
+    mirrored by ``__ray_entry__.oracle_sql['cdc_dedup_stats']`` (the
+    cdc_chunks mirror wrapped in a GROUP BY)."""
+    chunks = cdc_chunks(docs, divisor=divisor, max_len=max_len)
+
+    def partial(t: pa.Table) -> pa.Table:
+        per = (pd.DataFrame({
+            "chunk_hash": t["chunk_hash"].to_numpy(zero_copy_only=False),
+            "length": t["length"].to_numpy(zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            .groupby(["chunk_hash", "length", "doc_id"], sort=False)
+            .size().reset_index(name="c"))
+        return pa.table({
+            "chunk_hash": pa.array(per["chunk_hash"].to_numpy(),
+                                   type=pa.uint64()),
+            "length": pa.array(per["length"].to_numpy().astype(np.int64)),
+            "doc_id": pa.array(per["doc_id"].to_numpy().astype(np.int64)),
+            "c": pa.array(per["c"].to_numpy().astype(np.int64)),
+            "__bucket": pa.array((per["chunk_hash"].to_numpy()
+                                  % num_buckets).astype(np.int32)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["chunk_hash", "length"])
+               .agg(owner_doc=("doc_id", "min"),
+                    n_refs=("c", "sum"),
+                    n_docs=("doc_id", "nunique"))
+               .reset_index())
+        out = out[out["n_refs"] >= 2]
+        for c in ("length", "owner_doc", "n_refs", "n_docs"):
+            out[c] = out[c].astype("int64")
+        out["chunk_hash"] = out["chunk_hash"].astype("uint64")
+        return out
+
+    return (chunks.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))
 
 
 # -- vocabulary coverage / OOV-rate scoring ------------------------------------

@@ -219,3 +219,46 @@ def test_temperature_mix_rejects_other_alpha():
         temperature_mix(_ds(pa.table({"doc_id": pa.array([1]),
                                       "source": pa.array(["a"])})),
                         temperature=0.3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_chunks_shift_invariance():
+    """The CDC property: prepending a prefix re-chunks only the
+    neighborhood of the edit — chunk hashes strictly after the first
+    content-defined cut following the edit are IDENTICAL in both
+    versions (fixed-stride chunking shares none)."""
+    from spatula_ray.stages.curate import cdc_chunks
+
+    rng = np.random.default_rng(7)
+    base = " ".join("w%03d" % v for v in rng.integers(0, 80, size=400))
+    shifted = "INSERTED PREFIX !! " + base
+    out = cdc_chunks(_ds(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([base, shifted])}))).to_pandas()
+    a = out[out.doc_id == 1].sort_values("chunk_seq")
+    b = out[out.doc_id == 2].sort_values("chunk_seq")
+    # every original chunk must be covered and starts are 1-based
+    for g in (a, b):
+        assert int(g["start"].iloc[0]) == 1
+        assert (g["start"] + g["length"]).iloc[-1] - 1 == \
+            (len(base) if g is a else len(shifted))
+        assert (g["start"].to_numpy()[1:]
+                == (g["start"] + g["length"]).to_numpy()[:-1]).all()
+        assert g["length"].max() <= 128
+    shared = set(a["chunk_hash"]) & set(b["chunk_hash"])
+    # all but the first few boundary-adjacent chunks realign
+    assert len(shared) >= len(a) - 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_chunks_edges():
+    from spatula_ray.stages.curate import cdc_chunks
+
+    out = cdc_chunks(_ds(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["", "ab", None])}))).to_pandas()
+    # empty/None emit nothing; sub-window text is one whole chunk
+    assert out["doc_id"].tolist() == [2]
+    assert out.iloc[0]["start"] == 1 and out.iloc[0]["length"] == 2
+    with pytest.raises(ValueError):
+        cdc_chunks(None, divisor=0)
