@@ -55,13 +55,11 @@ def _docs_with_copies(sf_dir: str):
     return base.union(base.map_batches(shift, batch_format="pyarrow"))
 
 
-def _docs_with_neardups(sf_dir: str):
-    """documents UNION ALL perturbed copies: every 10th token (1-based)
-    replaced by 'xq7', doc_id+_DUP_OFFSET. SQL mirror uses list_transform
-    with a 1-based index lambda."""
+def _perturbed_docs(sf_dir: str):
+    """The perturbed copies alone: every 10th token (1-based) replaced
+    by 'xq7', doc_id+_DUP_OFFSET. SQL mirror uses list_transform with a
+    1-based index lambda."""
     import pyarrow as pa
-
-    base = _docs(sf_dir, ["doc_id", "text"])
 
     def perturb(t: pa.Table) -> pa.Table:
         ids, texts = [], []
@@ -74,7 +72,13 @@ def _docs_with_neardups(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "text": pa.array(texts, type=pa.string())})
 
-    return base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        perturb, batch_format="pyarrow")
+
+
+def _docs_with_neardups(sf_dir: str):
+    """documents UNION ALL the perturbed copies (:func:`_perturbed_docs`)."""
+    return _docs(sf_dir, ["doc_id", "text"]).union(_perturbed_docs(sf_dir))
 
 
 def _docs_with_supersets(sf_dir: str):
@@ -733,6 +737,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from spatula_ray.stages.curate import cdc_dedup_stats
 
         return cdc_dedup_stats(_docs_with_neardups(sf_dir))
+
+    def cdc_delta_bytes_q(sf_dir):
+        from spatula_ray.stages.curate import cdc_delta_bytes
+
+        # corpus = documents, "newly ingested" = the perturbed copies —
+        # the lightly-edited re-crawl whose unedited neighborhoods CDC
+        # should recognize as already stored
+        return cdc_delta_bytes(_docs(sf_dir, ["doc_id", "text"]),
+                               _perturbed_docs(sf_dir))
 
     def vocab_coverage_q(sf_dir):
         from spatula_ray.stages.curate import vocab_coverage
@@ -1407,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": chunk_documents_q,
         "cdc_chunks": cdc_chunks_q,
         "cdc_dedup_stats": cdc_dedup_stats_q,
+        "cdc_delta_bytes": cdc_delta_bytes_q,
         "vocab_coverage": vocab_coverage_q,
         "pack_interleaved": pack_interleaved_q,
         "distinct_shingles_hll": distinct_shingles_hll_q,
@@ -3839,6 +3853,29 @@ SELECT chunk_hash, length, min(doc_id) AS owner_doc,
        count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
 FROM chunks GROUP BY chunk_hash, length
 HAVING count(*) >= 2
+"""
+
+    # incremental-ingest dedup accounting: corpus chunk index LEFT JOIN
+    # the new side's chunks; pct in integer micro-units (// floor div)
+    sql["cdc_delta_bytes"] = f"""
+WITH newdocs AS (
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+           AS text
+  FROM documents
+),
+cc AS ({sql["cdc_chunks"]}),
+nc AS ({sql["cdc_chunks"].replace("documents", "newdocs")}),
+corp_set AS (SELECT DISTINCT chunk_hash FROM cc)
+SELECT n.doc_id,
+       CAST(sum(n.length) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN c.chunk_hash IS NULL THEN n.length ELSE 0 END)
+            AS BIGINT) AS new_chars,
+       CAST(sum(CASE WHEN c.chunk_hash IS NULL THEN n.length ELSE 0 END)
+            * 1000000 // sum(n.length) AS BIGINT) AS pct_new_micro
+FROM nc n LEFT JOIN corp_set c USING (chunk_hash)
+GROUP BY n.doc_id
 """
 
     sql["ann_recall"] = f"""

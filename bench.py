@@ -165,7 +165,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "doc_novelty", "media_asset_dedup", "main_content",
                     "ann_recall", "source_overlap",
                     # round-4f additions
-                    "span_langid", "cdc_chunks", "cdc_dedup_stats"]
+                    "span_langid", "cdc_chunks", "cdc_dedup_stats",
+                    "cdc_delta_bytes"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

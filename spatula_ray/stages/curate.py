@@ -514,6 +514,91 @@ def cdc_dedup_stats(docs, divisor: int = 64, max_len: int = 128,
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
 
 
+def cdc_delta_bytes(corpus_docs, new_docs, divisor: int = 64,
+                    max_len: int = 128, num_buckets: int = 32):
+    """Incremental-ingest dedup accounting: for every NEW document, how
+    many characters does it actually add beyond the existing corpus's
+    CDC chunk index? This is the store-once economics question an
+    incremental crawl/ingest pipeline answers before writing — CDC
+    boundary realignment means a lightly-edited re-crawl of a known page
+    contributes only its edited neighborhoods as new bytes.
+
+    Fully distributed anti-join by chunk hash: both sides reduce to
+    compact partials in streaming maps (corpus -> block-distinct
+    ``(chunk_hash)``, new -> per-(chunk_hash, doc) char sums; chunk
+    TEXTS never shuffle), then ONE chunk_hash-bucket exchange folds the
+    membership test per bucket, and a per-doc-bucket fold sums the
+    partials. No broadcast set, no driver state — per-bucket memory is
+    O(index / num_buckets).
+
+    Returns ``(doc_id, total_chars, new_chars, pct_new_micro)`` with
+    ``pct_new_micro = new * 1e6 // total`` (integer micro-units, the
+    corpus_report floor-division convention). Mirrored by
+    ``__ray_entry__.oracle_sql['cdc_delta_bytes']``."""
+    corp = cdc_chunks(corpus_docs, divisor=divisor, max_len=max_len)
+    new = cdc_chunks(new_docs, divisor=divisor, max_len=max_len)
+
+    def corp_partial(t: pa.Table) -> pa.Table:
+        h = pd.unique(t["chunk_hash"].to_numpy(zero_copy_only=False))
+        n = len(h)
+        return pa.table({
+            "chunk_hash": pa.array(h, type=pa.uint64()),
+            "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "chars": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__bucket": pa.array((h % num_buckets).astype(np.int32)),
+        })
+
+    def new_partial(t: pa.Table) -> pa.Table:
+        per = (pd.DataFrame({
+            "chunk_hash": t["chunk_hash"].to_numpy(zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "chars": t["length"].to_numpy(zero_copy_only=False)})
+            .groupby(["chunk_hash", "doc_id"], sort=False)["chars"].sum()
+            .reset_index())
+        h = per["chunk_hash"].to_numpy()
+        return pa.table({
+            "chunk_hash": pa.array(h, type=pa.uint64()),
+            "doc_id": pa.array(per["doc_id"].to_numpy().astype(np.int64)),
+            "chars": pa.array(per["chars"].to_numpy().astype(np.int64)),
+            "side": pa.array(np.ones(len(per), dtype=np.int8)),
+            "__bucket": pa.array((h % num_buckets).astype(np.int32)),
+        })
+
+    both = (corp.map_batches(corp_partial, batch_format="pyarrow")
+            .union(new.map_batches(new_partial, batch_format="pyarrow")))
+
+    def anti_fold(g: pd.DataFrame) -> pd.DataFrame:
+        known = set(g.loc[g["side"] == 0, "chunk_hash"].to_numpy())
+        nw = g[g["side"] == 1]
+        novel = ~nw["chunk_hash"].isin(known)
+        per = (pd.DataFrame({
+            "doc_id": nw["doc_id"].to_numpy(),
+            "total_chars": nw["chars"].to_numpy(),
+            "new_chars": np.where(novel, nw["chars"].to_numpy(), 0)})
+            .groupby("doc_id", sort=False).sum().reset_index())
+        per["__dbucket"] = (per["doc_id"].to_numpy()
+                            % num_buckets).astype(np.int32)
+        return per
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g.groupby("doc_id", sort=False)[["total_chars", "new_chars"]]
+               .sum().reset_index())
+        return pd.DataFrame({
+            "doc_id": per["doc_id"].to_numpy(dtype=np.int64),
+            "total_chars": per["total_chars"].to_numpy(dtype=np.int64),
+            "new_chars": per["new_chars"].to_numpy(dtype=np.int64),
+            "pct_new_micro": (per["new_chars"].to_numpy(dtype=np.int64)
+                              * 1_000_000
+                              // per["total_chars"].to_numpy(
+                                  dtype=np.int64)).astype(np.int64)})
+
+    return (both.groupby("__bucket")
+            .map_groups(anti_fold, batch_format="pandas")
+            .groupby("__dbucket").map_groups(doc_fold,
+                                             batch_format="pandas"))
+
+
 # -- vocabulary coverage / OOV-rate scoring ------------------------------------
 
 def corpus_vocab(docs, vocab_size: int = 200):

@@ -59,7 +59,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "unigram_entropy", "doc_novelty",
                       "media_asset_dedup", "crawl_host_stats",
                       "ann_recall", "main_content", "source_overlap",
-                      "span_langid", "cdc_chunks", "cdc_dedup_stats"]
+                      "span_langid", "cdc_chunks", "cdc_dedup_stats",
+                      "cdc_delta_bytes"]
 
 
 def _duck(sf_dir):

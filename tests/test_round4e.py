@@ -262,3 +262,27 @@ def test_cdc_chunks_edges():
     assert out.iloc[0]["start"] == 1 and out.iloc[0]["length"] == 2
     with pytest.raises(ValueError):
         cdc_chunks(None, divisor=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_delta_bytes_extremes():
+    from spatula_ray.stages.curate import cdc_delta_bytes
+
+    rng = np.random.default_rng(11)
+    corpus_text = " ".join("w%03d" % v
+                           for v in rng.integers(0, 80, size=300))
+    novel_text = " ".join("z%03d" % v
+                          for v in rng.integers(0, 80, size=300))
+    corpus = _ds(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array([corpus_text])}))
+    new = _ds(pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": pa.array([corpus_text, novel_text])}))
+    out = cdc_delta_bytes(corpus, new).to_pandas().set_index("doc_id")
+    # an exact re-ingest adds nothing; disjoint vocabulary adds all
+    assert out.loc[10, "new_chars"] == 0
+    assert out.loc[10, "pct_new_micro"] == 0
+    assert out.loc[11, "new_chars"] == out.loc[11, "total_chars"] \
+        == len(novel_text)
+    assert out.loc[11, "pct_new_micro"] == 1_000_000
