@@ -234,7 +234,8 @@ SUITE100X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                      "dedup_paragraphs", "dup_clusters", "tfidf_top_terms",
                      "distinct_shingles_hll", "event_users_hll",
                      "doc_pagerank", "value_quantiles_global",
-                     "epoch_shuffle", "pack_sequences"]
+                     "epoch_shuffle", "pack_sequences",
+                     "cdc_chunks", "cdc_dedup_stats"]
 
 
 def run_suite100x() -> None:
