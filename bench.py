@@ -266,7 +266,9 @@ def run_suite100x() -> None:
     qs = entrymod.queries()
     out = {"metric": "suite100x", "unit": "sec", "num_cpus": ncpu,
            "big_dir": big_dir, "queries": {}}
-    for name in SUITE100X_QUERIES:
+    sel = [s for s in os.environ.get("GRAFT_SUITE_QUERIES", "").split(",")
+           if s]
+    for name in (sel or SUITE100X_QUERIES):
         t0 = time.time()
         n = _consume(qs[name](big_dir))
         out["queries"][name] = {"sec_100x": round(time.time() - t0, 3),
