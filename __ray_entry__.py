@@ -989,10 +989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return temperature_mix(_docs(sf_dir, ["doc_id"]).map_batches(
             skew, batch_format="pyarrow"))
 
-    def caption_pairs_q(sf_dir):
+    def _caption_spans_ds(sf_dir):
         import pyarrow as pa
-
-        from spatula_ray.stages.multimodal import caption_pairs
 
         # fixture: each doc becomes an interleaved span sequence — 8-word
         # text paragraphs at even seq, one image after paragraph
@@ -1032,9 +1030,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "media_ref": pa.array(refs, type=pa.string()),
             })
 
-        span_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             spans, batch_format="pyarrow")
-        return caption_pairs(span_ds)
+
+    def caption_pairs_q(sf_dir):
+        from spatula_ray.stages.multimodal import caption_pairs
+
+        return caption_pairs(_caption_spans_ds(sf_dir))
+
+    def interleaved_doc_stats_q(sf_dir):
+        from spatula_ray.stages.multimodal import interleaved_doc_stats
+
+        return interleaved_doc_stats(_caption_spans_ds(sf_dir))
 
     def containment_pairs_q(sf_dir):
         # directed containment join over the superset fixture: every
@@ -1451,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_neardup": interleaved_neardup_q,
         "containment_pairs": containment_pairs_q,
         "caption_pairs": caption_pairs_q,
+        "interleaved_doc_stats": interleaved_doc_stats_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -3853,6 +3861,33 @@ SELECT chunk_hash, length, min(doc_id) AS owner_doc,
        count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
 FROM chunks GROUP BY chunk_hash, length
 HAVING count(*) >= 2
+"""
+
+    # modality-ratio accounting per interleaved doc: the caption fixture's
+    # spans CTE (sliced verbatim from the caption_pairs mirror) + one
+    # GROUP BY with arg_min/arg_max boundary-kind election
+    _spans_cte = sql["caption_pairs"].split("media AS")[0]
+    sql["interleaved_doc_stats"] = f"""{_spans_cte}
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_text,
+         CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media,
+         CAST(sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END)
+              AS BIGINT) AS text_chars,
+         CAST(arg_min(kind, seq) <> 'text' AS BIGINT) AS leads_media,
+         CAST(arg_max(kind, seq) <> 'text' AS BIGINT) AS ends_media
+  FROM spans GROUP BY doc_id
+)
+SELECT doc_id, n_spans, n_text, n_media, text_chars,
+       CASE WHEN n_media > 0
+            THEN CAST(CAST(text_chars AS HUGEINT) * 1000000 // n_media
+                      AS BIGINT)
+            ELSE -1 END AS chars_per_media_micro,
+       leads_media, ends_media
+FROM agg
 """
 
     # incremental-ingest dedup accounting: corpus chunk index LEFT JOIN

@@ -166,7 +166,7 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "ann_recall", "source_overlap",
                     # round-4f additions
                     "span_langid", "cdc_chunks", "cdc_dedup_stats",
-                    "cdc_delta_bytes"]
+                    "cdc_delta_bytes", "interleaved_doc_stats"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

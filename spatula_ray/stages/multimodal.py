@@ -785,3 +785,83 @@ def media_asset_dedup(span_ds, num_buckets: int = 32):
 
     return (span_ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
+
+
+def interleaved_doc_stats(span_ds, num_buckets: int = 32):
+    """Modality-ratio accounting per interleaved document — the
+    OBELICS-style curation table a multimodal corpus build filters on
+    (docs with media but almost no text, media-leading boilerplate
+    galleries, text-only docs that need no media pipeline):
+    ``(doc_id, n_spans, n_text, n_media, text_chars,
+    chars_per_media_micro, leads_media, ends_media)`` with
+    ``chars_per_media_micro = text_chars * 1e6 // n_media`` (integer
+    micro-units; -1 for text-only docs) and leads/ends flags from the
+    kind of the min-/max-seq span.
+
+    Streaming map reduces each batch to one partial row per document
+    (media payloads never shuffle — only counters and the boundary
+    seq/kind pairs), then ONE doc-hash-bucket fold merges partials:
+    sums for the counters, min-/max-seq election for the boundary
+    flags. Mirrored by
+    ``__ray_entry__.oracle_sql['interleaved_doc_stats']`` (GROUP BY
+    with arg_min/arg_max)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "seq": t["seq"].to_numpy(zero_copy_only=False),
+            "is_text": np.asarray(
+                [k == "text" for k in t["kind"].to_pylist()], dtype=bool),
+            "chars": np.asarray(
+                [len(x) if x is not None else 0
+                 for x in t["text"].to_pylist()], dtype=np.int64),
+        })
+        df["text_chars"] = np.where(df["is_text"], df["chars"], 0)
+        g = df.groupby("doc_id", sort=False)
+        agg = g.agg(n_spans=("seq", "size"),
+                    n_text=("is_text", "sum"),
+                    text_chars=("text_chars", "sum"),
+                    min_seq=("seq", "min"), max_seq=("seq", "max"))
+        lo = df.loc[g["seq"].idxmin(), ["doc_id", "is_text"]] \
+            .set_index("doc_id")["is_text"]
+        hi = df.loc[g["seq"].idxmax(), ["doc_id", "is_text"]] \
+            .set_index("doc_id")["is_text"]
+        ids = agg.index.to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_spans": pa.array(agg["n_spans"].to_numpy(dtype=np.int64)),
+            "n_text": pa.array(agg["n_text"].to_numpy(dtype=np.int64)),
+            "text_chars": pa.array(
+                agg["text_chars"].to_numpy(dtype=np.int64)),
+            "min_seq": pa.array(agg["min_seq"].to_numpy(dtype=np.int64)),
+            "lo_text": pa.array(lo.reindex(agg.index).to_numpy(dtype=bool)),
+            "max_seq": pa.array(agg["max_seq"].to_numpy(dtype=np.int64)),
+            "hi_text": pa.array(hi.reindex(agg.index).to_numpy(dtype=bool)),
+            "__bucket": pa.array((ids % num_buckets).astype(np.int32)),
+        })
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        gg = g.groupby("doc_id", sort=False)
+        agg = gg.agg(n_spans=("n_spans", "sum"), n_text=("n_text", "sum"),
+                     text_chars=("text_chars", "sum"))
+        lo = g.loc[gg["min_seq"].idxmin()] \
+            .set_index("doc_id")["lo_text"].reindex(agg.index)
+        hi = g.loc[gg["max_seq"].idxmax()] \
+            .set_index("doc_id")["hi_text"].reindex(agg.index)
+        n_spans = agg["n_spans"].to_numpy(dtype=np.int64)
+        n_text = agg["n_text"].to_numpy(dtype=np.int64)
+        n_media = n_spans - n_text
+        chars = agg["text_chars"].to_numpy(dtype=np.int64)
+        cpm = np.where(n_media > 0,
+                       chars * 1_000_000 // np.maximum(n_media, 1), -1)
+        return pd.DataFrame({
+            "doc_id": agg.index.to_numpy(dtype=np.int64),
+            "n_spans": n_spans, "n_text": n_text, "n_media": n_media,
+            "text_chars": chars,
+            "chars_per_media_micro": cpm.astype(np.int64),
+            "leads_media": (~lo.to_numpy(dtype=bool)).astype(np.int64),
+            "ends_media": (~hi.to_numpy(dtype=bool)).astype(np.int64)})
+
+    return (span_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

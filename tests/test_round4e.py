@@ -286,3 +286,23 @@ def test_cdc_delta_bytes_extremes():
     assert out.loc[11, "new_chars"] == out.loc[11, "total_chars"] \
         == len(novel_text)
     assert out.loc[11, "pct_new_micro"] == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interleaved_doc_stats_branches():
+    """Branches the caption fixture never hits: a media-LEADING doc, a
+    text-only doc (chars_per_media_micro = -1), and cross-block partial
+    merging (repartition forces doc 1's spans into separate blocks)."""
+    from spatula_ray.stages.multimodal import interleaved_doc_stats
+
+    spans = pa.table({
+        "doc_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "seq": pa.array([0, 1, 2, 0, 1], type=pa.int64()),
+        "kind": pa.array(["image", "text", "image", "text", "text"]),
+        "text": pa.array([None, "five chars x", None, "abc", "de"]),
+        "media_ref": pa.array(["m/a", None, "m/b", None, None]),
+    })
+    out = interleaved_doc_stats(_ds(spans).repartition(3)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1].tolist() == [3, 1, 2, 12, 6_000_000, 1, 1]
+    assert out.loc[2].tolist() == [2, 2, 0, 5, -1, 0, 0]
