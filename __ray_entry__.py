@@ -1043,6 +1043,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return interleaved_doc_stats(_caption_spans_ds(sf_dir))
 
+    def url_canonicalize_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.engine.keys import canonicalize, host_of
+
+        # conformance fixture for the URL-seen canonicalizer (engine/
+        # keys.py, the function every frontier URL passes through):
+        # six messy variants keyed doc_id % 6 — uppercase scheme/host,
+        # default ports (with and without userinfo), fragments, missing
+        # path, non-default port, query preservation. The SQL mirror
+        # constructs the expected canonical form per case (the fixture
+        # is deterministic from doc_id), so any engine deviation
+        # hash-mismatches. Per-row Python is fine here: a conformance
+        # query, not a hot path (the crawl path canonicalizes inside
+        # the fused runner).
+        def mess(t: pa.Table) -> pa.Table:
+            ids, urls = [], []
+            for d in t["doc_id"].to_pylist():
+                h = "h%04d.test" % (d % 50)
+                v = d % 6
+                if v == 0:
+                    u = f"HTTP://{h.upper()}:80/p/{d}#frag"
+                elif v == 1:
+                    u = f"https://{h}:443/p/{d}?b=2&a=1"
+                elif v == 2:
+                    u = f"https://{h.upper()}"
+                elif v == 3:
+                    u = f"http://{h}:8080/p/{d}"
+                elif v == 4:
+                    u = f"https://User:PW@{h}:443/x/{d}"
+                else:
+                    u = f"http://{h}/p/{d}"
+                ids.append(d)
+                urls.append(u)
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            })
+
+        def canon(t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "url": t["url"],
+                "canon_url": pa.array([canonicalize(u) for u in urls],
+                                      type=pa.string()),
+                "host": pa.array([host_of(u) for u in urls],
+                                 type=pa.string()),
+            })
+
+        return (_docs(sf_dir, ["doc_id"])
+                .map_batches(mess, batch_format="pyarrow")
+                .map_batches(canon, batch_format="pyarrow"))
+
     def containment_pairs_q(sf_dir):
         # directed containment join over the superset fixture: every
         # original is fully contained in its extended copy (1.0) while
@@ -1459,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": containment_pairs_q,
         "caption_pairs": caption_pairs_q,
         "interleaved_doc_stats": interleaved_doc_stats_q,
+        "url_canonicalize": url_canonicalize_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -3861,6 +3916,37 @@ SELECT chunk_hash, length, min(doc_id) AS owner_doc,
        count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
 FROM chunks GROUP BY chunk_hash, length
 HAVING count(*) >= 2
+"""
+
+    # URL canonicalization conformance: the mirror CONSTRUCTS the messy
+    # input and the expected canonical form per doc_id%6 case (lowercase
+    # scheme/host incl. creds, strip default port even after userinfo,
+    # strip fragment, '' path -> '/', preserve query verbatim, keep
+    # non-default ports)
+    sql["url_canonicalize"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS v,
+         'h' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0') || '.test'
+           AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE v
+    WHEN 0 THEN 'HTTP://' || upper(h) || ':80/p/' || doc_id || '#frag'
+    WHEN 1 THEN 'https://' || h || ':443/p/' || doc_id || '?b=2&a=1'
+    WHEN 2 THEN 'https://' || upper(h)
+    WHEN 3 THEN 'http://' || h || ':8080/p/' || doc_id
+    WHEN 4 THEN 'https://User:PW@' || h || ':443/x/' || doc_id
+    ELSE 'http://' || h || '/p/' || doc_id END AS url,
+  CASE v
+    WHEN 0 THEN 'http://' || h || '/p/' || doc_id
+    WHEN 1 THEN 'https://' || h || '/p/' || doc_id || '?b=2&a=1'
+    WHEN 2 THEN 'https://' || h || '/'
+    WHEN 3 THEN 'http://' || h || ':8080/p/' || doc_id
+    WHEN 4 THEN 'https://user:pw@' || h || '/x/' || doc_id
+    ELSE 'http://' || h || '/p/' || doc_id END AS canon_url,
+  h AS host
+FROM d
 """
 
     # modality-ratio accounting per interleaved doc: the caption fixture's

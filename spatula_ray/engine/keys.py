@@ -40,14 +40,20 @@ def canonicalize(url: str) -> str:
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     netloc = parts.netloc.lower()
+    creds = ""
+    hostport = netloc
     if "@" in netloc:
+        # split userinfo BEFORE looking for the port — partitioning the
+        # whole netloc at ':' would split inside 'user:pw@...' creds,
+        # leaving default ports unstripped (and host_of returning the
+        # username)
         creds, _, hostport = netloc.rpartition("@")
-        netloc = creds + "@" + hostport
-    host, _, port = netloc.partition(":")
+        creds += "@"
+    host, _, port = hostport.partition(":")
     if port and _DEFAULT_PORTS.get(scheme) == port:
-        netloc = host
+        hostport = host
     path = parts.path or "/"
-    return urlunsplit((scheme, netloc, path, parts.query, ""))
+    return urlunsplit((scheme, creds + hostport, path, parts.query, ""))
 
 
 def host_of(url: str) -> str:
@@ -57,7 +63,8 @@ def host_of(url: str) -> str:
     if m:
         return m.group(2)
     netloc = urlsplit(url).netloc.lower()
-    host, _, port = netloc.partition(":")
+    hostport = netloc.rpartition("@")[2]
+    host, _, port = hostport.partition(":")
     return host
 
 

@@ -60,7 +60,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "media_asset_dedup", "crawl_host_stats",
                       "ann_recall", "main_content", "source_overlap",
                       "span_langid", "cdc_chunks", "cdc_dedup_stats",
-                      "cdc_delta_bytes", "interleaved_doc_stats"]
+                      "cdc_delta_bytes", "interleaved_doc_stats",
+                      "url_canonicalize"]
 
 
 def _duck(sf_dir):

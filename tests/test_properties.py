@@ -63,6 +63,20 @@ def test_canonicalize_rules():
     assert canonicalize("https://h.test/a?b=1&a=2") == "https://h.test/a?b=1&a=2"
 
 
+def test_canonicalize_userinfo():
+    """Default-port stripping and host extraction must survive userinfo:
+    partitioning the whole netloc at ':' splits inside 'user:pw' creds
+    (the pre-round-4f bug — ports kept, host_of returning the username,
+    which would mis-route politeness gates)."""
+    from spatula_ray.engine.keys import host_of
+
+    assert canonicalize("https://User:PW@h.test:443/x") == \
+        "https://user:pw@h.test/x"
+    assert canonicalize("http://alice@h.test:80/") == "http://alice@h.test/"
+    assert host_of("https://User:PW@h.test:443/x") == "h.test"
+    assert host_of("http://alice@h.test:8080/") == "h.test"
+
+
 @given(st.sets(st.text(min_size=1, max_size=20), min_size=1, max_size=300))
 @settings(max_examples=50)
 def test_cuckoo_never_false_negative(urls):
