@@ -957,6 +957,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_novelty_q(sf_dir):
         return dd.doc_novelty(_docs(sf_dir, ["doc_id", "text"]))
 
+    def exact_substr_coverage_q(sf_dir):
+        # near-dup fixture: the perturbed copy keeps runs of 9 original
+        # tokens between 'xq7' substitutions, so 5-gram windows inside
+        # those runs are corpus-duplicated while windows straddling a
+        # substitution usually are not — a realistic partial-coverage
+        # distribution for the positional ExactSubstr measure
+        return dd.substring_dup_coverage(_docs_with_neardups(sf_dir),
+                                         k=5)
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1518,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
         "doc_novelty": doc_novelty_q,
+        "exact_substr_coverage": exact_substr_coverage_q,
         "media_asset_dedup": media_asset_dedup_q,
         "crawl_host_stats": dw.docweb_host_stats,
         "ann_recall": ann_recall_q,
@@ -3947,6 +3957,46 @@ SELECT doc_id,
     ELSE 'http://' || h || '/p/' || doc_id END AS canon_url,
   h AS host
 FROM d
+"""
+
+    # positional ExactSubstr coverage (Lee et al.) — mirrors
+    # stages/dedup.py::substring_dup_coverage over the near-dup fixture:
+    # every 5-gram WINDOW (positional, not distinct) duplicated anywhere
+    # in the corpus marks its word positions covered; coverage = union
+    # of covered intervals per doc. Short docs (<5 words) form one
+    # whole-doc window.
+    sql["exact_substr_coverage"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET},
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+iw AS (SELECT doc_id, ts, len(ts) AS n,
+              unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS i
+       FROM tok),
+win AS (SELECT doc_id, i - 1 AS pos,
+               CASE WHEN n < 5 THEN array_to_string(ts, ' ')
+                    ELSE array_to_string(ts[i : i + 4], ' ') END AS g,
+               CASE WHEN n < 5 THEN n ELSE 5 END AS wlen
+        FROM iw),
+dupg AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+cw AS (SELECT doc_id, pos, wlen FROM win JOIN dupg USING (g)),
+cov AS (SELECT doc_id,
+               pos + unnest(generate_series(0, wlen - 1)) AS w
+        FROM cw),
+covd AS (SELECT DISTINCT doc_id, w FROM cov),
+c AS (SELECT doc_id, count(*) AS covered FROM covd GROUP BY doc_id),
+nw AS (SELECT doc_id, len(ts) AS n_words FROM tok)
+SELECT nw.doc_id,
+       CAST(nw.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_words,
+       CAST(coalesce(c.covered, 0) * 1000000
+            // greatest(nw.n_words, 1) AS BIGINT) AS coverage_micro
+FROM nw LEFT JOIN c USING (doc_id)
 """
 
     # modality-ratio accounting per interleaved doc: the caption fixture's

@@ -655,6 +655,161 @@ def doc_novelty(ds, k_shingle: int = 3, num_buckets: int = 64):
     return parts.groupby("__b2").map_groups(fold, batch_format="pandas")
 
 
+def substring_dup_coverage(ds, k: int = 5, num_buckets: int = 64,
+                           id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Exact-substring duplication coverage (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction (exact micro-units) of its word POSITIONS covered by
+    at least one word-``k``-gram window that occurs two or more times
+    anywhere in the corpus (other docs or elsewhere in the same doc).
+    Unlike :func:`doc_novelty` (distinct-shingle df accounting) this is
+    positional — it measures the duplicated-CHAR mass an ExactSubstr
+    cut pass would actually remove, so template farms, quote chains and
+    within-doc loops all register. Docs shorter than ``k`` words form a
+    single whole-doc window.
+
+    Scale shape: the positional explode is inherently token-scale (the
+    op is defined over every window position) but each row is four
+    narrow ints; ONE gram-hash-bucket exchange co-locates all copies of
+    a gram, so in-bucket frequency IS global frequency and only the
+    rows of genuinely duplicated windows (bounded by the true duplicated
+    mass) survive to the second, doc-bucket exchange; the per-doc
+    interval union is a single vectorized cummax sweep over the whole
+    bucket (docs separated by a 2^31 offset — no per-doc Python loop).
+    Gram identity is the 64-bit vectorized corpus hash (values never
+    appear in output; collision odds ~n^2/2^65, the
+    :func:`_shingle_hashes` precedent). Driver sees nothing."""
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = _i64(t[id_col])
+        texts = t[text_col].to_pylist()
+        splits = [s.split(" ") if s else [] for s in texts]
+        lens = np.fromiter((len(s) for s in splits), dtype=np.int64,
+                           count=len(splits))
+        doc_parts: List[np.ndarray] = []
+        pos_parts: List[np.ndarray] = []
+        wlen_parts: List[np.ndarray] = []
+        gram_parts: List[np.ndarray] = []
+        for i in np.nonzero((lens > 0) & (lens < k))[0]:
+            gram_parts.append(np.array([" ".join(splits[i])],
+                                       dtype=object))
+            doc_parts.append(np.array([i], dtype=np.int64))
+            pos_parts.append(np.zeros(1, dtype=np.int64))
+            wlen_parts.append(lens[i:i + 1].copy())
+        long_idx = np.nonzero(lens >= k)[0]
+        if len(long_idx):
+            flat = np.fromiter(
+                chain.from_iterable(splits[i] for i in long_idx),
+                dtype=object, count=int(lens[long_idx].sum()))
+            dlens = lens[long_idx]
+            offs = np.r_[0, np.cumsum(dlens)]
+            total = int(offs[-1])
+            head = total - (k - 1)
+            g = flat[:head] + " "
+            for j in range(1, k - 1):
+                g = g + flat[j:j + head] + " "
+            g = g + flat[k - 1:k - 1 + head]
+            pos = np.arange(total, dtype=np.int64)[:head] \
+                - np.repeat(offs[:-1], dlens)[:head]
+            valid = (np.repeat(dlens, dlens)[:head] - pos) >= k
+            gram_parts.append(g[valid])
+            doc_parts.append(np.repeat(long_idx, dlens - (k - 1)))
+            pos_parts.append(pos[valid])
+            wlen_parts.append(np.full(int(valid.sum()), k,
+                                      dtype=np.int64))
+        if not gram_parts:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "wlen": pa.array([], type=pa.int64()),
+                "gh": pa.array([], type=pa.uint64()),
+                "__bucket": pa.array([], type=pa.int32())})
+        docs = np.concatenate(doc_parts)
+        gh = pd.util.hash_array(np.concatenate(gram_parts))
+        return pa.table({
+            "doc_id": pa.array(ids[docs]),
+            "pos": pa.array(np.concatenate(pos_parts)),
+            "wlen": pa.array(np.concatenate(wlen_parts)),
+            "gh": pa.array(gh),
+            "__bucket": pa.array((gh % np.uint64(num_buckets))
+                                 .astype(np.int32))})
+
+    positions = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def dup_rows(g: pd.DataFrame) -> pa.Table:
+        # all copies of a gram are in this bucket -> in-bucket counts
+        # are global window frequency. Arrow out: the downstream union
+        # partner (`words`) is arrow-blocked and Ray Data unions cannot
+        # mix block types.
+        c = g.groupby("gh")["doc_id"].transform("size")
+        out = g.loc[c >= 2, ["doc_id", "pos", "wlen"]]
+        ids = out["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pos": pa.array(out["pos"].to_numpy(dtype=np.int64)),
+            "wlen": pa.array(out["wlen"].to_numpy(dtype=np.int64)),
+            "__b2": pa.array((ids % num_buckets).astype(np.int32))})
+
+    dup = positions.groupby("__bucket").map_groups(
+        dup_rows, batch_format="pandas")
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = _i64(t[id_col])
+        n = np.fromiter(
+            (len(s.split(" ")) if s else 0
+             for s in t[text_col].to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "wlen": pa.array(n),
+            "__b2": pa.array((ids % num_buckets).astype(np.int32))})
+
+    words = ds.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pyarrow")
+
+    _OFF = np.int64(1) << np.int64(31)   # > any doc's word count
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["pos"] < 0]
+        d = g[g["pos"] >= 0]
+        n_words = base["wlen"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "doc_id": base["doc_id"].to_numpy(dtype=np.int64),
+            "n_words": n_words})
+        if len(d):
+            doc = d["doc_id"].to_numpy(dtype=np.int64)
+            ordv, uniq = pd.factorize(doc, sort=True)
+            start = d["pos"].to_numpy(dtype=np.int64) + ordv * _OFF
+            end = start + d["wlen"].to_numpy(dtype=np.int64)
+            o = np.lexsort((start, ordv))
+            start, end, ordv = start[o], end[o], ordv[o]
+            # vectorized interval union: running max of end, clipped
+            cummax = np.maximum.accumulate(
+                np.r_[np.int64(-1), end[:-1]])
+            contrib = np.maximum(end - np.maximum(start, cummax), 0)
+            covered = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(covered, ordv, contrib)
+            cov = pd.DataFrame({"doc_id": uniq, "covered": covered})
+            out = out.merge(cov, on="doc_id", how="left")
+            out["covered"] = out["covered"].fillna(0).astype("int64")
+        else:
+            out["covered"] = np.int64(0)
+        nw = out["n_words"].to_numpy(dtype=np.int64)
+        cv = out["covered"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+            "n_words": nw,
+            "covered_words": cv,
+            "coverage_micro": cv * 1_000_000 // np.maximum(nw, 1)})
+
+    return words.union(dup).groupby("__b2").map_groups(
+        fold, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -61,7 +61,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "ann_recall", "main_content", "source_overlap",
                       "span_langid", "cdc_chunks", "cdc_dedup_stats",
                       "cdc_delta_bytes", "interleaved_doc_stats",
-                      "url_canonicalize"]
+                      "url_canonicalize", "exact_substr_coverage"]
 
 
 def _duck(sf_dir):

@@ -306,3 +306,44 @@ def test_interleaved_doc_stats_branches():
         .to_pandas().set_index("doc_id").sort_index()
     assert out.loc[1].tolist() == [3, 1, 2, 12, 6_000_000, 1, 1]
     assert out.loc[2].tolist() == [2, 2, 0, 5, -1, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_dup_coverage():
+    """Positional ExactSubstr coverage: exact copies 100%, unique docs
+    0%, partial sharing covers exactly the interval union of duplicated
+    windows, within-doc repetition counts, short docs (<k words) form
+    one whole-doc window."""
+    from spatula_ray.stages.dedup import substring_dup_coverage
+
+    docs = {
+        1: "a b c d e f g h i j",              # exact copy of 2
+        2: "a b c d e f g h i j",
+        3: "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9",    # fully unique
+        4: "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4",    # shares run s1..s6 w/ 5
+        5: "s1 s2 s3 s4 s5 s6 v1 v2 v3 v4",
+        6: "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5",  # within-doc repeat
+        7: "a b c",                            # short, copy of 8
+        8: "a b c",
+        9: "z z",                              # short, unique
+    }
+    out = substring_dup_coverage(_ds(pa.table({
+        "doc_id": pa.array(sorted(docs), type=pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)])})), k=5) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out["n_words"].tolist() == [10, 10, 10, 10, 10, 11, 3, 3, 2]
+    assert out.loc[1, "coverage_micro"] == 1_000_000
+    assert out.loc[2, "coverage_micro"] == 1_000_000
+    assert out.loc[3, "coverage_micro"] == 0
+    # docs 4/5: dup windows are the two 5-grams inside the shared
+    # 6-word run -> union covers exactly 6 of 10 words
+    assert out.loc[4, "covered_words"] == 6
+    assert out.loc[4, "coverage_micro"] == 600_000
+    assert out.loc[5, "covered_words"] == 6
+    # doc 6: 'r1..r5' appears at pos 0 and 6 -> [0,5) + [6,11) = 10/11
+    assert out.loc[6, "covered_words"] == 10
+    assert out.loc[6, "coverage_micro"] == 10 * 1_000_000 // 11
+    # short docs: whole-doc window
+    assert out.loc[7, "coverage_micro"] == 1_000_000
+    assert out.loc[8, "coverage_micro"] == 1_000_000
+    assert out.loc[9, "coverage_micro"] == 0
