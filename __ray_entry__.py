@@ -128,6 +128,65 @@ def _docs_with_paragraphs(sf_dir: str):
     return base.map_batches(chunk, batch_format="pyarrow")
 
 
+def _docs_with_c4_lines(sf_dir: str):
+    """Re-chunk each doc into 6-word lines with doc_id+lineno-keyed
+    terminal punctuation (., !, ?, none) plus targeted pollution lines —
+    a javascript notice on doc_id % 5, 'lorem ipsum' on % 11, a brace
+    line on % 13 — so every C4 line and doc rule fires both ways.
+    SQL mirror: generate_series chunking + the same CASE suffixes."""
+    import pyarrow as pa
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+    punct = {0: ".", 1: "!", 2: "?", 3: ""}
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = (txt or "").split(" ")
+            lines = []
+            for i in range(0, len(ws), 6):
+                lineno = i // 6 + 1
+                lines.append(" ".join(ws[i:i + 6])
+                             + punct[(d + lineno) % 4])
+            if d % 5 == 0:
+                lines.append("please enable javascript to view this page.")
+            if d % 11 == 0:
+                lines.append("lorem ipsum dolor sit amet consectetur.")
+            if d % 13 == 0:
+                lines.append("function() { return 0; }")
+            ids.append(d)
+            outs.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(outs, type=pa.string())})
+
+    return base.map_batches(chunk, batch_format="pyarrow")
+
+
+def _docs_with_line_repeats(sf_dir: str):
+    """Re-chunk each doc into 7-word lines, then re-append line 1 at the
+    end (and line 2 on even doc_ids when it exists) so intra-document
+    line dedup has guaranteed work. SQL mirror: generate_series chunking
+    + a self-join on i=1 / i=2."""
+    import pyarrow as pa
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = (txt or "").split(" ")
+            lines = [" ".join(ws[i:i + 7]) for i in range(0, len(ws), 7)]
+            lines.append(lines[0])
+            if d % 2 == 0 and len(lines) >= 3:
+                lines.append(lines[1])
+            ids.append(d)
+            outs.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(outs, type=pa.string())})
+
+    return base.map_batches(chunk, batch_format="pyarrow")
+
+
 def _pii_inject(base):
     """Append deterministic doc_id-derived PII (email / phone / IPv4) to a
     subset of docs so the scrub pass has real work; SQL mirror builds the
@@ -966,6 +1025,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dd.substring_dup_coverage(_docs_with_neardups(sf_dir),
                                          k=5)
 
+    def c4_line_filters_q(sf_dir):
+        from spatula_ray.stages.text import c4_line_filters
+
+        return c4_line_filters(_docs_with_c4_lines(sf_dir)).sort("doc_id")
+
+    def dedup_within_doc_q(sf_dir):
+        from spatula_ray.stages.text import dedup_within_doc
+
+        return dedup_within_doc(
+            _docs_with_line_repeats(sf_dir)).sort("doc_id")
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1534,6 +1604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": main_content_q,
         "source_overlap": source_overlap_q,
         "span_langid": span_langid_q,
+        "c4_line_filters": c4_line_filters_q,
+        "dedup_within_doc": dedup_within_doc_q,
     }
 
 
@@ -4064,5 +4136,103 @@ ir AS (SELECT e.query_id, 'ivf' AS method, count(i.vec_id) AS hits
 SELECT query_id, method,
        CAST(hits * 1000000 // {_TOPK} AS BIGINT) AS recall_micro
 FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir)
+"""
+
+    # C4 line filters over the 6-word-line fixture: identical line
+    # splitting, RE2 terminal-punct test, [^ ]+ word count, and the
+    # three doc-level rules; clean_text re-joined in original order
+    sql["c4_line_filters"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/6.0) AS BIGINT)))
+                AS i
+       FROM w),
+chunks AS (SELECT doc_id, i,
+                  array_to_string(ws[(i-1)*6+1 : (i-1)*6+6], ' ') ||
+                  CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                       WHEN 2 THEN '?' ELSE '' END AS line
+           FROM iw),
+body AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t
+         FROM chunks GROUP BY doc_id),
+aug AS (SELECT doc_id, t ||
+          CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'please enable javascript to view this page.'
+               ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0
+               THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+               ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0
+               THEN chr(10) || 'function() { return 0; }'
+               ELSE '' END AS text
+        FROM body),
+lines AS (SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)),
+lf AS (SELECT doc_id, i, line,
+              len(regexp_extract_all(line, '[^ ]+')) AS nw,
+              (regexp_matches(line, '[.!?"]$')
+               AND len(regexp_extract_all(line, '[^ ]+')) >= 5
+               AND NOT contains(lower(line), 'javascript')) AS kept
+       FROM lines),
+agg AS (SELECT doc_id,
+               count(*) AS n_lines,
+               coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)
+                 AS kept_lines,
+               coalesce(sum(CASE WHEN kept THEN nw ELSE 0 END), 0)
+                 AS n_words_kept,
+               coalesce(string_agg(line, chr(10) ORDER BY i)
+                          FILTER (WHERE kept), '') AS clean_text
+        FROM lf GROUP BY doc_id),
+flags AS (SELECT doc_id,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{') AS has_brace
+          FROM aug)
+SELECT a.doc_id,
+       CAST(a.n_lines AS BIGINT) AS n_lines,
+       CAST(a.kept_lines AS BIGINT) AS kept_lines,
+       CAST(a.n_words_kept AS BIGINT) AS n_words_kept,
+       f.has_lorem, f.has_brace,
+       (a.kept_lines >= 3 AND NOT f.has_lorem AND NOT f.has_brace) AS keep,
+       a.clean_text
+FROM agg a JOIN flags f USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+    # intra-document line dedup over the 7-word-line repeat fixture:
+    # first-occurrence survival per (doc, line), original order
+    sql["dedup_within_doc"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/7.0) AS BIGINT)))
+                AS i
+       FROM w),
+chunks AS (SELECT doc_id, i,
+                  array_to_string(ws[(i-1)*7+1 : (i-1)*7+7], ' ') AS line
+           FROM iw),
+body AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t
+         FROM chunks GROUP BY doc_id),
+first AS (SELECT doc_id, line AS l1 FROM chunks WHERE i = 1),
+second AS (SELECT doc_id, line AS l2 FROM chunks WHERE i = 2),
+aug AS (SELECT b.doc_id,
+               b.t || chr(10) || f.l1 ||
+               CASE WHEN b.doc_id % 2 = 0 AND s.l2 IS NOT NULL
+                    THEN chr(10) || s.l2 ELSE '' END AS text
+        FROM body b
+        JOIN first f USING (doc_id)
+        LEFT JOIN second s USING (doc_id)),
+lines AS (SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)),
+keep AS (SELECT doc_id, line, min(i) AS k
+         FROM lines GROUP BY doc_id, line),
+rebuilt AS (SELECT doc_id, count(*) AS n_unique,
+                   string_agg(line, chr(10) ORDER BY k) AS clean_text
+            FROM keep GROUP BY doc_id),
+meta AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+         FROM aug)
+SELECT m.doc_id,
+       CAST(m.n_lines AS BIGINT) AS n_lines,
+       CAST(r.n_unique AS BIGINT) AS n_unique,
+       r.clean_text
+FROM meta m JOIN rebuilt r USING (doc_id)
+ORDER BY m.doc_id
 """
     return sql

@@ -451,3 +451,144 @@ def span_langid_majority(span_ds, num_buckets: int = 32):
 
     return (preds.map_batches(bucket, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
+
+
+# -- C4-style line filters (Raffel et al. 2020, §2.2) ---------------------------
+
+def c4_line_filters(docs, min_line_words: int = 5, min_kept_lines: int = 3):
+    """C4's classic line-level web-corpus cleanup, one row per document.
+
+    Line rules (a line survives when ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "``),
+      * has at least ``min_line_words`` nonempty space-split words,
+      * does not contain ``javascript`` (case-insensitive).
+    Document rules (a doc is kept when ALL hold):
+      * at least ``min_kept_lines`` surviving lines,
+      * lowercase text does not contain ``lorem ipsum``,
+      * text does not contain ``{``.
+
+    Emits ``(doc_id, n_lines, kept_lines, n_words_kept, has_lorem,
+    has_brace, keep, clean_text)`` where ``clean_text`` is the surviving
+    lines re-joined with newlines in original order ('' when none
+    survive). Every predicate is exact string/int logic, so the DuckDB
+    oracle mirrors it bit-for-bit (``string_split(text, chr(10))`` +
+    the same regex / list_filter word count).
+
+    Pure streaming ``map_batches`` over a narrow (doc_id, text)
+    projection: lines are flattened once into a single Arrow array, all
+    three line predicates run as vectorized pyarrow RE2 / substring
+    kernels over that flat array, per-doc reductions are numpy
+    ``bincount`` segment sums, and the kept-line re-join is a single
+    ``pc.binary_join`` over a rebuilt ListArray — no per-row Python in
+    the predicate path, no shuffle; embarrassingly parallel at 100 TB.
+
+    C4's remaining corpus-level step (three-sentence-span dedup) is the
+    separate ``exact_substr_coverage`` / ``dedup_paragraphs`` operators.
+    """
+
+    def filt(t: pa.Table) -> pa.Table:
+        texts = [s if s is not None else "" for s in t["text"].to_pylist()]
+        n_docs = len(texts)
+        per_doc = [s.split("\n") for s in texts]
+        counts = np.fromiter((len(ls) for ls in per_doc), dtype=np.int64,
+                             count=n_docs)
+        idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        flat = pa.array([l for ls in per_doc for l in ls],
+                        type=pa.string())
+
+        ends_ok = pc.match_substring_regex(flat, '[.!?"]$') \
+            .to_numpy(zero_copy_only=False)
+        n_words = pc.count_substring_regex(flat, "[^ ]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        has_js = pc.match_substring(pc.utf8_lower(flat), "javascript") \
+            .to_numpy(zero_copy_only=False)
+        kept = ends_ok & (n_words >= min_line_words) & ~has_js
+
+        n_lines = counts
+        kept_lines = np.bincount(idx[kept], minlength=n_docs)
+        n_words_kept = np.bincount(idx[kept], weights=n_words[kept],
+                                   minlength=n_docs).astype(np.int64)
+
+        txt = t["text"].combine_chunks()
+        low = pc.utf8_lower(txt)
+        has_lorem = pc.match_substring(low, "lorem ipsum") \
+            .to_numpy(zero_copy_only=False)
+        has_brace = pc.match_substring(txt, "{") \
+            .to_numpy(zero_copy_only=False)
+        keep = (kept_lines >= min_kept_lines) & ~has_lorem & ~has_brace
+
+        # kept lines per doc as a ListArray -> one vectorized join
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_lines, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets), flat.filter(pa.array(kept)))
+        clean = pc.binary_join(kept_list, "\n")
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(n_lines),
+            "kept_lines": pa.array(kept_lines.astype(np.int64)),
+            "n_words_kept": pa.array(n_words_kept),
+            "has_lorem": pa.array(has_lorem),
+            "has_brace": pa.array(has_brace),
+            "keep": pa.array(keep),
+            "clean_text": clean,
+        })
+
+    return docs.map_batches(filt, batch_format="pyarrow")
+
+
+def dedup_within_doc(docs):
+    """Intra-document line dedup: drop repeated lines WITHIN each doc,
+    keeping the first occurrence, preserving original order — the
+    within-page counterpart of the corpus-level ``dedup_paragraphs``
+    (repeated nav/footer fragments, templated list rows). Emits
+    ``(doc_id, n_lines, n_unique, clean_text)``.
+
+    Runs entirely inside one ``map_batches`` — each doc's dedup needs
+    only its own lines, so unlike corpus-level dedup there is NO shuffle
+    at all. First-occurrence selection is vectorized: lines are
+    flattened once, ``(doc_idx, line)`` first-seen is computed with
+    ``np.unique`` over a composite sort, and the survivor re-join is a
+    single ``pc.binary_join`` over a rebuilt ListArray. DuckDB mirror:
+    ``string_split`` + ``generate_series`` + ``MIN(i) GROUP BY doc, line``
+    + ``string_agg(... ORDER BY i)``."""
+
+    def dedup(t: pa.Table) -> pa.Table:
+        texts = [s if s is not None else "" for s in t["text"].to_pylist()]
+        n_docs = len(texts)
+        per_doc = [s.split("\n") for s in texts]
+        counts = np.fromiter((len(ls) for ls in per_doc), dtype=np.int64,
+                             count=n_docs)
+        idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        flat_py = [l for ls in per_doc for l in ls]
+        flat = pa.array(flat_py, type=pa.string())
+
+        # first-seen mask per (doc, line): stable argsort on a composite
+        # key, first row of each run survives
+        import pandas as pd
+        codes, _ = pd.factorize(np.asarray(flat_py, dtype=object),
+                                sort=False)
+        comp = idx * (codes.max() + 1 if len(codes) else 1) + codes
+        order = np.argsort(comp, kind="stable")
+        sorted_comp = comp[order]
+        first_of_run = np.ones(len(order), dtype=bool)
+        first_of_run[1:] = sorted_comp[1:] != sorted_comp[:-1]
+        kept = np.zeros(len(order), dtype=bool)
+        kept[order] = first_of_run
+
+        n_unique = np.bincount(idx[kept], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(n_unique, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets), flat.filter(pa.array(kept)))
+        clean = pc.binary_join(kept_list, "\n")
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(counts),
+            "n_unique": pa.array(n_unique.astype(np.int64)),
+            "clean_text": clean,
+        })
+
+    return docs.map_batches(dedup, batch_format="pyarrow")

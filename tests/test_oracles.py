@@ -61,7 +61,9 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "ann_recall", "main_content", "source_overlap",
                       "span_langid", "cdc_chunks", "cdc_dedup_stats",
                       "cdc_delta_bytes", "interleaved_doc_stats",
-                      "url_canonicalize", "exact_substr_coverage"]
+                      "url_canonicalize", "exact_substr_coverage",
+                      # round-4g: C4 line filters + intra-doc line dedup
+                      "c4_line_filters", "dedup_within_doc"]
 
 
 def _duck(sf_dir):
