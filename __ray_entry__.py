@@ -1025,6 +1025,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dd.substring_dup_coverage(_docs_with_neardups(sf_dir),
                                          k=5)
 
+    def token_budget_select_q(sf_dir):
+        from spatula_ray.stages.curate import token_budget_select
+
+        # scale-relative budget: a third of the corpus's tokens, exact
+        # integer arithmetic mirrored by the oracle's window cumsum
+        return token_budget_select(
+            _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
     def c4_line_filters_q(sf_dir):
         from spatula_ray.stages.text import c4_line_filters
 
@@ -1606,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_langid": span_langid_q,
         "c4_line_filters": c4_line_filters_q,
         "dedup_within_doc": dedup_within_doc_q,
+        "token_budget_select": token_budget_select_q,
     }
 
 
@@ -4195,6 +4204,31 @@ SELECT a.doc_id,
        a.clean_text
 FROM agg a JOIN flags f USING (doc_id)
 ORDER BY a.doc_id
+"""
+
+    # quality-ordered token-budget selection: same quality grid as
+    # doc_quality, [^ ]+ token counts, budget = total_tokens // 3,
+    # prefix rule over the (score desc, doc_id asc) total order
+    sql["token_budget_select"] = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(floor((0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')))
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                      / length(text))
+             + 0.3 * least(1.0, length(text) / 500.0)) * 1e6 + 0.5)
+              AS BIGINT) AS score_micro,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 3 AS budget FROM s),
+c AS (SELECT doc_id, score_micro, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score_micro DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+SELECT c.doc_id, c.score_micro, c.n_tokens,
+       (c.cum <= b.budget) AS selected
+FROM c, b
+ORDER BY c.doc_id
 """
 
     # intra-document line dedup over the 7-word-line repeat fixture:

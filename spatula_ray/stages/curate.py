@@ -2473,3 +2473,141 @@ def corpus_report(docs):
             [int(a[s]["qm"]) // int(a[s]["n_docs"]) for s in srcs],
             type=pa.int64()),
     })
+
+
+def token_budget_select(docs, budget_tokens: Optional[int] = None,
+                        budget_num: int = 1, budget_den: int = 3):
+    """Quality-ordered corpus selection to a token budget — "fill an
+    N-token training budget with the best documents": rank every doc by
+    (quality desc, doc_id asc) and keep the maximal prefix whose
+    cumulative token count stays within the budget. Emits one row per
+    doc: ``(doc_id, score_micro, n_tokens, selected)``.
+
+    ``budget_tokens`` is explicit when given; otherwise the budget is
+    ``total_tokens * budget_num // budget_den`` (scale-relative, exact
+    integer arithmetic). The score is the repo's composite quality in
+    round-half-up integer micro-units (identical to the ``doc_quality``
+    oracle's grid), tokens are the SQL-parity ``[^ ]+`` count — so the
+    DuckDB mirror (window ``SUM ... ROWS UNBOUNDED PRECEDING`` over the
+    same total order) reproduces the selection bit-for-bit.
+
+    Scale shape — NO global sort. The total order is resolved with the
+    repo's coarse-bucket + boundary-refine pattern:
+      1. one streaming map scores docs into a narrow (doc_id,
+         score_micro, n_tokens) projection, materialized once (24 B/doc
+         — row-bounded, not byte-bounded; ~240 GB for 10^10 docs,
+         object-store-spillable, vs re-reading 100 TB of text 3x);
+      2. per-(score_micro >> 8) bucket token sums via groupby — at most
+         score_range/256 rows (<= 3,907 for the 0..1e6 quality domain)
+         reach the driver;
+      3. only the ONE boundary bucket's rows (~corpus/3907 docs of 3
+         ints each — same driver-fold bound as the HLL registers and
+         quantile histograms) are pulled and ordered exactly to find
+         the cutoff (score*, doc*);
+      4. one broadcast-closure streaming filter flags every doc via the
+         pair rule ``score > s*  OR  (score == s* AND doc_id <= d*)``,
+         which equals the global prefix rule because (score, doc_id) is
+         a total order.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    non_alpha = _re.compile(r"[^a-zA-Z]")
+    tok_re = _re.compile(r"[^ ]+")
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sm = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(texts):
+            s = s or ""
+            ln = len(s)
+            if ln == 0:
+                continue
+            toks = s.split(" ")
+            ttr = len(set(toks)) / len(toks)
+            alpha = len(non_alpha.sub("", s)) / ln
+            len_score = min(1.0, ln / 500.0)
+            q = 0.4 * ttr + 0.3 * alpha + 0.3 * len_score
+            sm[i] = int(np.floor(q * 1e6 + 0.5))
+        ntok = pc.count_substring_regex(
+            t["text"].combine_chunks(), "[^ ]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score_micro": pa.array(sm),
+            "n_tokens": pa.array(ntok),
+        })
+
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+
+    if budget_tokens is None:
+        total = scored.sum("n_tokens") or 0
+        budget_tokens = int(total) * budget_num // budget_den
+    budget_tokens = int(budget_tokens)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        s = t["score_micro"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "b": pa.array((s >> 8).astype(np.int64)),
+            "tok": t["n_tokens"],
+        })
+
+    buckets = (scored.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("b").aggregate(Sum("tok", alias_name="tok")))
+    rows = sorted(((int(r["b"]), int(r["tok"]))
+                   for r in buckets.take_all()), reverse=True)
+
+    # walk buckets best-first to locate the boundary bucket
+    acc = 0
+    boundary = None
+    for b, tok in rows:
+        if acc + tok > budget_tokens:
+            boundary = b
+            break
+        acc += tok
+    if boundary is None:
+        # whole corpus fits: everything selected
+        def all_sel(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "selected", pa.array(np.ones(t.num_rows, dtype=bool)))
+        return scored.map_batches(all_sel, batch_format="pyarrow")
+
+    # exact cutoff inside the boundary bucket (driver fold, bounded by
+    # one bucket's occupancy; numpy only)
+    edge = scored.filter(
+        expr=f"score_micro >= {boundary << 8} and "
+             f"score_micro < {(boundary + 1) << 8}")
+    erows = edge.take_all()
+    et = pa.Table.from_pylist(erows)
+    if et.num_rows:
+        es = et["score_micro"].to_numpy(zero_copy_only=False)
+        ed = et["doc_id"].to_numpy(zero_copy_only=False)
+        en = et["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ed, -es))
+        cum = acc + np.cumsum(en[order])
+        ok = cum <= budget_tokens
+        if ok.any():
+            last = order[np.flatnonzero(ok)[-1]]
+            s_star, d_star = int(es[last]), int(ed[last])
+        else:
+            s_star, d_star = None, None
+    else:
+        s_star, d_star = None, None
+
+    if s_star is None:
+        # nothing in the boundary bucket fits: select exactly the better
+        # buckets (score above the boundary bucket's top value, which is
+        # (boundary << 8) + 255), nothing from the boundary bucket
+        s_cut, d_cut = (boundary << 8) + 255, -1
+    else:
+        s_cut, d_cut = s_star, d_star
+
+    def flag(t: pa.Table) -> pa.Table:
+        s = t["score_micro"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = (s > s_cut) | ((s == s_cut) & (d <= d_cut))
+        return t.append_column("selected", pa.array(sel))
+
+    return scored.map_batches(flag, batch_format="pyarrow")

@@ -63,7 +63,9 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "cdc_delta_bytes", "interleaved_doc_stats",
                       "url_canonicalize", "exact_substr_coverage",
                       # round-4g: C4 line filters + intra-doc line dedup
-                      "c4_line_filters", "dedup_within_doc"]
+                      # + token-budget selection
+                      "c4_line_filters", "dedup_within_doc",
+                      "token_budget_select"]
 
 
 def _duck(sf_dir):
