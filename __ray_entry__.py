@@ -1184,6 +1184,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(mess, batch_format="pyarrow")
                 .map_batches(canon, batch_format="pyarrow"))
 
+    def robots_conformance_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.engine.hostgate import HostGate
+
+        # conformance fixture for the robots gate (engine/hostgate.py,
+        # the admission check every frontier URL passes through before
+        # fetch). 20 hosts in 4 rule groups: group 0 disallows
+        # ['/private', '/p/archive'], group 1 only the trailing-slash
+        # '/private/', group 2 has an explicit EMPTY rule set, group 3
+        # is absent from the robots dict entirely (unknown host =>
+        # allowed). Paths hit the prefix-match subtleties: the rules
+        # are PREFIX rules (RobotsRules.allowed), so '/privateer/..'
+        # is denied under '/private' but allowed under '/private/',
+        # and '/p/a/..' is a near-miss of '/p/archive'. No wave quota
+        # and no crawl-delay: those codes depend on admission order
+        # across batches; robots deny/allow is per-row deterministic.
+        # Per-row Python is fine here: a conformance query, not a hot
+        # path (the crawl path batches admission inside GateActor).
+        robots = {}
+        for hi in range(20):
+            host = "h%02d.test" % hi
+            g = hi % 4
+            if g == 0:
+                robots[host] = {"disallow": ["/private", "/p/archive"]}
+            elif g == 1:
+                robots[host] = {"disallow": ["/private/"]}
+            elif g == 2:
+                robots[host] = {"disallow": []}
+            # g == 3: host absent
+
+        def admit(t: pa.Table) -> pa.Table:
+            gate = HostGate(robots=robots)
+            hosts, paths = [], []
+            for d in t["doc_id"].to_pylist():
+                hosts.append("h%02d.test" % (d % 20))
+                v = d % 5
+                if v == 0:
+                    paths.append("/private/%d" % d)
+                elif v == 1:
+                    paths.append("/privateer/%d" % d)
+                elif v == 2:
+                    paths.append("/p/archive/%d" % d)
+                elif v == 3:
+                    paths.append("/public/%d" % d)
+                else:
+                    paths.append("/p/a/%d" % d)
+            codes = gate.admit(hosts, paths)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "host": pa.array(hosts, type=pa.string()),
+                "path": pa.array(paths, type=pa.string()),
+                "admit_code": pa.array(codes, type=pa.int64()),
+            })
+
+        return _docs(sf_dir, ["doc_id"]).map_batches(
+            admit, batch_format="pyarrow")
+
     def containment_pairs_q(sf_dir):
         # directed containment join over the superset fixture: every
         # original is fully contained in its extended copy (1.0) while
@@ -1601,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_pairs": caption_pairs_q,
         "interleaved_doc_stats": interleaved_doc_stats_q,
         "url_canonicalize": url_canonicalize_q,
+        "robots_conformance": robots_conformance_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4038,6 +4097,40 @@ SELECT doc_id,
     ELSE 'http://' || h || '/p/' || doc_id END AS canon_url,
   h AS host
 FROM d
+"""
+
+    # robots-gate conformance: the expected admit code is a pure
+    # function of (host group, path variant) — group 0 prefix-denies
+    # '/private' and '/p/archive' (so '/privateer/..' is denied too:
+    # PREFIX rules), group 1 denies only '/private/' (so '/privateer/..'
+    # passes), groups 2 (empty rules) and 3 (unknown host) allow all.
+    sql["robots_conformance"] = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 20 AS hi,
+         (doc_id % 20) % 4 AS hg,
+         doc_id % 5 AS pv
+  FROM documents
+),
+p AS (
+  SELECT doc_id, hi, hg,
+    CASE pv
+      WHEN 0 THEN '/private/' || doc_id
+      WHEN 1 THEN '/privateer/' || doc_id
+      WHEN 2 THEN '/p/archive/' || doc_id
+      WHEN 3 THEN '/public/' || doc_id
+      ELSE '/p/a/' || doc_id END AS path
+  FROM d
+)
+SELECT doc_id,
+  'h' || lpad(CAST(hi AS VARCHAR), 2, '0') || '.test' AS host,
+  path,
+  CAST(CASE
+    WHEN hg = 0 AND (starts_with(path, '/private')
+                     OR starts_with(path, '/p/archive')) THEN 2
+    WHEN hg = 1 AND starts_with(path, '/private/') THEN 2
+    ELSE 0 END AS BIGINT) AS admit_code
+FROM p
 """
 
     # positional ExactSubstr coverage (Lee et al.) — mirrors

@@ -65,7 +65,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4g: C4 line filters + intra-doc line dedup
                       # + token-budget selection
                       "c4_line_filters", "dedup_within_doc",
-                      "token_budget_select"]
+                      "token_budget_select", "robots_conformance"]
 
 
 def _duck(sf_dir):
