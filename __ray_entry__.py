@@ -1044,6 +1044,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_within_doc(
             _docs_with_line_repeats(sf_dir)).sort("doc_id")
 
+    def normalize_text_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.text import normalize_text
+
+        # fixture: append a denormalized suffix keyed doc_id % 5 —
+        # combining acute (NFC composes to 'é'), combining ring ('Å'),
+        # tab + C0 control char, NBSP, and nothing (class 4 exercises
+        # the unchanged/changed flag against the doc's own newlines).
+        # The SQL mirror builds the identical suffix via chr().
+        def mess(t: pa.Table) -> pa.Table:
+            suf = ["", " café", " Å", "\tx\x01y ",
+                   " no break"]
+            ids = t["doc_id"].to_pylist()
+            txt = [(s or "") + suf[(d % 5 + 1) % 5]
+                   for d, s in zip(ids, t["text"].to_pylist())]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "text": pa.array(txt, type=pa.string()),
+            })
+
+        return normalize_text(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                mess, batch_format="pyarrow"))
+
+    def hashed_linear_score_q(sf_dir):
+        from spatula_ray.stages.text import hashed_linear_score
+
+        return hashed_linear_score(_docs(sf_dir, ["doc_id", "text"]),
+                                   oracle_parity=True)
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1660,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_doc_stats": interleaved_doc_stats_q,
         "url_canonicalize": url_canonicalize_q,
         "robots_conformance": robots_conformance_q,
+        "normalize_text": normalize_text_q,
+        "hashed_linear_score": hashed_linear_score_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4097,6 +4130,61 @@ SELECT doc_id,
     ELSE 'http://' || h || '/p/' || doc_id END AS canon_url,
   h AS host
 FROM d
+"""
+
+    # unicode/whitespace normalization: the suffix fixture is rebuilt
+    # with chr() (769 = U+0301 combining acute, 778 = U+030A combining
+    # ring, 160 = NBSP); DuckDB's nfc_normalize shares utf8proc's NFC
+    # tables with pyarrow's utf8_normalize, and both regexp passes are
+    # RE2 with the identical pattern strings, so norm_text is bit-exact.
+    sql["normalize_text"] = r"""
+WITH m AS (
+  SELECT doc_id,
+    text || CASE doc_id % 5
+      WHEN 0 THEN ' cafe' || chr(769)
+      WHEN 1 THEN ' A' || chr(778)
+      WHEN 2 THEN chr(9) || 'x' || chr(1) || 'y '
+      WHEN 3 THEN ' no' || chr(160) || 'break'
+      ELSE '' END AS raw
+  FROM documents
+),
+n AS (
+  SELECT doc_id, raw,
+    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+        '[\t\n\r\x0b\x0c\x{00A0} ]+', ' ', 'g'), ' ') AS norm
+  FROM m
+)
+SELECT doc_id, norm AS norm_text,
+       CAST(length(raw) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       norm <> raw AS changed
+FROM n
+"""
+
+    # hashed linear classifier: md5_number_lower is the engine's
+    # oracle_parity token hash (sketch._hash64 convention); the weight
+    # table is the same pure function of the bin on both sides, and the
+    # score is an exact int64 sum, so rows are bit-identical.
+    sql["hashed_linear_score"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(w) % 256 AS BIGINT) AS bin
+  FROM tok WHERE w <> ''
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         SUM((bin * 2654435761) % 1001 - 500) AS score
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score, 0) AS BIGINT) AS score_micro,
+       coalesce(s.score, 0) > 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id)
 """
 
     # robots-gate conformance: the expected admit code is a pure

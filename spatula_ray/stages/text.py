@@ -592,3 +592,126 @@ def dedup_within_doc(docs):
         })
 
     return docs.map_batches(dedup, batch_format="pyarrow")
+
+
+def normalize_text(docs):
+    """Unicode + whitespace normalization — the canonical first stage of
+    a web-text curation pipeline (the reference normalizes nothing; this
+    is a training-data extension like ``c4_line_filters``). Per document:
+
+      1. NFC-normalize (combining sequences compose: ``e`` + U+0301 ->
+         ``é``) — byte-identical text for visually identical strings is
+         what makes downstream exact dedup meaningful,
+      2. strip control characters (C0 minus whitespace, plus DEL),
+      3. collapse whitespace runs (space, TAB, LF, CR, VT, FF, NBSP)
+         to a single space,
+      4. trim leading/trailing spaces.
+
+    Emits ``(doc_id, norm_text, n_chars_raw, n_chars_norm, changed)``
+    with codepoint lengths. The NFC step runs through CPython's
+    C-implemented ``unicodedata`` with an ``is_normalized`` fast path
+    (web text is overwhelmingly already-NFC, so the common case is one
+    cheap C scan per string) — NOT ``pc.utf8_normalize``, which in this
+    Arrow build (16.1.0) decomposes without recomposing under every
+    form (observed: NFC('caf' + chr(0xE9)) -> 'cafe' + chr(0x301), i.e.
+    NFD behavior), diverging from DuckDB's ``nfc_normalize``. The two
+    cleanup passes are vectorized RE2 ``replace_substring_regex`` whose
+    pattern strings the DuckDB oracle reuses verbatim, so the SQL
+    mirror is bit-exact. No shuffle; embarrassingly parallel at 100 TB.
+    """
+    import unicodedata
+
+    ctrl = r"[\x00-\x08\x0e-\x1f\x7f]"
+    ws = r"[\t\n\r\x0b\x0c\x{00A0} ]+"
+
+    def norm(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        raw_len = pc.utf8_length(txt)
+        x = pa.array(
+            [s if s is None or unicodedata.is_normalized("NFC", s)
+             else unicodedata.normalize("NFC", s)
+             for s in txt.to_pylist()], type=pa.string())
+        x = pc.replace_substring_regex(x, pattern=ctrl, replacement="")
+        x = pc.replace_substring_regex(x, pattern=ws, replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": x,
+            "n_chars_raw": pc.cast(raw_len, pa.int64()),
+            "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64()),
+            "changed": pc.invert(pc.equal(x, txt)),
+        })
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+class HashedLinearScore:
+    """Hashed bag-of-words linear classifier inference — the
+    fastText-style quality filter every production web corpus runs
+    (CCNet's wiki-reference classifier, LLaMA's quality model): token ->
+    hash bin, fixed per-bin weight, document score = sum of weights over
+    token OCCURRENCES (bag semantics), keep = score > 0.
+
+    This stage is the INFERENCE shape, the part that must scale: the
+    weight table is built once per actor in ``__init__`` (at real scale
+    it would load a trained model; here the table is the deterministic
+    ``weight(b) = (b * 2654435761) % 1001 - 500`` in integer micro-units
+    so the DuckDB oracle reproduces scores exactly), scoring is one
+    vectorized pass per batch — flatten all docs' tokens into one array,
+    hash, gather weights, ``bincount`` segment-sum back per doc. Exact
+    int64 arithmetic end-to-end, no shuffle, no per-token Python on the
+    default path.
+
+    Token hash: ``pd.util.hash_array`` by default (C-vectorized);
+    ``oracle_parity=True`` uses md5 low-8-bytes little-endian ==
+    DuckDB ``md5_number_lower`` (the ``sketch._hash64`` convention) so
+    the gate query is bit-reproducible in SQL.
+
+    Emits ``(doc_id, n_tokens, score_micro, keep)``.
+    """
+
+    def __init__(self, n_bins: int = 256, oracle_parity: bool = False):
+        self.n_bins = n_bins
+        self.oracle_parity = oracle_parity
+        b = np.arange(n_bins, dtype=np.uint64)
+        self.weights = ((b * np.uint64(2654435761)) % np.uint64(1001)) \
+            .astype(np.int64) - 500
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .sketch import _hash64
+
+        texts = [s if s is not None else "" for s in t["text"].to_pylist()]
+        n_docs = len(texts)
+        per_doc = [[w for w in s.split(" ") if w] for s in texts]
+        counts = np.fromiter((len(ws) for ws in per_doc), dtype=np.int64,
+                             count=n_docs)
+        idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        flat = [w for ws in per_doc for w in ws]
+
+        if flat:
+            bins = (_hash64(flat, self.oracle_parity)
+                    % np.uint64(self.n_bins)).astype(np.int64)
+            score = np.bincount(idx, weights=self.weights[bins],
+                                minlength=n_docs).astype(np.int64)
+        else:
+            score = np.zeros(n_docs, dtype=np.int64)
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(counts),
+            "score_micro": pa.array(score),
+            "keep": pa.array(score > 0),
+        })
+
+
+def hashed_linear_score(docs, n_bins: int = 256,
+                        oracle_parity: bool = False,
+                        concurrency=(2, 8), batch_size: int = 256):
+    """Actor-pool wrapper for :class:`HashedLinearScore` (weights built
+    once per actor)."""
+    return docs.map_batches(
+        HashedLinearScore,
+        fn_constructor_kwargs=dict(n_bins=n_bins,
+                                   oracle_parity=oracle_parity),
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

@@ -65,7 +65,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # round-4g: C4 line filters + intra-doc line dedup
                       # + token-budget selection
                       "c4_line_filters", "dedup_within_doc",
-                      "token_budget_select", "robots_conformance"]
+                      "token_budget_select", "robots_conformance",
+                      "normalize_text", "hashed_linear_score"]
 
 
 def _duck(sf_dir):

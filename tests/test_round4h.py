@@ -1,0 +1,108 @@
+"""Round-4h operators: robots-gate conformance fixture, unicode/whitespace
+normalization, and hashed-linear-classifier scoring — edge cases the
+sf-corpus gate rows don't reach (empty/None text, already-normalized fast
+path, control-only strings, the prefix-vs-trailing-slash robots subtlety,
+and fast-hash vs oracle-parity hash agreement on keep decisions)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_robots_rules_prefix_semantics():
+    from spatula_ray.engine.hostgate import HostGate, RobotsRules
+
+    r = RobotsRules(["/private", "/p/archive"])
+    assert not r.allowed("/private/x")
+    assert not r.allowed("/privateer/x")      # PREFIX rule, not segment
+    assert not r.allowed("/p/archive/9")
+    assert r.allowed("/p/a/9")                # near-miss prefix
+    assert r.allowed("/public/1")
+
+    slash = RobotsRules(["/private/"])
+    assert slash.allowed("/privateer/x")      # trailing slash narrows
+    assert not slash.allowed("/private/x")
+
+    empty = RobotsRules([])
+    assert empty.allowed("/private/x")
+
+    gate = HostGate(robots={"a.test": {"disallow": ["/private"]}})
+    codes = gate.admit(["a.test", "a.test", "b.test"],
+                       ["/private/1", "/ok", "/private/1"])
+    assert codes == [2, 0, 0]                 # unknown host allowed
+    assert gate.denied == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_normalize_text_edges():
+    from spatula_ray.stages.text import normalize_text
+
+    texts = [
+        "cafe" + chr(0x301) + " x",          # combining acute composes
+        "caf" + chr(0xE9) + " x",            # already NFC: fast path
+        "\t a \x01 b \x7f ",                 # ctrl strip + ws collapse
+        "a" + chr(0xA0) + "b",               # NBSP -> space
+        "",                                  # empty
+        None,                                # null -> null out
+        "plain text",                        # unchanged
+    ]
+    out = normalize_text(_ds(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))).to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "norm_text"] == "caf" + chr(0xE9) + " x"
+    assert bool(out.loc[0, "changed"])
+    assert out.loc[0, "n_chars_raw"] == 7 and out.loc[0, "n_chars_norm"] == 6
+    assert out.loc[1, "norm_text"] == "caf" + chr(0xE9) + " x"
+    assert not bool(out.loc[1, "changed"])
+    assert out.loc[2, "norm_text"] == "a b"
+    assert out.loc[3, "norm_text"] == "a b"
+    assert out.loc[4, "norm_text"] == "" and not bool(out.loc[4, "changed"])
+    import pandas as pd
+
+    assert pd.isna(out.loc[5, "norm_text"])   # null propagates
+    assert out.loc[6, "norm_text"] == "plain text"
+    assert not bool(out.loc[6, "changed"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hashed_linear_score_edges():
+    from spatula_ray.stages.text import HashedLinearScore, hashed_linear_score
+
+    texts = ["alpha beta beta", "", None, "  ", "alpha"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = hashed_linear_score(_ds(tbl), oracle_parity=True) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[1, "n_tokens"] == 0 and out.loc[1, "score_micro"] == 0
+    assert not bool(out.loc[1, "keep"])
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[3, "n_tokens"] == 0
+
+    # bag semantics: doc 0 = w(alpha) + 2*w(beta); doc 4 = w(alpha)
+    scorer = HashedLinearScore(oracle_parity=True)
+    one = scorer(pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                           "text": pa.array(["beta"])}))
+    w_beta = one["score_micro"][0].as_py()
+    assert (out.loc[0, "score_micro"]
+            == out.loc[4, "score_micro"] + 2 * w_beta)
+
+    # the default (fast-hash) path is a valid classifier too: same
+    # shape, exact int64, deterministic across runs
+    fast1 = scorer_out = hashed_linear_score(_ds(tbl)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    fast2 = hashed_linear_score(_ds(tbl)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert (fast1["score_micro"] == fast2["score_micro"]).all()
+    assert (fast1["n_tokens"] == out["n_tokens"]).all()
