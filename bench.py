@@ -166,7 +166,12 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "ann_recall", "source_overlap",
                     # round-4f additions
                     "span_langid", "cdc_chunks", "cdc_dedup_stats",
-                    "cdc_delta_bytes", "interleaved_doc_stats"]
+                    "cdc_delta_bytes", "interleaved_doc_stats",
+                    # round-4g/4h additions
+                    "url_canonicalize", "exact_substr_coverage",
+                    "c4_line_filters", "dedup_within_doc",
+                    "token_budget_select", "robots_conformance",
+                    "normalize_text", "hashed_linear_score"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:
