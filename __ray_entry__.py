@@ -1075,6 +1075,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hashed_linear_score(_docs(sf_dir, ["doc_id", "text"]),
                                    oracle_parity=True)
 
+    def resolve_redirects_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import resolve_redirects
+
+        # fixture: per doc a redirect chain r/{d}/0 -> ... -> p/{d} of
+        # length doc_id % 3 + 1; every 17th doc's last edge loops back
+        # to r/{d}/0 instead (incl. the d=0 self-loop, L=1). One output
+        # row per chain NODE (each is a source URL).
+        def mkedges(t: pa.Table) -> pa.Table:
+            srcs, dsts = [], []
+            for d in t["doc_id"].to_pylist():
+                l = d % 3 + 1
+                cyc = (d % 17 == 0)
+                for i in range(l):
+                    srcs.append("r/%d/%d" % (d, i))
+                    if i < l - 1:
+                        dsts.append("r/%d/%d" % (d, i + 1))
+                    elif cyc:
+                        dsts.append("r/%d/0" % d)
+                    else:
+                        dsts.append("p/%d" % d)
+            return pa.table({"src": pa.array(srcs, type=pa.string()),
+                             "dst": pa.array(dsts, type=pa.string())})
+
+        edges = _docs(sf_dir, ["doc_id"]).map_batches(
+            mkedges, batch_format="pyarrow")
+        return resolve_redirects(edges, hop_cap=8)
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1693,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_conformance": robots_conformance_q,
         "normalize_text": normalize_text_q,
         "hashed_linear_score": hashed_linear_score_q,
+        "resolve_redirects": resolve_redirects_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4185,6 +4215,44 @@ SELECT d.doc_id,
        CAST(coalesce(s.score, 0) AS BIGINT) AS score_micro,
        coalesce(s.score, 0) > 0 AS keep
 FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+    # redirect-chain resolution: a recursion-bounded WITH RECURSIVE walk
+    # of the same deterministic edge fixture; terminal = cur never a
+    # source; sources with no terminal within 8 hops are cycles — the
+    # identical convention the engine's pointer doubling produces with
+    # hop_cap=8 (reach 2^3). hops counts are exact on both sides.
+    sql["resolve_redirects"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS l, (doc_id % 17 = 0) AS cyc
+  FROM documents
+),
+ei AS (
+  SELECT doc_id, l, cyc, unnest(generate_series(0, l - 1)) AS i FROM d
+),
+edges AS (
+  SELECT 'r/' || doc_id || '/' || i AS src,
+         CASE WHEN i < l - 1 THEN 'r/' || doc_id || '/' || (i + 1)
+              WHEN cyc THEN 'r/' || doc_id || '/0'
+              ELSE 'p/' || doc_id END AS dst
+  FROM ei
+),
+f(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT f.src, e2.dst, f.hops + 1
+  FROM f JOIN edges e2 ON f.cur = e2.src
+  WHERE f.hops < 8
+),
+res AS (
+  SELECT f.src, f.cur, f.hops FROM f
+  WHERE f.cur NOT IN (SELECT src FROM edges)
+)
+SELECT e.src AS src_url,
+       coalesce(r.cur, '') AS final_url,
+       CAST(coalesce(r.hops, -1) AS BIGINT) AS hops,
+       r.src IS NULL AS is_cycle
+FROM edges e LEFT JOIN res r ON e.src = r.src
 """
 
     # robots-gate conformance: the expected admit code is a pure

@@ -238,3 +238,92 @@ def pagerank(edges, num_nodes: int, iters: int = 5,
 
     return state.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
+
+
+def resolve_redirects(edges, hop_cap: int = 8, num_buckets: int = 32):
+    """Redirect-chain resolution over ``(src, dst)`` redirect edges — the
+    other classic post-crawl link job: every crawler accumulates a
+    redirect map (301/302/canonical rows) and needs, per source URL, the
+    FINAL destination, the hop count, and loop detection before URL-seen
+    merging and per-host accounting can treat redirected aliases as one
+    page. The reference follows redirects inline per fetch (scrapelib);
+    at 100 TB the map is a table and resolution is a batch job.
+
+    Algorithm: **pointer doubling** (the textbook parallel
+    list-ranking/path-compression step). State rows ``(src, cur, hops)``
+    start as the edges themselves; each round composes the state with
+    itself — ``cur -> state[cur]`` where present, accumulating exact hop
+    counts — so after k rounds every source has advanced
+    ``min(2^k, distance-to-terminal)`` hops. ``log2(hop_cap)`` rounds
+    resolve every chain of length <= ``hop_cap``; sources still pointing
+    at a redirecting URL after the final round are in (or feed into) a
+    loop longer than ``hop_cap`` and are flagged ``is_cycle`` (final_url
+    '', hops -1) — the same convention a recursion-bounded SQL mirror
+    produces, so the oracle is exact. ``hop_cap`` must be a power of two
+    (the round reach and the cap must coincide or the two conventions
+    diverge between ``hop_cap`` and ``2^rounds``).
+
+    Precondition: ``src`` is unique (a redirect map is a function; HTTP
+    gives one Location per URL). Duplicate srcs would fan out the
+    composition join.
+
+    Shuffle shape: ``log2(hop_cap) + 1`` hash-bucket exchanges of narrow
+    (src, cur, hops) rows — no driver materialization, no broadcast;
+    per-bucket memory is O(rows/buckets). Returns a Dataset of
+    ``(src_url, final_url, hops, is_cycle)``, one row per source.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import hash_bucket_join
+
+    rounds = int(np.log2(hop_cap))
+    if 2 ** rounds != hop_cap:
+        raise ValueError(f"hop_cap must be a power of two, got {hop_cap}")
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "cur": t["dst"],
+                         "hops": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64))})
+
+    state = edges.map_batches(init, batch_format="pyarrow")
+
+    def as_map(t: pa.Table) -> pa.Table:
+        return pa.table({"cur": t["src"], "nxt": t["cur"],
+                         "hops2": t["hops"]})
+
+    def compose(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"],
+            "cur": pc.coalesce(t["nxt"], t["cur"]),
+            "hops": pc.add(t["hops"], pc.fill_null(t["hops2"],
+                                                   np.int64(0))),
+        })
+
+    for _ in range(rounds):
+        map_ds = state.map_batches(as_map, batch_format="pyarrow")
+        state = hash_bucket_join(state, map_ds, on=["cur"], how="left",
+                                 num_buckets=num_buckets) \
+            .map_batches(compose, batch_format="pyarrow")
+
+    # terminal test: cur still appears as a source => unresolved (loop
+    # or chain longer than hop_cap). src is unique, so the left join
+    # cannot multiply rows.
+    def src_flags(t: pa.Table) -> pa.Table:
+        return pa.table({"cur": t["src"],
+                         "has_next": pa.array(
+                             np.ones(t.num_rows, dtype=np.int8))})
+
+    flagged = hash_bucket_join(
+        state, edges.map_batches(src_flags, batch_format="pyarrow"),
+        on=["cur"], how="left", num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cyc = pc.is_valid(t["has_next"])
+        return pa.table({
+            "src_url": t["src"],
+            "final_url": pc.if_else(cyc, "", t["cur"]),
+            "hops": pc.if_else(cyc, np.int64(-1), t["hops"]),
+            "is_cycle": cyc,
+        })
+
+    return flagged.map_batches(finish, batch_format="pyarrow")

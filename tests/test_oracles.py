@@ -66,7 +66,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # + token-budget selection
                       "c4_line_filters", "dedup_within_doc",
                       "token_budget_select", "robots_conformance",
-                      "normalize_text", "hashed_linear_score"]
+                      "normalize_text", "hashed_linear_score",
+                      "resolve_redirects"]
 
 
 def _duck(sf_dir):

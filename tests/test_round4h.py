@@ -106,3 +106,41 @@ def test_hashed_linear_score_edges():
         .to_pandas().set_index("doc_id").sort_index()
     assert (fast1["score_micro"] == fast2["score_micro"]).all()
     assert (fast1["n_tokens"] == out["n_tokens"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_redirects_edges():
+    from spatula_ray.stages.graph import resolve_redirects
+
+    # a -> b -> c -> T1          (chain of 3)
+    # s -> s                     (self-loop)
+    # p -> q -> p                (2-cycle)
+    # x1 -> x2 -> x3 -> x4 -> T2 (chain of exactly hop_cap=4)
+    # y1 -> ... -> y5 -> T3      (chain of 5 > hop_cap: y1 flagged,
+    #                             y2..y5 resolve at distance <= 4)
+    edges = {"a": "b", "b": "c", "c": "T1",
+             "s": "s", "p": "q", "q": "p",
+             "x1": "x2", "x2": "x3", "x3": "x4", "x4": "T2",
+             "y1": "y2", "y2": "y3", "y3": "y4", "y4": "y5", "y5": "T3"}
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(list(edges)),
+        "dst": pa.array([edges[k] for k in edges]),
+    }))
+    out = resolve_redirects(ds, hop_cap=4).to_pandas() \
+        .set_index("src_url").sort_index()
+
+    assert out.loc["a", "final_url"] == "T1" and out.loc["a", "hops"] == 3
+    assert out.loc["c", "hops"] == 1
+    assert bool(out.loc["s", "is_cycle"])
+    assert bool(out.loc["p", "is_cycle"]) and bool(out.loc["q", "is_cycle"])
+    assert out.loc["p", "final_url"] == "" and out.loc["p", "hops"] == -1
+    assert out.loc["x1", "final_url"] == "T2" and out.loc["x1", "hops"] == 4
+    assert bool(out.loc["y1", "is_cycle"])       # distance 5 > cap
+    assert out.loc["y2", "final_url"] == "T3" and out.loc["y2", "hops"] == 4
+    assert not bool(out.loc["y2", "is_cycle"])
+    assert len(out) == len(edges)
+
+    with pytest.raises(ValueError):
+        resolve_redirects(ds, hop_cap=6)
