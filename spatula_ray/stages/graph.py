@@ -269,12 +269,18 @@ def resolve_redirects(edges, hop_cap: int = 8, num_buckets: int = 32):
 
     Shuffle shape: ``log2(hop_cap) + 1`` hash-bucket exchanges of narrow
     (src, cur, hops) rows — no driver materialization, no broadcast;
-    per-bucket memory is O(rows/buckets). Returns a Dataset of
+    per-bucket memory is O(rows/buckets). Each round is FUSED: the state
+    materializes once and feeds both sides of the self-join (probe rows
+    bucketed by hash(cur), map rows by hash(src), same hash), and the
+    per-bucket kernel composes in place — a generic two-sided
+    ``hash_bucket_join`` per round would materialize the same rows twice
+    and pay an extra post-join pass (the first version did; ~2x the
+    Dataset executions for identical output). Returns a Dataset of
     ``(src_url, final_url, hops, is_cycle)``, one row per source.
     """
-    import pyarrow.compute as pc
+    import pandas as pd
 
-    from .joins import hash_bucket_join
+    from .joins import _bucket_of
 
     rounds = int(np.log2(hop_cap))
     if 2 ** rounds != hop_cap:
@@ -287,43 +293,75 @@ def resolve_redirects(edges, hop_cap: int = 8, num_buckets: int = 32):
 
     state = edges.map_batches(init, batch_format="pyarrow")
 
-    def as_map(t: pa.Table) -> pa.Table:
-        return pa.table({"cur": t["src"], "nxt": t["cur"],
-                         "hops2": t["hops"]})
+    # tag one materialized state twice: probe rows keyed by cur, map
+    # rows keyed by src. key is a separate column so both sides bucket
+    # through the identical _bucket_of(["key"]).
+    def tag(side: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "key": t[key_col], "src": t["src"], "cur": t["cur"],
+                "hops": t["hops"],
+            })
+            out = out.append_column(
+                "__bucket", _bucket_of(out, ["key"], num_buckets))
+            return out.append_column(
+                "__side", pa.array(np.full(t.num_rows, side,
+                                           dtype=np.int8)))
+        return fn
 
-    def compose(t: pa.Table) -> pa.Table:
+    def compose_kernel(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        m = df[df["__side"] == 1].set_index("key")
+        p = df[df["__side"] == 0]
+        nxt = p["key"].map(m["cur"])           # key == p.cur
+        h2 = p["key"].map(m["hops"])
+        cur = nxt.fillna(p["cur"])
+        hops = (p["hops"] + h2.fillna(0)).astype(np.int64)
         return pa.table({
-            "src": t["src"],
-            "cur": pc.coalesce(t["nxt"], t["cur"]),
-            "hops": pc.add(t["hops"], pc.fill_null(t["hops2"],
-                                                   np.int64(0))),
+            "src": pa.array(p["src"].to_numpy(), type=pa.string()),
+            "cur": pa.array(cur.to_numpy(), type=pa.string()),
+            "hops": pa.array(hops.to_numpy()),
         })
 
     for _ in range(rounds):
-        map_ds = state.map_batches(as_map, batch_format="pyarrow")
-        state = hash_bucket_join(state, map_ds, on=["cur"], how="left",
-                                 num_buckets=num_buckets) \
-            .map_batches(compose, batch_format="pyarrow")
+        st = state.materialize()
+        u = st.map_batches(tag(0, "cur"), batch_format="pyarrow").union(
+            st.map_batches(tag(1, "src"), batch_format="pyarrow"))
+        state = u.groupby("__bucket").map_groups(
+            compose_kernel, batch_format="pyarrow")
 
-    # terminal test: cur still appears as a source => unresolved (loop
-    # or chain longer than hop_cap). src is unique, so the left join
-    # cannot multiply rows.
-    def src_flags(t: pa.Table) -> pa.Table:
-        return pa.table({"cur": t["src"],
-                         "has_next": pa.array(
-                             np.ones(t.num_rows, dtype=np.int8))})
+    # terminal test, same fused shape: cur still appearing as a source
+    # => unresolved (loop or chain longer than hop_cap). src is unique,
+    # so the lookup cannot multiply rows.
+    def tag_srcs(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "key": t["src"],
+            "src": pa.nulls(t.num_rows, type=pa.string()),
+            "cur": pa.nulls(t.num_rows, type=pa.string()),
+            "hops": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+        out = out.append_column(
+            "__bucket", _bucket_of(out, ["key"], num_buckets))
+        return out.append_column(
+            "__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
 
-    flagged = hash_bucket_join(
-        state, edges.map_batches(src_flags, batch_format="pyarrow"),
-        on=["cur"], how="left", num_buckets=num_buckets)
-
-    def finish(t: pa.Table) -> pa.Table:
-        cyc = pc.is_valid(t["has_next"])
+    def finish_kernel(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        src_set = set(df.loc[df["__side"] == 1, "key"])
+        p = df[df["__side"] == 0]
+        cyc = p["key"].isin(src_set).to_numpy()
         return pa.table({
-            "src_url": t["src"],
-            "final_url": pc.if_else(cyc, "", t["cur"]),
-            "hops": pc.if_else(cyc, np.int64(-1), t["hops"]),
-            "is_cycle": cyc,
+            "src_url": pa.array(p["src"].to_numpy(), type=pa.string()),
+            "final_url": pa.array(
+                np.where(cyc, "", p["cur"].to_numpy()),
+                type=pa.string()),
+            "hops": pa.array(
+                np.where(cyc, -1, p["hops"].to_numpy()).astype(np.int64)),
+            "is_cycle": pa.array(cyc),
         })
 
-    return flagged.map_batches(finish, batch_format="pyarrow")
+    u = state.materialize().map_batches(tag(0, "cur"),
+                                        batch_format="pyarrow").union(
+        edges.map_batches(tag_srcs, batch_format="pyarrow"))
+    return u.groupby("__bucket").map_groups(
+        finish_kernel, batch_format="pyarrow")
