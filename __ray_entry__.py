@@ -1104,6 +1104,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mkedges, batch_format="pyarrow")
         return resolve_redirects(edges, hop_cap=8)
 
+    def sitemap_seeds_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import parse_sitemaps
+
+        # fixture: one <urlset> sitemap per host (doc_id % 20), entries
+        # in doc_id order; every 13th doc's entry omits <lastmod> (the
+        # operator emits '' for it). The XML is BUILT here and PARSED by
+        # the engine's own stdlib DOM, so the query is a round-trip test
+        # of the production parser; the oracle reconstructs the pre-XML
+        # values directly.
+        def key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "hostk", pa.array(t["doc_id"].to_numpy() % 20))
+
+        def build(g: pa.Table) -> pa.Table:
+            ids = sorted(g["doc_id"].to_pylist())
+            host = "h%02d.test" % (ids[0] % 20)
+            parts = []
+            for d in ids:
+                mod = ("" if d % 13 == 0 else
+                       "<lastmod>2026-01-%02d</lastmod>" % (d % 28 + 1))
+                parts.append("<url><loc>https://%s/p/%d</loc>%s</url>"
+                             % (host, d, mod))
+            body = ('<?xml version="1.0"?><urlset>'
+                    + "".join(parts) + "</urlset>")
+            return pa.table({"host": pa.array([host], type=pa.string()),
+                             "body": pa.array([body], type=pa.string())})
+
+        sitemaps = (_docs(sf_dir, ["doc_id"])
+                    .map_batches(key, batch_format="pyarrow")
+                    .groupby("hostk")
+                    .map_groups(build, batch_format="pyarrow"))
+        return parse_sitemaps(sitemaps)
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1723,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": normalize_text_q,
         "hashed_linear_score": hashed_linear_score_q,
         "resolve_redirects": resolve_redirects_q,
+        "sitemap_seeds": sitemap_seeds_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4253,6 +4289,21 @@ SELECT e.src AS src_url,
        CAST(coalesce(r.hops, -1) AS BIGINT) AS hops,
        r.src IS NULL AS is_cycle
 FROM edges e LEFT JOIN res r ON e.src = r.src
+"""
+
+    # sitemap ingestion round-trip: the oracle reconstructs the values
+    # the fixture serialized INTO the per-host sitemap XML; any parser
+    # deviation (entity handling, entry order, lastmod omission)
+    # hash-mismatches.
+    sql["sitemap_seeds"] = """
+SELECT 'h' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.test'
+         AS host,
+       printf('https://h%02d.test/p/%d',
+              CAST(doc_id % 20 AS INT), doc_id) AS url,
+       CASE WHEN doc_id % 13 = 0 THEN ''
+            ELSE printf('2026-01-%02d', CAST(doc_id % 28 + 1 AS INT))
+       END AS lastmod
+FROM documents
 """
 
     # robots-gate conformance: the expected admit code is a pure

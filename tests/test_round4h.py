@@ -144,3 +144,34 @@ def test_resolve_redirects_edges():
 
     with pytest.raises(ValueError):
         resolve_redirects(ds, hop_cap=6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sitemap_parse_edges():
+    from spatula_ray.stages.ingest import parse_sitemaps
+
+    import ray.data as rd
+
+    bodies = [
+        # normal, with namespace attr and xml decl
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc>https://a.test/1</loc>'
+        '<lastmod>2026-01-01</lastmod></url>'
+        '<url><loc>https://a.test/2</loc></url></urlset>',
+        # entry without loc is dropped; empty urlset ok
+        '<urlset><url><lastmod>2026-02-02</lastmod></url></urlset>',
+        '<urlset></urlset>',
+    ]
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array(["a.test", "b.test", "c.test"]),
+        "body": pa.array(bodies),
+    }))
+    out = parse_sitemaps(ds).to_pandas()
+
+    assert len(out) == 2
+    assert set(out["host"]) == {"a.test"}
+    assert list(out.sort_values("url")["url"]) == [
+        "https://a.test/1", "https://a.test/2"]
+    got = out.set_index("url")
+    assert got.loc["https://a.test/1", "lastmod"] == "2026-01-01"
+    assert got.loc["https://a.test/2", "lastmod"] == ""
