@@ -58,4 +58,4 @@ def parse_sitemaps(sitemaps, concurrency=(2, 8), batch_size: int = 32):
     """Actor-pool wrapper for :class:`SitemapParse`."""
     return sitemaps.map_batches(
         SitemapParse, concurrency=concurrency, batch_size=batch_size,
-        batch_format="pyarrow")
+        batch_format="pyarrow", max_restarts=0)

@@ -714,4 +714,4 @@ def hashed_linear_score(docs, n_bins: int = 256,
         fn_constructor_kwargs=dict(n_bins=n_bins,
                                    oracle_parity=oracle_parity),
         concurrency=concurrency, batch_size=batch_size,
-        batch_format="pyarrow")
+        batch_format="pyarrow", max_restarts=0)
