@@ -1139,6 +1139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     .map_groups(build, batch_format="pyarrow"))
         return parse_sitemaps(sitemaps)
 
+    def length_batches_q(sf_dir):
+        from spatula_ray.stages.curate import length_bucket_batches
+
+        return length_bucket_batches(_docs(sf_dir, ["doc_id", "text"]))
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1759,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_linear_score": hashed_linear_score_q,
         "resolve_redirects": resolve_redirects_q,
         "sitemap_seeds": sitemap_seeds_q,
+        "length_batches": length_batches_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4304,6 +4310,33 @@ SELECT 'h' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.test'
             ELSE printf('2026-01-%02d', CAST(doc_id % 28 + 1 AS INT))
        END AS lastmod
 FROM documents
+"""
+
+    # length-bucketed dynamic batching: the within-length-bucket order
+    # is doc_id, so row_number reproduces the engine's distributed
+    # prefix counts exactly; batch aggregates are Sum/Sum/Max over the
+    # identical assignment.
+    sql["length_batches"] = """
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         n_tokens // 16 AS len_bucket,
+         row_number() OVER (PARTITION BY n_tokens // 16
+                            ORDER BY doc_id) - 1 AS seq
+  FROM n
+)
+SELECT len_bucket,
+       CAST(seq // 8 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+         AS pad_waste
+FROM b GROUP BY 1, 2
 """
 
     # robots-gate conformance: the expected admit code is a pure

@@ -172,7 +172,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "c4_line_filters", "dedup_within_doc",
                     "token_budget_select", "robots_conformance",
                     "normalize_text", "hashed_linear_score",
-                    "resolve_redirects", "sitemap_seeds"]
+                    "resolve_redirects", "sitemap_seeds",
+                    "length_batches"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -2611,3 +2611,97 @@ def token_budget_select(docs, budget_tokens: Optional[int] = None,
         return t.append_column("selected", pa.array(sel))
 
     return scored.map_batches(flag, batch_format="pyarrow")
+
+
+def length_bucket_batches(docs, batch_rows: int = 8,
+                          len_bucket_width: int = 16,
+                          bucket_span: int = 4096):
+    """Length-bucketed dynamic batching — the inference/training-loader
+    step that groups similar-length documents into fixed-row batches so
+    padding-to-max waste stays small (the "bucketing by sequence length"
+    every serving stack and packed-training loader performs). Documents
+    are bucketed by ``n_tokens // len_bucket_width``, ordered by doc_id
+    within each length bucket, and cut into batches of ``batch_rows``;
+    the output is ONE ROW PER BATCH with its padding accounting:
+    ``(len_bucket, batch_id, n_docs, max_tokens, sum_tokens, pad_waste)``
+    where ``pad_waste = n_docs * max_tokens - sum_tokens`` (the padding
+    tokens a pad-to-batch-max collator would emit).
+
+    Distribution: the global within-length-bucket order is recovered
+    WITHOUT a global sort by the same two-pass distributed prefix scheme
+    as :func:`pack_sequences`, extended to two keys — per
+    (len_bucket, id_bucket) COUNTS reach the driver (rows bounded by
+    n_len_buckets x n_docs/bucket_span, counts only, same driver-fold
+    bound pack_sequences documents), offsets assign each id-bucket its
+    starting sequence number per length bucket, and a per-id-bucket
+    kernel computes batch ids locally. Batch-level partials then merge
+    across id-buckets in ONE (len_bucket, batch_id) groupby — batches
+    straddling id-bucket boundaries merge exactly (Sum/Sum/Max are
+    associative). Token texts never shuffle; both exchanges carry a few
+    ints per doc or per batch."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def keys(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")).cast(pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": n,
+            "len_bucket": pc.divide(n, len_bucket_width),
+            "__bucket": pc.divide(t["doc_id"], bucket_span),
+        })
+
+    keyed = docs.map_batches(keys, batch_format="pyarrow").materialize()
+
+    per_cell = keyed.groupby(["len_bucket", "__bucket"]).aggregate(
+        Count(alias_name="n")).take_all()
+    per_cell.sort(key=lambda r: (r["len_bucket"], r["__bucket"]))
+    offsets: Dict[tuple, int] = {}
+    run_lb, run = None, 0
+    for r in per_cell:
+        if r["len_bucket"] != run_lb:
+            run_lb, run = r["len_bucket"], 0
+        offsets[(r["len_bucket"], r["__bucket"])] = run
+        run += r["n"]
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["len_bucket", "doc_id"], kind="mergesort")
+        ib = int(g["__bucket"].iloc[0])
+        seq_local = g.groupby("len_bucket").cumcount().to_numpy()
+        base = np.fromiter(
+            (offsets[(int(lb), ib)] for lb in g["len_bucket"]),
+            dtype=np.int64, count=len(g))
+        batch_id = (base + seq_local) // batch_rows
+        part = pd.DataFrame({
+            "len_bucket": g["len_bucket"].to_numpy(),
+            "batch_id": batch_id,
+            "n_tokens": g["n_tokens"].to_numpy(),
+        })
+        agg = part.groupby(["len_bucket", "batch_id"]).agg(
+            n_docs=("n_tokens", "size"),
+            max_tokens=("n_tokens", "max"),
+            sum_tokens=("n_tokens", "sum")).reset_index()
+        return agg.astype(np.int64)
+
+    partials = keyed.groupby("__bucket").map_groups(
+        assign, batch_format="pandas")
+    merged = partials.groupby(["len_bucket", "batch_id"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Max("max_tokens", alias_name="max_tokens"),
+        Sum("sum_tokens", alias_name="sum_tokens"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        waste = pc.subtract(
+            pc.multiply(t["n_docs"].cast(pa.int64()),
+                        t["max_tokens"].cast(pa.int64())),
+            t["sum_tokens"].cast(pa.int64()))
+        return pa.table({
+            "len_bucket": t["len_bucket"].cast(pa.int64()),
+            "batch_id": t["batch_id"].cast(pa.int64()),
+            "n_docs": t["n_docs"].cast(pa.int64()),
+            "max_tokens": t["max_tokens"].cast(pa.int64()),
+            "sum_tokens": t["sum_tokens"].cast(pa.int64()),
+            "pad_waste": waste,
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -67,7 +67,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "c4_line_filters", "dedup_within_doc",
                       "token_budget_select", "robots_conformance",
                       "normalize_text", "hashed_linear_score",
-                      "resolve_redirects", "sitemap_seeds"]
+                      "resolve_redirects", "sitemap_seeds",
+                      "length_batches"]
 
 
 def _duck(sf_dir):

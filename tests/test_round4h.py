@@ -175,3 +175,39 @@ def test_sitemap_parse_edges():
     got = out.set_index("url")
     assert got.loc["https://a.test/1", "lastmod"] == "2026-01-01"
     assert got.loc["https://a.test/2", "lastmod"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_bucket_batches_boundaries():
+    from spatula_ray.stages.curate import length_bucket_batches
+
+    import ray.data as rd
+
+    # 10 docs, all in len_bucket 0 (width 64 > all lengths), batch_rows=4
+    # and bucket_span=3 so batches straddle id-bucket boundaries: batches
+    # must merge exactly (4, 4, 2 docs)
+    texts = [" ".join(["w"] * (i + 1)) for i in range(10)]  # 1..10 tokens
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = length_bucket_batches(ds, batch_rows=4, len_bucket_width=64,
+                                bucket_span=3).to_pandas() \
+        .sort_values("batch_id").reset_index(drop=True)
+
+    assert list(out["n_docs"]) == [4, 4, 2]
+    # batch 0 = docs 0..3 (1..4 tokens): max 4, sum 10, waste 6
+    assert out.loc[0, "max_tokens"] == 4 and out.loc[0, "sum_tokens"] == 10
+    assert out.loc[0, "pad_waste"] == 6
+    # batch 2 = docs 8,9 (9,10 tokens): waste = 2*10 - 19 = 1
+    assert out.loc[2, "pad_waste"] == 1
+
+    # two length buckets: doc lengths 1 and 70 split at width 64
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["w", " ".join(["w"] * 70)]),
+    }))
+    out2 = length_bucket_batches(ds2, batch_rows=4, len_bucket_width=64,
+                                 bucket_span=3).to_pandas()
+    assert sorted(out2["len_bucket"]) == [0, 1]
+    assert (out2["n_docs"] == 1).all() and (out2["pad_waste"] == 0).all()
