@@ -1139,6 +1139,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     .map_groups(build, batch_format="pyarrow"))
         return parse_sitemaps(sitemaps)
 
+    def snapshot_diff_q(sf_dir):
+        import hashlib as _hl
+
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import snapshot_diff
+
+        # fixture: old = every doc as (u/{id}, md5(text)); new drops
+        # every 11th (removed), rewrites every 7th's text (changed),
+        # and adds a fresh URL per 13th doc (added); the rest unchanged
+        # (and filtered — the diff is churn-bounded).
+        def snap(t: pa.Table, new: bool) -> pa.Table:
+            urls, fps = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                txt = txt or ""
+                if new and d % 11 == 0:
+                    pass                       # removed from new
+                else:
+                    body = (txt + " upd") if (new and d % 7 == 0) else txt
+                    urls.append("u/%d" % d)
+                    fps.append(_hl.md5(body.encode()).hexdigest())
+                if new and d % 13 == 0:
+                    urls.append("u/%d" % (d + 10_000_000))
+                    fps.append(_hl.md5(("new %d" % d).encode()).hexdigest())
+            return pa.table({
+                "url": pa.array(urls, type=pa.string()),
+                "fingerprint": pa.array(fps, type=pa.string()),
+            })
+
+        docs = _docs(sf_dir, ["doc_id", "text"])
+        old = docs.map_batches(lambda t: snap(t, False),
+                               batch_format="pyarrow")
+        new = docs.map_batches(lambda t: snap(t, True),
+                               batch_format="pyarrow")
+        return snapshot_diff(old, new)
+
     def length_batches_q(sf_dir):
         from spatula_ray.stages.curate import length_bucket_batches
 
@@ -1765,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_redirects": resolve_redirects_q,
         "sitemap_seeds": sitemap_seeds_q,
         "length_batches": length_batches_q,
+        "snapshot_diff": snapshot_diff_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4310,6 +4348,39 @@ SELECT 'h' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.test'
             ELSE printf('2026-01-%02d', CAST(doc_id % 28 + 1 AS INT))
        END AS lastmod
 FROM documents
+"""
+
+    # crawl-snapshot diff: FULL OUTER JOIN of the two fingerprint
+    # snapshots, churn rows only; removed (doc_id%11) takes precedence
+    # over changed (doc_id%7) because the doc is absent from new.
+    sql["snapshot_diff"] = """
+WITH oldsnap AS (
+  SELECT 'u/' || doc_id AS url, md5(text) AS fp FROM documents
+),
+newsnap AS (
+  SELECT 'u/' || doc_id AS url,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' upd'
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT 'u/' || (doc_id + 10000000), md5('new ' || doc_id)
+  FROM documents WHERE doc_id % 13 = 0
+),
+j AS (
+  SELECT coalesce(n.url, o.url) AS url, o.fp AS ofp, n.fp AS nfp
+  FROM newsnap n FULL OUTER JOIN oldsnap o ON n.url = o.url
+),
+s AS (
+  SELECT url,
+    CASE WHEN ofp IS NULL THEN 'added'
+         WHEN nfp IS NULL THEN 'removed'
+         WHEN ofp <> nfp THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    coalesce(ofp, '') AS old_fp,
+    coalesce(nfp, '') AS new_fp
+  FROM j
+)
+SELECT * FROM s WHERE status <> 'unchanged'
 """
 
     # length-bucketed dynamic batching: the within-length-bucket order

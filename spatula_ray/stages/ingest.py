@@ -59,3 +59,52 @@ def parse_sitemaps(sitemaps, concurrency=(2, 8), batch_size: int = 32):
     return sitemaps.map_batches(
         SitemapParse, concurrency=concurrency, batch_size=batch_size,
         batch_format="pyarrow", max_restarts=0)
+
+
+def snapshot_diff(old, new, key_col: str = "url",
+                  fp_col: str = "fingerprint",
+                  include_unchanged: bool = False,
+                  num_buckets: int = 32):
+    """Crawl-snapshot diff — the incremental-recrawl accounting step:
+    given yesterday's and today's (url, content-fingerprint) tables,
+    classify every URL as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, fingerprints differ) or ``unchanged``. Feeds
+    recrawl scheduling (changed-rate per host) and incremental downstream
+    processing (only added/changed docs re-enter the curation pipeline);
+    the content-level byte accounting is the separate ``cdc_delta_bytes``.
+
+    ONE full-outer hash-bucket join on the key (acero per bucket, key
+    coalesced), narrow (key, fingerprint) rows only — bodies never
+    shuffle. With ``include_unchanged=False`` (default) the output is
+    bounded by true churn, not corpus size. Returns
+    ``(url, status, old_fp, new_fp)`` with '' for the absent side."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_bucket_join
+
+    j = hash_bucket_join(new, old, on=[key_col], how="outer",
+                         num_buckets=num_buckets)
+    old_fp_col = fp_col + "_r"
+
+    def status(t: pa.Table) -> pa.Table:
+        new_fp, old_fp = t[fp_col], t[old_fp_col]
+        added = pc.and_(pc.is_valid(new_fp), pc.is_null(old_fp))
+        removed = pc.is_null(new_fp)
+        changed = pc.and_(
+            pc.and_(pc.is_valid(new_fp), pc.is_valid(old_fp)),
+            pc.invert(pc.equal(new_fp, old_fp)))
+        st = pc.if_else(added, "added",
+                        pc.if_else(removed, "removed",
+                                   pc.if_else(changed, "changed",
+                                              "unchanged")))
+        out = pa.table({
+            "url": t[key_col],
+            "status": st,
+            "old_fp": pc.fill_null(old_fp, ""),
+            "new_fp": pc.fill_null(new_fp, ""),
+        })
+        if include_unchanged:
+            return out
+        return out.filter(pc.invert(pc.equal(st, "unchanged")))
+
+    return j.map_batches(status, batch_format="pyarrow")

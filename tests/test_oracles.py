@@ -68,7 +68,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "token_budget_select", "robots_conformance",
                       "normalize_text", "hashed_linear_score",
                       "resolve_redirects", "sitemap_seeds",
-                      "length_batches"]
+                      "length_batches", "snapshot_diff"]
 
 
 def _duck(sf_dir):

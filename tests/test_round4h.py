@@ -211,3 +211,30 @@ def test_length_bucket_batches_boundaries():
                                  bucket_span=3).to_pandas()
     assert sorted(out2["len_bucket"]) == [0, 1]
     assert (out2["n_docs"] == 1).all() and (out2["pad_waste"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_edges():
+    from spatula_ray.stages.ingest import snapshot_diff
+
+    import ray.data as rd
+
+    old = rd.from_arrow(pa.table({
+        "url": pa.array(["a", "b", "c", "d"]),
+        "fingerprint": pa.array(["f1", "f2", "f3", "f4"]),
+    }))
+    new = rd.from_arrow(pa.table({
+        "url": pa.array(["a", "c", "e"]),
+        "fingerprint": pa.array(["f1", "f3x", "f5"]),
+    }))
+    out = snapshot_diff(old, new).to_pandas().set_index("url").sort_index()
+
+    assert list(out.index) == ["b", "c", "d", "e"]   # 'a' unchanged
+    assert out.loc["b", "status"] == "removed"
+    assert out.loc["b", "new_fp"] == "" and out.loc["b", "old_fp"] == "f2"
+    assert out.loc["c", "status"] == "changed"
+    assert out.loc["e", "status"] == "added" and out.loc["e", "old_fp"] == ""
+
+    full = snapshot_diff(old, new, include_unchanged=True).to_pandas()
+    assert len(full) == 5
+    assert (full.set_index("url").loc["a", "status"] == "unchanged")
