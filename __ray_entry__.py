@@ -1181,6 +1181,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_bucket_batches(_docs(sf_dir, ["doc_id", "text"]))
 
+    _PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"]
+
+    def table_profile_q(sf_dir):
+        from spatula_ray.ioutil import read_parquet_clean
+        from spatula_ray.stages.selection import table_profile
+
+        return table_profile(
+            read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                               columns=_PROFILE_COLS),
+            _PROFILE_COLS)
+
     def unigram_entropy_q(sf_dir):
         from spatula_ray.stages.curate import unigram_entropy
 
@@ -1803,6 +1816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_seeds": sitemap_seeds_q,
         "length_batches": length_batches_q,
         "snapshot_diff": snapshot_diff_q,
+        "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
         "unigram_entropy": unigram_entropy_q,
@@ -4349,6 +4363,16 @@ SELECT 'h' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.test'
        END AS lastmod
 FROM documents
 """
+
+    # per-column data-quality profile: min/max are exact selections and
+    # counts are ints, so no float grid is needed anywhere.
+    sql["table_profile"] = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(min({c}) AS DOUBLE) AS min_val, "
+        f"CAST(max({c}) AS DOUBLE) AS max_val FROM lineitem"
+        for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     # crawl-snapshot diff: FULL OUTER JOIN of the two fingerprint
     # snapshots, churn rows only; removed (doc_id%11) takes precedence

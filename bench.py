@@ -173,7 +173,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "token_budget_select", "robots_conformance",
                     "normalize_text", "hashed_linear_score",
                     "resolve_redirects", "sitemap_seeds",
-                    "length_batches", "snapshot_diff"]
+                    "length_batches", "snapshot_diff",
+                    "table_profile"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -33,6 +33,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _I64_MIN = -(1 << 63)
 _I64_MAX = (1 << 63) - 1
@@ -209,3 +210,50 @@ def exact_quantiles_table(ds, col: str, qs: List[float], bins: int = 4096,
     for q in qs:
         cols[f"p{int(round(q * 100))}"] = pa.array([res[q]], type=out_t)
     return pa.table(cols)
+
+
+def table_profile(ds, columns):
+    """Per-column data-quality profile over numeric columns — the
+    validation pass a 100 TB ingest runs before anything downstream
+    trusts the table (the Great-Expectations/Deequ shape): one row per
+    column with ``(column, n_rows, n_nulls, min_val, max_val)``.
+    ``min``/``max`` are exact selections (no accumulation-order float
+    hazard — deliberately NO sum/mean, which would be block-order
+    dependent in float64), so every value is bit-reproducible in SQL.
+
+    ONE streaming ``map_batches`` emits a 5-field partial per column per
+    block; ONE tiny groupby (rows = columns x blocks) folds them with
+    Sum/Sum/Min/Max. Nothing but the per-block partials ever moves.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nr, nn, mn, mx = [], [], [], [], []
+        for c in columns:
+            a = t[c]
+            names.append(c)
+            nr.append(t.num_rows)
+            nn.append(a.null_count)
+            if t.num_rows > a.null_count:
+                s = pc.min_max(a)
+                mn.append(float(s["min"].as_py()))
+                mx.append(float(s["max"].as_py()))
+            else:                         # all-null block
+                mn.append(float("inf"))
+                mx.append(float("-inf"))
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "n_rows": pa.array(nr, type=pa.int64()),
+            "n_nulls": pa.array(nn, type=pa.int64()),
+            "min_val": pa.array(mn, type=pa.float64()),
+            "max_val": pa.array(mx, type=pa.float64()),
+        })
+
+    folded = (ds.select_columns(list(columns))
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("column")
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("n_nulls", alias_name="n_nulls"),
+                         Min("min_val", alias_name="min_val"),
+                         Max("max_val", alias_name="max_val")))
+    return folded

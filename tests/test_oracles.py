@@ -68,7 +68,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "token_budget_select", "robots_conformance",
                       "normalize_text", "hashed_linear_score",
                       "resolve_redirects", "sitemap_seeds",
-                      "length_batches", "snapshot_diff"]
+                      "length_batches", "snapshot_diff",
+                      "table_profile"]
 
 
 def _duck(sf_dir):

@@ -238,3 +238,24 @@ def test_snapshot_diff_edges():
     full = snapshot_diff(old, new, include_unchanged=True).to_pandas()
     assert len(full) == 5
     assert (full.set_index("url").loc["a", "status"] == "unchanged")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_profile_nulls_and_allnull_blocks():
+    from spatula_ray.stages.selection import table_profile
+
+    import ray.data as rd
+
+    t = pa.table({
+        "x": pa.array([1.5, None, -2.0, None], type=pa.float64()),
+        "y": pa.array([None, None, None, None], type=pa.int64()),
+    })
+    out = table_profile(rd.from_arrow(t), ["x", "y"]).to_pandas() \
+        .set_index("column")
+
+    assert out.loc["x", "n_rows"] == 4 and out.loc["x", "n_nulls"] == 2
+    assert out.loc["x", "min_val"] == -2.0 and out.loc["x", "max_val"] == 1.5
+    assert out.loc["y", "n_nulls"] == 4
+    # all-null column: identity partials survive the fold
+    assert np.isinf(out.loc["y", "min_val"]) and out.loc["y", "min_val"] > 0
+    assert np.isinf(out.loc["y", "max_val"]) and out.loc["y", "max_val"] < 0
