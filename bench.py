@@ -235,6 +235,22 @@ def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:
         parts.append(tt)
     pq.write_table(pa.concat_tables(parts).replace_schema_metadata(None),
                    os.path.join(dst_dir, "events.parquet"))
+
+    # lineitem (table_profile's input): profile columns only, l_orderkey
+    # shifted per replica so keys stay disjoint. Streamed one replica per
+    # row group — at factor 100 the concat-everything pattern above would
+    # hold ~60M rows x 8 cols in one table
+    li = pq.read_table(os.path.join(src_dir, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                "l_linenumber", "l_quantity",
+                                "l_extendedprice", "l_discount", "l_tax"])
+    li = li.replace_schema_metadata(None)
+    with pq.ParquetWriter(os.path.join(dst_dir, "lineitem.parquet"),
+                          li.schema) as w:
+        for r in range(factor):
+            w.write_table(li.set_column(
+                li.schema.get_field_index("l_orderkey"), "l_orderkey",
+                pc.add(li["l_orderkey"], r * shift)))
     open(marker, "w").close()
 
 
