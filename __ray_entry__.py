@@ -1181,6 +1181,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_bucket_batches(_docs(sf_dir, ["doc_id", "text"]))
 
+    def dust_rules_q(sf_dir):
+        import hashlib as _hl
+
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import dust_param_rules
+
+        # fixture: per doc a base URL on host doc_id%10 with params a,b;
+        # every 2nd doc adds a ?sid= variant (ORDER-SCRAMBLED, same
+        # content fingerprint — the DUST signal), every 9th a &ref=x
+        # variant (same fp — a second, sparser irrelevant param), every
+        # 4th a &v=1 variant whose CONTENT also changes (a relevant
+        # param — must never become a rule).
+        def mk(t: pa.Table) -> pa.Table:
+            urls, fps = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                txt = txt or ""
+                base = "https://h%02d.test/p/%d" % (d % 10, d)
+                fp = _hl.md5(txt.encode()).hexdigest()
+                urls.append("%s?a=%d&b=%d" % (base, d % 5, d % 3))
+                fps.append(fp)
+                if d % 2 == 0:
+                    urls.append("%s?a=%d&sid=%d&b=%d"
+                                % (base, d % 5, d, d % 3))
+                    fps.append(fp)
+                if d % 9 == 0:
+                    urls.append("%s?a=%d&b=%d&ref=x"
+                                % (base, d % 5, d % 3))
+                    fps.append(fp)
+                if d % 4 == 0:
+                    urls.append("%s?a=%d&b=%d&v=1" % (base, d % 5, d % 3))
+                    fps.append(_hl.md5((txt + "#v").encode()).hexdigest())
+            return pa.table({
+                "url": pa.array(urls, type=pa.string()),
+                "fingerprint": pa.array(fps, type=pa.string()),
+            })
+
+        pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            mk, batch_format="pyarrow")
+        return dust_param_rules(pages, min_support=2, oracle_parity=True)
+
     _PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
                      "l_linenumber", "l_quantity", "l_extendedprice",
                      "l_discount", "l_tax"]
@@ -1816,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_seeds": sitemap_seeds_q,
         "length_batches": length_batches_q,
         "snapshot_diff": snapshot_diff_q,
+        "dust_rules": dust_rules_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4405,6 +4448,65 @@ s AS (
   FROM j
 )
 SELECT * FROM s WHERE status <> 'unchanged'
+"""
+
+    # DUST rule mining: the SQL replays the engine's own algorithm over
+    # the same fixture — per-kv md5_number_lower hashes, per-URL multiset
+    # SUM in HUGEINT (mod 2^64 == the engine's uint64 wrap; probe-side
+    # traw - h never underflows since h is a summand of traw), probe
+    # join on (base, fp, multiset-sum, param-count), support count.
+    sql["dust_rules"] = """
+WITH d AS (
+  SELECT doc_id AS d, COALESCE(text, '') AS text,
+         'https://h' || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0')
+           || '.test/p/' || doc_id AS base
+  FROM documents
+),
+pages AS (
+  SELECT base, 'a=' || (d % 5) || '&b=' || (d % 3) AS q,
+         md5(text) AS fp FROM d
+  UNION ALL
+  SELECT base, 'a=' || (d % 5) || '&sid=' || d || '&b=' || (d % 3),
+         md5(text) FROM d WHERE d % 2 = 0
+  UNION ALL
+  SELECT base, 'a=' || (d % 5) || '&b=' || (d % 3) || '&ref=x',
+         md5(text) FROM d WHERE d % 9 = 0
+  UNION ALL
+  SELECT base, 'a=' || (d % 5) || '&b=' || (d % 3) || '&v=1',
+         md5(text || '#v') FROM d WHERE d % 4 = 0
+),
+kv AS (
+  SELECT base, q, fp, unnest(string_split(q, '&')) AS kv FROM pages
+),
+kh AS (
+  SELECT base, q, fp, kv,
+         CAST(md5_number_lower(kv) AS HUGEINT) AS h
+  FROM kv
+),
+tot AS (
+  SELECT base, q, fp, SUM(h) AS traw, COUNT(*) AS n
+  FROM kh GROUP BY base, q, fp
+),
+bases AS (
+  SELECT DISTINCT base, fp,
+         traw % 18446744073709551616 AS msum, n FROM tot
+),
+probes AS (
+  SELECT kh.base AS base, kh.fp AS fp,
+         (t.traw - kh.h) % 18446744073709551616 AS msum,
+         t.n - 1 AS n,
+         regexp_extract(kh.base, '://([^/]+)', 1) AS host,
+         string_split(kh.kv, '=')[1] AS param
+  FROM kh JOIN tot t
+    ON kh.base = t.base AND kh.q = t.q AND kh.fp = t.fp
+)
+SELECT p.host AS host, p.param AS param,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM probes p JOIN bases b
+  ON p.base = b.base AND p.fp = b.fp
+ AND p.msum = b.msum AND p.n = b.n
+GROUP BY p.host, p.param
+HAVING COUNT(*) >= 2
 """
 
     # length-bucketed dynamic batching: the within-length-bucket order

@@ -61,6 +61,140 @@ def parse_sitemaps(sitemaps, concurrency=(2, 8), batch_size: int = 32):
         batch_format="pyarrow", max_restarts=0)
 
 
+def dust_param_rules(pages, url_col: str = "url",
+                     fp_col: str = "fingerprint", min_support: int = 2,
+                     num_buckets: int = 32, oracle_parity: bool = False):
+    """DUST rule mining (Bar-Yossef et al., "Do not crawl in the DUST:
+    different URLs with similar text", WWW'07): discover query parameters
+    that do NOT affect page content — session ids, tracking tags — so the
+    frontier canonicalizer (``engine/keys.py``, the reference's
+    ``SimilarLink`` dedup writ host-wide) can strip them BEFORE fetching.
+
+    A parameter key ``p`` on host ``h`` earns one unit of evidence when
+    deleting its ``key=value`` pair from an observed URL yields ANOTHER
+    observed URL — same ``scheme://host/path``, same remaining parameter
+    multiset (order-insensitive) — with the SAME content fingerprint.
+    Output: one ``(host, param, support)`` row per rule with
+    ``support >= min_support``.
+
+    Scale shape: ONE streaming pass computes, per URL, the 64-bit
+    multiset hash of its params (sum of per-kv hashes mod 2**64), so
+    deleting a param is a SUBTRACTION — candidate probes are emitted
+    without materializing rewritten URL strings and without enumerating
+    pairs inside duplicate groups (linear in total params, never
+    quadratic). Probes meet observed URLs in one hash-bucket join on
+    ``(base, fingerprint, multiset-sum, param-count)``; everything that
+    shuffles is narrow key rows. Multiset equality by 64-bit sum is exact
+    up to hash collisions. Per-kv hash follows the repo convention:
+    ``pd.util.hash_array`` by default, ``md5_number_lower`` parity under
+    ``oracle_parity=True`` (the gate path)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .joins import hash_bucket_join
+    from .sketch import _hash64
+
+    host_re = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/]+)"
+
+    def parts(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        u = pc.cast(t[url_col], pa.string())
+        fp = pc.cast(t[fp_col], pa.string())
+        has_q = pc.fill_null(pc.match_substring(u, "?"), False)
+        plain = pa.table({"u": u, "fp": fp}).filter(pc.invert(has_q))
+        qt = pa.table({"u": u, "fp": fp}).filter(has_q)
+
+        def mk(jb, jfp, msum, n, is_probe, host, param, rows):
+            # msum travels as the bit-identical int64 VIEW of the uint64
+            # multiset sum: Ray's sort-based groupby has no uint64 path
+            # (it falls back to pickled object blocks), and the join/
+            # groupby only ever test equality, which the view preserves
+            return pa.table({
+                "jb": jb, "jfp": jfp,
+                "msum": pa.array(np.asarray(msum, dtype=np.uint64)
+                                 .view(np.int64), type=pa.int64()),
+                "n": pa.array(np.asarray(n, dtype=np.int64),
+                              type=pa.int64()),
+                "is_probe": pa.array(
+                    np.full(rows, is_probe, dtype=np.int8)),
+                "host": host if host is not None
+                else pa.array([""] * rows, type=pa.string()),
+                "param": param if param is not None
+                else pa.array([""] * rows, type=pa.string()),
+            })
+
+        out = []
+        # no-query URLs: base rows only (valid targets for 1-param probes)
+        if plain.num_rows:
+            out.append(mk(plain["u"], plain["fp"],
+                          np.zeros(plain.num_rows, dtype=np.uint64),
+                          np.zeros(plain.num_rows, dtype=np.int64),
+                          0, None, None, plain.num_rows))
+
+        if qt.num_rows:
+            uq = qt["u"].combine_chunks()
+            fq = qt["fp"].combine_chunks()
+            sp = pc.split_pattern(uq, "?", max_splits=1)
+            base = pc.list_element(sp, 0)
+            kvs = pc.split_pattern(pc.list_element(sp, 1), "&")
+            parents = pc.list_parent_indices(kvs).to_numpy(
+                zero_copy_only=False)
+            flat = pc.list_flatten(kvs)
+            h = _hash64(flat.to_pylist(), oracle_parity)
+            tot = np.zeros(len(uq), dtype=np.uint64)
+            np.add.at(tot, parents, h)            # wraps mod 2**64
+            cnt = pc.list_value_length(kvs).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hosts = pc.fill_null(pc.struct_field(
+                pc.extract_regex(base, host_re), "h"), "")
+            pkey = pc.list_element(
+                pc.split_pattern(flat, "=", max_splits=1), 0)
+            pidx = pa.array(parents)
+
+            out.append(mk(base, fq, tot, cnt, 0, None, None, len(uq)))
+            # probe rows: one per kv, multiset-sum minus that kv's hash
+            out.append(mk(base.take(pidx), fq.take(pidx),
+                          tot[parents] - h,       # uint64 wrap
+                          cnt[parents] - 1, 1,
+                          hosts.take(pidx), pkey, len(parents)))
+
+        if not out:
+            return mk(pa.array([], type=pa.string()),
+                      pa.array([], type=pa.string()),
+                      np.zeros(0, dtype=np.uint64),
+                      np.zeros(0, dtype=np.int64), 0, None, None, 0)
+        return pa.concat_tables(out).combine_chunks()
+
+    tagged = pages.map_batches(parts, batch_format="pyarrow").materialize()
+
+    def side(flag):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["is_probe"], flag))
+            cols = (["jb", "jfp", "msum", "n"] if flag == 0
+                    else ["jb", "jfp", "msum", "n", "host", "param"])
+            return t.select(cols)
+        return fn
+
+    # observed-URL keys, deduped (param-order variants of one logical URL
+    # collapse here, so each probe matches at most once)
+    bases = (tagged.map_batches(side(0), batch_format="pyarrow")
+             .groupby(["jb", "jfp", "msum", "n"])
+             .aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]))
+    probes = tagged.map_batches(side(1), batch_format="pyarrow")
+
+    matched = hash_bucket_join(probes, bases,
+                               on=["jb", "jfp", "msum", "n"],
+                               num_buckets=num_buckets)
+    rules = (matched.groupby(["host", "param"])
+             .aggregate(Count(alias_name="support")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["support"], min_support))
+
+    return rules.map_batches(keep, batch_format="pyarrow")
+
+
 def snapshot_diff(old, new, key_col: str = "url",
                   fp_col: str = "fingerprint",
                   include_unchanged: bool = False,

@@ -69,7 +69,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "normalize_text", "hashed_linear_score",
                       "resolve_redirects", "sitemap_seeds",
                       "length_batches", "snapshot_diff",
-                      "table_profile"]
+                      "table_profile", "dust_rules"]
 
 
 def _duck(sf_dir):
