@@ -1181,6 +1181,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return length_bucket_batches(_docs(sf_dir, ["doc_id", "text"]))
 
+    def recrawl_priority_q(sf_dir):
+        import hashlib as _hl
+
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import recrawl_priority
+
+        # fixture: 4 uniform snapshots; doc d's content epoch at snapshot
+        # s is s // (d%3+1), so d%3==0 changes EVERY interval (X==I ->
+        # lam sentinel -1), d%3==1 every 2nd, d%3==2 once at s=3; every
+        # 7th doc is UNOBSERVED at snapshot d%4 (a fetch miss — adjacency
+        # re-pairs around the gap and n_obs drops to 3).
+        def snap_rows(t: pa.Table) -> pa.Table:
+            urls, sids, fps = [], [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                txt = txt or ""
+                p = d % 3 + 1
+                for s in range(4):
+                    if d % 7 == 0 and s == d % 4:
+                        continue
+                    urls.append("u/%d" % d)
+                    sids.append(s)
+                    fps.append(_hl.md5(
+                        ("%s#%d" % (txt, s // p)).encode()).hexdigest())
+            return pa.table({
+                "url": pa.array(urls, type=pa.string()),
+                "snap_id": pa.array(sids, type=pa.int64()),
+                "fingerprint": pa.array(fps, type=pa.string()),
+            })
+
+        snaps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            snap_rows, batch_format="pyarrow")
+        return recrawl_priority(snaps)
+
     def dust_rules_q(sf_dir):
         import hashlib as _hl
 
@@ -1859,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_batches": length_batches_q,
         "snapshot_diff": snapshot_diff_q,
         "dust_rules": dust_rules_q,
+        "recrawl_priority": recrawl_priority_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4507,6 +4543,46 @@ FROM probes p JOIN bases b
  AND p.msum = b.msum AND p.n = b.n
 GROUP BY p.host, p.param
 HAVING COUNT(*) >= 2
+"""
+
+    # recrawl-priority estimator: the window lag() over (url, snap)
+    # reproduces the engine's adjacent-observation change flags exactly;
+    # lambda = ln(I) - ln(I-X) is ln of small exact integers on both
+    # systems, snapped to the 1e-6 grid (repo float-parity convention).
+    sql["recrawl_priority"] = """
+WITH d AS (
+  SELECT doc_id AS d, COALESCE(text, '') AS text,
+         doc_id % 3 + 1 AS p
+  FROM documents
+),
+obs AS (
+  SELECT 'u/' || d AS url, s.s AS snap_id,
+         md5(text || '#' || CAST(s.s // p AS VARCHAR)) AS fp
+  FROM d, (SELECT unnest([0, 1, 2, 3]) AS s) s
+  WHERE NOT (d % 7 = 0 AND s.s = d % 4)
+),
+lagged AS (
+  SELECT url, fp,
+         lag(fp) OVER (PARTITION BY url ORDER BY snap_id) AS prev_fp
+  FROM obs
+),
+agg AS (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(SUM(CASE WHEN prev_fp IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
+  FROM lagged GROUP BY url
+)
+SELECT url, n_obs, n_changes, n_intervals,
+       CASE WHEN n_intervals = 0 THEN -2
+            WHEN n_changes = n_intervals THEN -1
+            ELSE CAST(floor((ln(n_intervals)
+                             - ln(n_intervals - n_changes)) * 1000000
+                            + 0.5) AS BIGINT)
+       END AS lam_micro
+FROM agg
 """
 
     # length-bucketed dynamic batching: the within-length-bucket order

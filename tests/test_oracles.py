@@ -69,7 +69,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "normalize_text", "hashed_linear_score",
                       "resolve_redirects", "sitemap_seeds",
                       "length_batches", "snapshot_diff",
-                      "table_profile", "dust_rules"]
+                      "table_profile", "dust_rules",
+                      "recrawl_priority"]
 
 
 def _duck(sf_dir):
