@@ -1216,6 +1216,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             snap_rows, batch_format="pyarrow")
         return recrawl_priority(snaps)
 
+    def _link_rows(sf_dir):
+        """Shared page-level link fixture for the link-graph queries:
+        per document d (host ``h(d%10).test``, path ``/p/d``) three
+        outbound links j=0..2 to target page ``t = (d*(7+2j)+j) % 997``
+        on host ``h(t%10).test`` with anchor text ``a((d+3j)%9)`` — so
+        hot targets, repeated (dst, anchor) pairs from distinct sources,
+        and anchor-count ties all occur; the oracle reconstructs the
+        same rows with unnest([0,1,2])."""
+        import numpy as np
+        import pyarrow as pa
+
+        def mk(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            srcs, dsts, anchors = [], [], []
+            for j in range(3):
+                tgt = (d * (7 + 2 * j) + j) % 997
+                srcs.append(np.char.add(
+                    np.char.add("https://h0", (d % 10).astype("U1")),
+                    np.char.add(".test/p/", d.astype("U20"))))
+                dsts.append(np.char.add(
+                    np.char.add("https://h0", (tgt % 10).astype("U1")),
+                    np.char.add(".test/p/", tgt.astype("U20"))))
+                anchors.append(np.char.add("a", ((d + 3 * j) % 9)
+                                           .astype("U1")))
+            return pa.table({
+                "src_url": pa.array(np.concatenate(srcs)),
+                "dst_url": pa.array(np.concatenate(dsts)),
+                "anchor": pa.array(np.concatenate(anchors)),
+            })
+
+        return _docs(sf_dir, ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow")
+
+    def anchor_topk_q(sf_dir):
+        from spatula_ray.stages.graph import anchor_topk
+
+        return anchor_topk(_link_rows(sf_dir), k=3)
+
+    def host_link_graph_q(sf_dir):
+        from spatula_ray.stages.graph import host_link_graph
+
+        return host_link_graph(_link_rows(sf_dir))
+
     def dust_rules_q(sf_dir):
         import hashlib as _hl
 
@@ -1895,6 +1939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": snapshot_diff_q,
         "dust_rules": dust_rules_q,
         "recrawl_priority": recrawl_priority_q,
+        "anchor_topk": anchor_topk_q,
+        "host_link_graph": host_link_graph_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4583,6 +4629,52 @@ SELECT url, n_obs, n_changes, n_intervals,
                             + 0.5) AS BIGINT)
        END AS lam_micro
 FROM agg
+"""
+
+    # shared page-level link fixture for the two link-graph oracles —
+    # reconstructs _link_rows() exactly (3 links per doc, modular
+    # targets, anchor a((d+3j)%9)).
+    _LINKS_CTE = """
+links AS (
+  SELECT 'https://h0' || CAST(doc_id % 10 AS VARCHAR)
+           || '.test/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+         'https://h0' || CAST(((doc_id * (7 + 2 * j.j) + j.j) % 997) % 10
+                              AS VARCHAR)
+           || '.test/p/'
+           || CAST((doc_id * (7 + 2 * j.j) + j.j) % 997 AS VARCHAR)
+           AS dst_url,
+         'a' || CAST((doc_id + 3 * j.j) % 9 AS VARCHAR) AS anchor
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j) j
+)"""
+
+    # anchor-text top-k: row_number over the engine's total order
+    # (count desc, anchor asc) — integer counts, exact.
+    sql["anchor_topk"] = """
+WITH """ + _LINKS_CTE + """,
+counts AS (
+  SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM links GROUP BY dst_url, anchor
+)
+SELECT dst_url, anchor, n_links, rank FROM (
+  SELECT dst_url, anchor, n_links,
+         CAST(row_number() OVER (PARTITION BY dst_url
+                                 ORDER BY n_links DESC, anchor)
+              AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+    # host link graph: GROUP BY host pair with exact distinct-src count.
+    sql["host_link_graph"] = """
+WITH """ + _LINKS_CTE + """
+SELECT lower(regexp_extract(src_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1))
+         AS src_host,
+       lower(regexp_extract(dst_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1))
+         AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
+FROM links
+GROUP BY src_host, dst_host
 """
 
     # length-bucketed dynamic batching: the within-length-bucket order

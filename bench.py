@@ -175,7 +175,9 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "resolve_redirects", "sitemap_seeds",
                     "length_batches", "snapshot_diff",
                     "table_profile", "dust_rules",
-                    "recrawl_priority"]
+                    "recrawl_priority",
+                    # round-4i additions
+                    "anchor_topk", "host_link_graph"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -70,7 +70,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "resolve_redirects", "sitemap_seeds",
                       "length_batches", "snapshot_diff",
                       "table_profile", "dust_rules",
-                      "recrawl_priority"]
+                      "recrawl_priority", "anchor_topk",
+                      "host_link_graph"]
 
 
 def _duck(sf_dir):

@@ -1,0 +1,94 @@
+"""Round-4i operators: anchor-text top-k aggregation and host-level
+link-graph compression — edge cases the sf-corpus gate rows don't reach
+(tie-breaks at the k boundary, cross-block partial merging, junk/relative
+URL dropping, repeated links from one page vs many pages)."""
+
+import pyarrow as pa
+
+
+def _ds(tbl: pa.Table, blocks: int = 1):
+    import ray.data as rd
+
+    ds = rd.from_arrow(tbl)
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    return ds
+
+
+def _links(rows):
+    return pa.table({
+        "src_url": pa.array([r[0] for r in rows], type=pa.string()),
+        "dst_url": pa.array([r[1] for r in rows], type=pa.string()),
+        "anchor": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+
+
+def test_anchor_topk_ties_and_k_boundary():
+    from spatula_ray.stages.graph import anchor_topk
+
+    t = _links([
+        # dst X: "beta" x2, "alpha" x2 (tie -> alpha first), "zed" x1,
+        # "mid" x1 (tie at rank 3/4 -> mid beats zed alphabetically)
+        ("s1", "X", "beta"), ("s2", "X", "beta"),
+        ("s3", "X", "alpha"), ("s4", "X", "alpha"),
+        ("s5", "X", "zed"), ("s6", "X", "mid"),
+        # dst Y: single anchor
+        ("s1", "Y", "only"),
+    ])
+    out = anchor_topk(_ds(t, blocks=3), k=3).to_pandas()
+    x = out[out["dst_url"] == "X"].sort_values("rank")
+    assert list(x["anchor"]) == ["alpha", "beta", "mid"]
+    assert list(x["n_links"]) == [2, 2, 1]
+    assert list(x["rank"]) == [1, 2, 3]
+    y = out[out["dst_url"] == "Y"]
+    assert len(y) == 1 and y.iloc[0]["rank"] == 1
+
+
+def test_anchor_topk_cross_block_counts_merge():
+    from spatula_ray.stages.graph import anchor_topk
+
+    # the same (dst, anchor) pair in every block must merge to one row
+    rows = [("s%d" % i, "X", "home") for i in range(12)]
+    rows += [("s%d" % i, "X", "rare") for i in range(2)]
+    out = anchor_topk(_ds(_links(rows), blocks=6), k=2).to_pandas()
+    out = out.sort_values("rank")
+    assert list(out["anchor"]) == ["home", "rare"]
+    assert list(out["n_links"]) == [12, 2]
+
+
+def test_host_link_graph_distinct_and_junk():
+    from spatula_ray.stages.graph import host_link_graph
+
+    t = _links([
+        # one page links b.test twice -> n_links 2, n_src_pages 1
+        ("https://A.test/p/1", "https://b.test/x", ""),
+        ("https://A.test/p/1", "https://b.test/y", ""),
+        # a second page, same host pair (host lowercased)
+        ("https://a.test/p/2", "https://b.test/x", ""),
+        # relative / junk URLs drop
+        ("/relative/only", "https://b.test/x", ""),
+        ("https://a.test/p/3", "no-scheme-here", ""),
+        # distinct host pair
+        ("https://a.test/p/1", "https://c.test/", ""),
+    ])
+    out = host_link_graph(_ds(t, blocks=3)).to_pandas()
+    out = out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+    assert list(out["src_host"]) == ["a.test", "a.test"]
+    assert list(out["dst_host"]) == ["b.test", "c.test"]
+    ab = out.iloc[0]
+    assert ab["n_links"] == 3 and ab["n_src_pages"] == 2
+    ac = out.iloc[1]
+    assert ac["n_links"] == 1 and ac["n_src_pages"] == 1
+
+
+def test_host_link_graph_src_distinct_across_blocks():
+    from spatula_ray.stages.graph import host_link_graph
+
+    # the same src page appears in many blocks; distinct count must not
+    # double-count it after the block-local pre-reduce
+    rows = [("https://a.test/p/1", "https://b.test/%d" % i, "")
+            for i in range(8)]
+    out = host_link_graph(_ds(_links(rows), blocks=8)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_links"] == 8
+    assert out.iloc[0]["n_src_pages"] == 1
