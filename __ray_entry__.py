@@ -1255,6 +1255,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return anchor_topk(_link_rows(sf_dir), k=3)
 
+    def doc_hits_q(sf_dir):
+        import numpy as np
+
+        from spatula_ray.stages.graph import hits
+
+        docs = _docs(sf_dir, ["doc_id"]).materialize()
+        n = docs.count()
+
+        def mk_edges(t):
+            import pyarrow as pa
+
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            reps = 1 + (d % 3)
+            src = np.repeat(d % n, reps)
+            seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            j = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - np.repeat(seg, reps) + 1)
+            dst = (src + j * j * 7919 + 13) % n
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+        return hits(edges, n, iters=2)
+
     def host_link_graph_q(sf_dir):
         from spatula_ray.stages.graph import host_link_graph
 
@@ -1941,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": recrawl_priority_q,
         "anchor_topk": anchor_topk_q,
         "host_link_graph": host_link_graph_q,
+        "doc_hits": doc_hits_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4676,6 +4701,45 @@ SELECT lower(regexp_extract(src_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1
 FROM links
 GROUP BY src_host, dst_host
 """
+
+    # integer HITS: the same unrolled-iteration playbook as doc_pagerank
+    # — every half-step is an integer join-sum + max-normalization
+    # (floor division on the HITS_SCALE grid), so the CTE chain is
+    # bit-identical to the engine's bucket kernels. Built
+    # programmatically per iteration.
+    _hits_parts = ["""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT d.doc_id % n.n AS src,
+             (d.doc_id + d.j * d.j * 7919 + 13) % n.n AS dst
+      FROM (SELECT doc_id,
+                   unnest(generate_series(1, 1 + doc_id % 3)) AS j
+            FROM documents) d, n),
+s0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS h,
+              CAST(1000000 AS BIGINT) AS a
+       FROM documents)"""]
+    for _i in (1, 2):
+        _p = f"sh{_i - 1}" if _i > 1 else "s0"
+        _hits_parts.append(f""",
+ra{_i} AS (SELECT e.dst AS node, sum(s.h) AS s
+           FROM e JOIN {_p} s ON s.node = e.src GROUP BY e.dst),
+am{_i} AS (SELECT coalesce(max(s), 0) AS m FROM ra{_i}),
+sa{_i} AS (SELECT s.node, s.h,
+                  CAST(CASE WHEN am{_i}.m > 0
+                       THEN coalesce(r.s, 0) * 1000000 // am{_i}.m
+                       ELSE 0 END AS BIGINT) AS a
+           FROM {_p} s LEFT JOIN ra{_i} r ON r.node = s.node, am{_i}),
+rh{_i} AS (SELECT e.src AS node, sum(s.a) AS s
+           FROM e JOIN sa{_i} s ON s.node = e.dst GROUP BY e.src),
+hm{_i} AS (SELECT coalesce(max(s), 0) AS m FROM rh{_i}),
+sh{_i} AS (SELECT s.node,
+                  CAST(CASE WHEN hm{_i}.m > 0
+                       THEN coalesce(r.s, 0) * 1000000 // hm{_i}.m
+                       ELSE 0 END AS BIGINT) AS h, s.a
+           FROM sa{_i} s LEFT JOIN rh{_i} r ON r.node = s.node, hm{_i})""")
+    _hits_parts.append("""
+SELECT node, h AS hub, a AS auth FROM sh2
+""")
+    sql["doc_hits"] = "".join(_hits_parts)
 
     # length-bucketed dynamic batching: the within-length-bucket order
     # is doc_id, so row_number reproduces the engine's distributed

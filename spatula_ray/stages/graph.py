@@ -490,3 +490,189 @@ def host_link_graph(links, num_buckets: int = 32):
 
     return (links.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
+
+
+HITS_SCALE = 10**6
+
+
+def hits(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32):
+    """Integer fixed-point HITS (Kleinberg '99, "Authoritative sources
+    in a hyperlinked environment") over an edge Dataset ``(src, dst)``
+    with nodes ``0..num_nodes-1`` — the hub/authority dual of
+    :func:`pagerank`, the other classic post-crawl ranking job (spam-farm
+    hubs and authority seeds for crawl prioritization).
+
+    Semantics per iteration (max-normalized variant, normalize after
+    EACH half-step, documented so the oracle matches): ``raw_a[v] =
+    sum over in-edges (u, v) of h[u]``; ``a = raw_a * HITS_SCALE //
+    max(raw_a)`` (all-integer floor division, 0 when the max is 0);
+    then ``raw_h[u] = sum over out-edges (u, v) of a[v]`` and the same
+    normalization for ``h``. ``a0 = h0 = HITS_SCALE``. Every op is
+    int64 addition / multiply / floor-division, so the result is
+    order-independent under Ray's shuffle and bit-identical to a DuckDB
+    unroll. Range guard: ``num_nodes * HITS_SCALE**2 < 2**63`` (~9.2M
+    nodes at the default grid; lower HITS_SCALE for bigger graphs —
+    precision trades against range explicitly, the pagerank convention).
+
+    Shuffle shape per iteration: FOUR bucket exchanges (a-scatter,
+    a-gather, h-scatter, h-gather — two directions instead of
+    pagerank's one) plus two counts-only global ``max`` reduces for the
+    normalizers (1 row each to the driver; the normalized update is a
+    streaming map with a broadcast scalar). Edges are bucketed ONCE per
+    direction (hash(src) and hash(dst)) and reused every iteration;
+    everything that moves is (int64, int64) rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .joins import _bucket_of
+
+    if num_nodes * HITS_SCALE * HITS_SCALE >= 2 ** 63:
+        raise ValueError(
+            f"hits int64 overflow: num_nodes ({num_nodes}) * "
+            f"HITS_SCALE^2 >= 2**63; reduce graph.HITS_SCALE")
+
+    def i64(x) -> pa.Array:
+        return pa.array(np.asarray(x, dtype=np.int64))
+
+    def tag_edges(key):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({"src": t["src"].cast(pa.int64()),
+                            "dst": t["dst"].cast(pa.int64())})
+            return out.append_column(
+                "__bucket", _bucket_of(out, [key], num_buckets))
+        return fn
+
+    eb_src = edges.map_batches(tag_edges("src"),
+                               batch_format="pyarrow").materialize()
+    eb_dst = edges.map_batches(tag_edges("dst"),
+                               batch_format="pyarrow").materialize()
+
+    def init_state(t: pa.Table) -> pa.Table:
+        out = pa.table({"node": t["id"].cast(pa.int64())})
+        out = out.append_column("h", i64(np.full(t.num_rows, HITS_SCALE)))
+        out = out.append_column("a", i64(np.full(t.num_rows, HITS_SCALE)))
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["node"], num_buckets))
+
+    state = rd.range(num_nodes).map_batches(
+        init_state, batch_format="pyarrow").materialize()
+
+    def scatter(st, eb, join_key: str, val_col: str, emit_key: str):
+        """join state[val_col] onto edges at join_key (= node id), emit
+        per-emit_key partial sums — one row per distinct emit_key per
+        bucket."""
+        state_side = st.map_batches(
+            lambda t: pa.table({
+                "src": pa.nulls(t.num_rows, type=pa.int64()),
+                "dst": pa.nulls(t.num_rows, type=pa.int64()),
+                "node": t["node"], "val": t[val_col],
+                "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        edges_side = eb.map_batches(
+            lambda t: pa.table({
+                "src": t["src"], "dst": t["dst"],
+                "node": pa.nulls(t.num_rows, type=pa.int64()),
+                "val": pa.nulls(t.num_rows, type=pa.int64()),
+                "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+
+        def kernel(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            is_edge = pc.is_valid(g["dst"])
+            et = g.filter(is_edge)
+            st_ = g.filter(pc.invert(is_edge))
+            if et.num_rows == 0 or st_.num_rows == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.int64())})
+            jk = et[join_key].to_numpy(zero_copy_only=False)
+            ek = et[emit_key].to_numpy(zero_copy_only=False)
+            ns = st_["node"].to_numpy(zero_copy_only=False)
+            vs = st_["val"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ns)
+            ns, vs = ns[order], vs[order]
+            pos = np.searchsorted(ns, jk)
+            ok = pos < len(ns)
+            safe = np.where(ok, pos, 0)
+            ok &= ns[safe] == jk
+            vals = vs[safe][ok]
+            keys = ek[ok]
+            codes, inv = np.unique(keys, return_inverse=True)
+            acc = np.zeros(len(codes), dtype=np.int64)
+            np.add.at(acc, inv, vals)
+            return pa.table({"node": i64(codes), "s": i64(acc)})
+
+        return (edges_side.union(state_side).groupby("__bucket")
+                .map_groups(kernel, batch_format="pyarrow"))
+
+    def gather_raw(st, partials, raw_col: str):
+        """fold per-node partials into the state as raw_col (0 default)."""
+        partials_side = partials.map_batches(
+            lambda t: pa.table({
+                "node": t["node"], "s": t["s"],
+                "h": pa.nulls(t.num_rows, type=pa.int64()),
+                "a": pa.nulls(t.num_rows, type=pa.int64()),
+            }).append_column("__bucket",
+                             _bucket_of(t, ["node"], num_buckets)),
+            batch_format="pyarrow")
+        state_side = st.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "s": pa.nulls(t.num_rows, type=pa.int64()),
+                "h": t["h"], "a": t["a"], "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+
+        def kernel(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            is_state = pc.is_valid(g["h"])
+            st_ = g.filter(is_state)
+            pt = g.filter(pc.invert(is_state))
+            ns = st_["node"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ns)
+            acc = np.zeros(st_.num_rows, dtype=np.int64)
+            if pt.num_rows:
+                np_ = pt["node"].to_numpy(zero_copy_only=False)
+                sp = pt["s"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ns[order], np_)
+                ok = pos < st_.num_rows
+                safe = np.where(ok, pos, 0)
+                ok &= ns[order][safe] == np_
+                np.add.at(acc, order[safe[ok]], sp[ok])
+            cols = {"node": st_["node"], "h": st_["h"], "a": st_["a"],
+                    "__bucket": st_["__bucket"]}
+            cols[raw_col] = i64(acc)
+            return pa.table(cols)
+
+        return (partials_side.union(state_side).groupby("__bucket")
+                .map_groups(kernel, batch_format="pyarrow")
+                .repartition(num_buckets).materialize())
+
+    def normalize(st, raw_col: str, out_col: str):
+        rmax = int(st.max(raw_col) or 0)
+
+        def fn(t: pa.Table) -> pa.Table:
+            raw = t[raw_col].to_numpy(zero_copy_only=False)
+            if rmax > 0:
+                newv = raw * np.int64(HITS_SCALE) // np.int64(rmax)
+            else:
+                newv = np.zeros(len(raw), dtype=np.int64)
+            cols = {"node": t["node"], "h": t["h"], "a": t["a"],
+                    "__bucket": t["__bucket"]}
+            cols[out_col] = i64(newv)
+            return pa.table(cols)
+
+        return st.map_batches(fn, batch_format="pyarrow")
+
+    for _ in range(iters):
+        # authority step: a[v] <- sum of h over in-edges, then normalize
+        pa_ = scatter(state, eb_src, "src", "h", "dst")
+        state = gather_raw(state, pa_, "ra")
+        state = normalize(state, "ra", "a").materialize()
+        # hub step: h[u] <- sum of NEW a over out-edges, then normalize
+        ph = scatter(state, eb_dst, "dst", "a", "src")
+        state = gather_raw(state, ph, "rh")
+        state = normalize(state, "rh", "h").materialize()
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t["node"], "hub": t["h"],
+                            "auth": t["a"]}),
+        batch_format="pyarrow")

@@ -92,3 +92,36 @@ def test_host_link_graph_src_distinct_across_blocks():
     assert len(out) == 1
     assert out.iloc[0]["n_links"] == 8
     assert out.iloc[0]["n_src_pages"] == 1
+
+
+def test_hits_star_graph():
+    from spatula_ray.stages.graph import HITS_SCALE, hits
+
+    # 0,1,2 all link to 3; 3 links to 4. Authority mass concentrates on
+    # 3; hubs are 0,1,2 (equal); 3 is a weaker hub (its only target's
+    # authority comes from one in-link); 4 is a pure sink.
+    edges = pa.table({"src": pa.array([0, 1, 2, 3], type=pa.int64()),
+                      "dst": pa.array([3, 3, 3, 4], type=pa.int64())})
+    out = hits(_ds(edges, blocks=2), num_nodes=5, iters=3).to_pandas()
+    out = out.set_index("node").sort_index()
+    assert out.loc[3, "auth"] == HITS_SCALE          # max authority
+    assert out.loc[0, "hub"] == HITS_SCALE           # max hub
+    assert out.loc[0, "hub"] == out.loc[1, "hub"] == out.loc[2, "hub"]
+    assert out.loc[3, "hub"] < out.loc[0, "hub"]
+    assert out.loc[4, "auth"] < out.loc[3, "auth"]
+    assert out.loc[4, "hub"] == 0                    # no out-edges
+    assert out.loc[0, "auth"] == 0                   # no in-edges
+
+
+def test_hits_empty_edges_and_guard():
+    import pytest
+
+    from spatula_ray.stages.graph import hits
+
+    edges = pa.table({"src": pa.array([], type=pa.int64()),
+                      "dst": pa.array([], type=pa.int64())})
+    out = hits(_ds(edges), num_nodes=3, iters=2).to_pandas()
+    assert (out["hub"] == 0).all() and (out["auth"] == 0).all()
+
+    with pytest.raises(ValueError, match="overflow"):
+        hits(_ds(edges), num_nodes=10**13, iters=1)
