@@ -1255,6 +1255,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return anchor_topk(_link_rows(sf_dir), k=3)
 
+    def trap_hosts_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import trap_host_stats
+
+        # fixture: hosts h00/h01 emit repeat-segment trap URLs
+        # (/cal/2020 x k, k = 2 + d%3 -> has_repeat when k>=3, deep when
+        # 2k+1>=8), h02/h03 emit deep-but-distinct paths (depth 6+d%5),
+        # everyone else /p/<d> (depth 2) — so both majority rules and
+        # the repeat+deep overlap all occur.
+        def mk(t: pa.Table) -> pa.Table:
+            urls = []
+            for d in t["doc_id"].to_pylist():
+                m = d % 20
+                base = "https://h%02d.test" % m
+                if m < 2:
+                    urls.append(base + "/cal/2020" * (2 + d % 3)
+                                + "/p%d" % d)
+                elif m < 4:
+                    urls.append(base + "/" + "/".join(
+                        "s%d" % i for i in range(6 + d % 5)))
+                else:
+                    urls.append(base + "/p/%d" % d)
+            return pa.table({"url": pa.array(urls, type=pa.string())})
+
+        urls = _docs(sf_dir, ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow")
+        return trap_host_stats(urls)
+
     def doc_hits_q(sf_dir):
         import numpy as np
 
@@ -1966,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_topk": anchor_topk_q,
         "host_link_graph": host_link_graph_q,
         "doc_hits": doc_hits_q,
+        "trap_hosts": trap_hosts_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4700,6 +4730,33 @@ SELECT lower(regexp_extract(src_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1
        CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
 FROM links
 GROUP BY src_host, dst_host
+"""
+
+    # crawler-trap hosts: the oracle reconstructs the per-URL depth /
+    # repeat features directly from the fixture formulas (the
+    # sitemap_seeds convention — URL parsing itself is pinned by the
+    # trap_host_stats unit tests) and mirrors the integer majority rule.
+    sql["trap_hosts"] = """
+WITH per AS (
+  SELECT 'h' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0') || '.test'
+           AS host,
+         CASE WHEN doc_id % 20 < 2 THEN 2 * (2 + doc_id % 3) + 1
+              WHEN doc_id % 20 < 4 THEN 6 + doc_id % 5
+              ELSE 2 END AS depth,
+         CASE WHEN doc_id % 20 < 2 THEN (2 + doc_id % 3) >= 3
+              ELSE FALSE END AS rep
+  FROM documents),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(max(depth) AS BIGINT) AS max_depth,
+         CAST(sum(CASE WHEN depth >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deep,
+         CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat
+  FROM per GROUP BY host)
+SELECT host, n_urls, max_depth, n_deep, n_repeat,
+       (2 * n_deep >= n_urls OR 2 * n_repeat >= n_urls) AS is_trap
+FROM agg
 """
 
     # integer HITS: the same unrolled-iteration playbook as doc_pagerank

@@ -316,3 +316,120 @@ def snapshot_diff(old, new, key_col: str = "url",
         return out.filter(pc.invert(pc.equal(st, "unchanged")))
 
     return j.map_batches(status, batch_format="pyarrow")
+
+
+def trap_host_stats(urls, url_col: str = "url", repeat_k: int = 3,
+                    depth_limit: int = 8, num_buckets: int = 32):
+    """Crawler-trap detection over the URL-seen / frontier table — the
+    classic crawl-health audit (Heydon & Najork's Mercator §3.3 calls
+    these "black holes": calendars, session-id loops, self-similar path
+    recursions that generate unbounded URL spaces under one host). Per
+    URL two integer features, per host their exact aggregate, plus a
+    majority flag:
+
+    * ``depth`` = number of non-empty ``/``-separated path segments;
+      ``is_deep`` = depth >= ``depth_limit``;
+    * ``has_repeat`` = some single segment occurs >= ``repeat_k`` times
+      within the path (the ``/cal/2020/cal/2020/...`` signature);
+    * per host: ``(host, n_urls, max_depth, n_deep, n_repeat,
+      is_trap)`` with ``is_trap = 2*n_deep >= n_urls OR
+      2*n_repeat >= n_urls`` — an all-integer majority rule, so
+      cross-engine exact.
+
+    Rows with no ``scheme://host`` prefix drop. Scale shape: the
+    per-URL features are ONE vectorized pass (flatten all segments of a
+    batch into a single array, lexsort (url-index, segment-code), run
+    lengths give the max within-URL duplicate — no per-URL Python),
+    pre-reduced to per-batch per-host partials before the ONE
+    host-bucket exchange of 5-int rows; URL strings never shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .joins import _bucket_of
+
+    host_pat = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/?#]+)(?P<p>[^?#]*)"
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        u = pc.cast(t[url_col], pa.string())
+        ex = pc.extract_regex(u, host_pat)
+        host = pc.utf8_lower(pc.struct_field(ex, "h"))
+        path = pc.struct_field(ex, "p")
+        keep = pc.is_valid(host)
+        host = host.filter(keep)
+        path = path.filter(keep)
+        n = len(host)
+        if n == 0:
+            return pa.table({
+                "host": pa.array([], type=pa.string()),
+                "n_urls": pa.array([], type=pa.int64()),
+                "max_depth": pa.array([], type=pa.int64()),
+                "n_deep": pa.array([], type=pa.int64()),
+                "n_repeat": pa.array([], type=pa.int64()),
+                "__bucket": pa.array([], type=pa.int32())})
+        segs = pc.split_pattern(path, "/")
+        flat = pc.list_flatten(segs)
+        parent = np.repeat(np.arange(n, dtype=np.int64),
+                           pc.list_value_length(segs).to_numpy(
+                               zero_copy_only=False))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_np = flat.to_numpy(zero_copy_only=False)[nonempty]
+        parent = parent[nonempty]
+        depth = np.bincount(parent, minlength=n).astype(np.int64)
+        # max within-URL duplicate segment: lexsort by (parent, code),
+        # run lengths of equal (parent, code) pairs
+        maxdup = np.zeros(n, dtype=np.int64)
+        if len(parent):
+            codes = pd.factorize(flat_np)[0]
+            order = np.lexsort((codes, parent))
+            p_s, c_s = parent[order], codes[order]
+            newrun = np.ones(len(p_s), dtype=bool)
+            newrun[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+            run_id = np.cumsum(newrun) - 1
+            run_len = np.bincount(run_id)
+            starts = np.flatnonzero(newrun)
+            np.maximum.at(maxdup, p_s[starts],
+                          run_len.astype(np.int64))
+        df = pd.DataFrame({
+            "host": host.to_numpy(zero_copy_only=False),
+            "depth": depth,
+            "deep": (depth >= depth_limit).astype(np.int64),
+            "rep": (maxdup >= repeat_k).astype(np.int64)})
+        g = (df.groupby("host", sort=False)
+             .agg(n_urls=("depth", "size"), max_depth=("depth", "max"),
+                  n_deep=("deep", "sum"), n_repeat=("rep", "sum"))
+             .reset_index())
+        out = pa.table({
+            "host": pa.array(g["host"].to_numpy(), type=pa.string()),
+            "n_urls": pa.array(g["n_urls"].to_numpy().astype(np.int64)),
+            "max_depth": pa.array(
+                g["max_depth"].to_numpy().astype(np.int64)),
+            "n_deep": pa.array(g["n_deep"].to_numpy().astype(np.int64)),
+            "n_repeat": pa.array(
+                g["n_repeat"].to_numpy().astype(np.int64))})
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["host"], num_buckets))
+
+    def fold(df) -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame({
+                "host": pd.Series(dtype="object"),
+                "n_urls": pd.Series(dtype="int64"),
+                "max_depth": pd.Series(dtype="int64"),
+                "n_deep": pd.Series(dtype="int64"),
+                "n_repeat": pd.Series(dtype="int64"),
+                "is_trap": pd.Series(dtype="bool")})
+        out = (df.groupby("host", sort=False)
+               .agg(n_urls=("n_urls", "sum"),
+                    max_depth=("max_depth", "max"),
+                    n_deep=("n_deep", "sum"),
+                    n_repeat=("n_repeat", "sum"))
+               .reset_index())
+        for c in ["n_urls", "max_depth", "n_deep", "n_repeat"]:
+            out[c] = out[c].astype("int64")
+        out["is_trap"] = ((2 * out["n_deep"] >= out["n_urls"])
+                          | (2 * out["n_repeat"] >= out["n_urls"]))
+        return out
+
+    return (urls.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

@@ -71,7 +71,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "length_batches", "snapshot_diff",
                       "table_profile", "dust_rules",
                       "recrawl_priority", "anchor_topk",
-                      "host_link_graph", "doc_hits"]
+                      "host_link_graph", "doc_hits", "trap_hosts"]
 
 
 def _duck(sf_dir):

@@ -125,3 +125,34 @@ def test_hits_empty_edges_and_guard():
 
     with pytest.raises(ValueError, match="overflow"):
         hits(_ds(edges), num_nodes=10**13, iters=1)
+
+
+def test_trap_host_stats_features():
+    from spatula_ray.stages.ingest import trap_host_stats
+
+    t = pa.table({"url": pa.array([
+        # a.test: 2 repeat-trap URLs, 1 normal -> majority repeat
+        "https://a.test/cal/2020/cal/2020/cal/2020/p1",
+        "https://a.test/x/y/x/y/x/z",          # 'x' three times
+        "https://a.test/p/9",
+        # b.test: deep (9 distinct segments) + shallow -> 1 of 2 deep
+        "https://b.test/s0/s1/s2/s3/s4/s5/s6/s7/s8",
+        "https://b.test/p",
+        # c.test: normal only; trailing slash + empty segs don't count
+        "https://c.test/p//q/",
+        # junk dropped
+        "not-a-url",
+    ], type=pa.string())})
+    out = trap_host_stats(_ds(t, blocks=3)).to_pandas()
+    out = out.set_index("host").sort_index()
+    a = out.loc["a.test"]
+    assert (a["n_urls"], a["max_depth"], a["n_repeat"]) == (3, 7, 2)
+    assert a["is_trap"]                      # 2*2 >= 3
+    b = out.loc["b.test"]
+    assert (b["n_urls"], b["max_depth"], b["n_deep"]) == (2, 9, 1)
+    assert b["is_trap"]                      # 2*1 >= 2
+    c = out.loc["c.test"]
+    assert (c["n_urls"], c["max_depth"], c["n_deep"],
+            c["n_repeat"]) == (1, 2, 0, 0)
+    assert not c["is_trap"]
+    assert len(out) == 3                     # junk row dropped
