@@ -1284,6 +1284,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return trap_host_stats(urls)
 
+    def robots_rules_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import parse_robots
+
+        # fixture: every 10th doc owns host h<d>.test with a robots.txt
+        # exercising comments, blank group breaks, case-insensitive
+        # fields, stacked agents (every 20th doc), an unknown directive,
+        # and a trailing global Sitemap line.
+        def mk(t: pa.Table) -> pa.Table:
+            hosts, bodies = [], []
+            for d in t["doc_id"].to_pylist():
+                if d % 10 != 0:
+                    continue
+                host = "h%d.test" % d
+                parts = ["# robots for %s" % host,
+                         "User-Agent: *",
+                         "Disallow: /private   # keep out",
+                         "Allow: /private/ok",
+                         ""]
+                if d % 20 == 0:
+                    parts += ["User-agent: bot%d" % (d % 5),
+                              "user-agent: spider%d" % (d % 3),
+                              "Crawl-Delay: %d" % (1 + d % 7),
+                              "Noindex: /ignored"]
+                parts += ["Sitemap: https://%s/sitemap.xml" % host]
+                hosts.append(host)
+                bodies.append("\n".join(parts))
+            return pa.table({
+                "host": pa.array(hosts, type=pa.string()),
+                "body": pa.array(bodies, type=pa.string()),
+            })
+
+        bodies = _docs(sf_dir, ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow")
+        return parse_robots(bodies)
+
     def doc_hits_q(sf_dir):
         import numpy as np
 
@@ -1996,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": host_link_graph_q,
         "doc_hits": doc_hits_q,
         "trap_hosts": trap_hosts_q,
+        "robots_rules": robots_rules_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4757,6 +4795,32 @@ agg AS (
 SELECT host, n_urls, max_depth, n_deep, n_repeat,
        (2 * n_deep >= n_urls OR 2 * n_repeat >= n_urls) AS is_trap
 FROM agg
+"""
+
+    # robots.txt parsing: the oracle reconstructs the rule rows the
+    # fixture serialized into each body (sitemap_seeds convention);
+    # stacked agents share one seq, the unknown directive emits nothing.
+    sql["robots_rules"] = """
+WITH r AS (SELECT doc_id AS d, 'h' || CAST(doc_id AS VARCHAR) || '.test'
+                    AS host
+           FROM documents WHERE doc_id % 10 = 0)
+SELECT host, agent, directive, value, seq FROM (
+  SELECT host, '*' AS agent, 'disallow' AS directive,
+         '/private' AS value, CAST(0 AS BIGINT) AS seq FROM r
+  UNION ALL
+  SELECT host, '*', 'allow', '/private/ok', CAST(1 AS BIGINT) FROM r
+  UNION ALL
+  SELECT host, 'bot' || CAST(d % 5 AS VARCHAR), 'crawl_delay',
+         CAST(1 + d % 7 AS VARCHAR), CAST(2 AS BIGINT)
+  FROM r WHERE d % 20 = 0
+  UNION ALL
+  SELECT host, 'spider' || CAST(d % 3 AS VARCHAR), 'crawl_delay',
+         CAST(1 + d % 7 AS VARCHAR), CAST(2 AS BIGINT)
+  FROM r WHERE d % 20 = 0
+  UNION ALL
+  SELECT host, '', 'sitemap', 'https://' || host || '/sitemap.xml',
+         CAST(CASE WHEN d % 20 = 0 THEN 3 ELSE 2 END AS BIGINT) FROM r
+)
 """
 
     # integer HITS: the same unrolled-iteration playbook as doc_pagerank

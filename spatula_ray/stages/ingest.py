@@ -433,3 +433,82 @@ def trap_host_stats(urls, url_col: str = "url", repeat_k: int = 3,
 
     return (urls.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
+
+
+def parse_robots(bodies, host_col: str = "host", body_col: str = "body"):
+    """robots.txt body -> structured rule rows, the ingestion step that
+    feeds the politeness gate (``engine/hostgate.py`` consumes the
+    resulting per-host rule table; ``robots_conformance`` pins the
+    ADMIT semantics, this stage pins the PARSE). RFC 9309 subset,
+    Google-parser group model:
+
+    * comments (``#`` to end of line) stripped, fields case-insensitive;
+    * consecutive ``User-agent`` lines stack into ONE group; a
+      ``User-agent`` after rule lines starts a NEW group; rules before
+      any group are dropped;
+    * ``Allow`` / ``Disallow`` / ``Crawl-delay`` emit one row per agent
+      in the current group (an empty ``Disallow:`` value is legal and
+      kept); ``Sitemap`` is global (agent ``''``); unknown directives
+      and colon-less lines are skipped;
+    * ``seq`` is the per-host emission index of rule lines (shared by
+      the fanned-out agent rows of one line), so group order is
+      reconstructable downstream.
+
+    Output: ``(host, agent, directive, value, seq)``. Robots bodies are
+    one-per-host (a bounded, host-cardinality domain — the same budget
+    class as the sitemap parser), so the per-body Python line walk is a
+    documented non-hot-path; the stage itself is a pure streaming
+    ``map_batches`` with no shuffle."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        hosts_out, agents, dirs, vals, seqs = [], [], [], [], []
+        for host, body in zip(t[host_col].to_pylist(),
+                              t[body_col].to_pylist()):
+            if body is None:
+                continue
+            if isinstance(body, (bytes, bytearray)):
+                body = bytes(body).decode("utf-8", "replace")
+            cur_agents: list = []
+            last_was_ua = False
+            seq = 0
+            for raw in body.split("\n"):
+                line = raw.split("#", 1)[0].strip(" \t\r")
+                if not line or ":" not in line:
+                    continue
+                field, _, value = line.partition(":")
+                field = field.strip().lower()
+                value = value.strip()
+                if field == "user-agent":
+                    if last_was_ua:
+                        cur_agents.append(value)
+                    else:
+                        cur_agents = [value]
+                    last_was_ua = True
+                    continue
+                last_was_ua = False
+                if field in ("allow", "disallow", "crawl-delay"):
+                    if not cur_agents:
+                        continue
+                    for a in cur_agents:
+                        hosts_out.append(host)
+                        agents.append(a)
+                        dirs.append(field.replace("-", "_"))
+                        vals.append(value)
+                        seqs.append(seq)
+                    seq += 1
+                elif field == "sitemap":
+                    hosts_out.append(host)
+                    agents.append("")
+                    dirs.append("sitemap")
+                    vals.append(value)
+                    seqs.append(seq)
+                    seq += 1
+        return pa.table({
+            "host": pa.array(hosts_out, type=pa.string()),
+            "agent": pa.array(agents, type=pa.string()),
+            "directive": pa.array(dirs, type=pa.string()),
+            "value": pa.array(vals, type=pa.string()),
+            "seq": pa.array(np.asarray(seqs, dtype=np.int64)),
+        })
+
+    return bodies.map_batches(parse, batch_format="pyarrow")

@@ -71,7 +71,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "length_batches", "snapshot_diff",
                       "table_profile", "dust_rules",
                       "recrawl_priority", "anchor_topk",
-                      "host_link_graph", "doc_hits", "trap_hosts"]
+                      "host_link_graph", "doc_hits", "trap_hosts",
+                      "robots_rules"]
 
 
 def _duck(sf_dir):

@@ -156,3 +156,43 @@ def test_trap_host_stats_features():
             c["n_repeat"]) == (1, 2, 0, 0)
     assert not c["is_trap"]
     assert len(out) == 3                     # junk row dropped
+
+
+def test_parse_robots_group_model():
+    from spatula_ray.stages.ingest import parse_robots
+
+    body = "\n".join([
+        "# banner comment",
+        "Disallow: /orphan",              # rule before any group: drop
+        "User-Agent: *",
+        "Disallow: /a  # trailing comment",
+        "Allow:",                          # empty value kept
+        "User-agent: late",                # after rules -> NEW group
+        "DISALLOW: /b",
+        "Unknown-Field: x",                # skipped, doesn't emit
+        "no colon line",
+        "Sitemap: https://e.test/s.xml",
+        "Crawl-delay: 4",                  # still group [late]
+    ])
+    t = pa.table({"host": pa.array(["e.test"]),
+                  "body": pa.array([body])})
+    out = parse_robots(_ds(t)).to_pandas()
+    rows = list(zip(out["agent"], out["directive"], out["value"],
+                    out["seq"]))
+    assert ("*", "disallow", "/a", 0) in rows
+    assert ("*", "allow", "", 1) in rows
+    assert ("late", "disallow", "/b", 2) in rows
+    assert ("", "sitemap", "https://e.test/s.xml", 3) in rows
+    assert ("late", "crawl_delay", "4", 4) in rows
+    assert len(rows) == 5                  # orphan + unknown dropped
+
+
+def test_parse_robots_stacked_agents_and_bytes():
+    from spatula_ray.stages.ingest import parse_robots
+
+    body = b"User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    t = pa.table({"host": pa.array(["s.test"]),
+                  "body": pa.array([body], type=pa.binary())})
+    out = parse_robots(_ds(t)).to_pandas()
+    rows = sorted(zip(out["agent"], out["seq"]))
+    assert rows == [("a", 0), ("b", 0)]    # one line, two agent rows
