@@ -1321,6 +1321,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return parse_robots(bodies)
 
+    def warc_records_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import parse_warc
+
+        # fixture: one WARC file per doc — a warcinfo record, an HTTP
+        # response wrapping the doc text, and (every 5th doc) an
+        # empty-payload revisit record; real ISO 28500 byte layout, so
+        # the record scanner itself is what the hash verifies.
+        def mk(t: pa.Table) -> pa.Table:
+            sids, blobs = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                txt = txt or ""
+                url = "https://h%02d.test/p/%d" % (d % 10, d)
+                body = txt.encode("utf-8")
+                http = (b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html; charset=utf-8\r\n"
+                        + b"Content-Length: %d\r\n\r\n" % len(body)
+                        + body)
+                info = b"software: spatula-ray\r\n"
+
+                def rec(rtype, uri, payload):
+                    head = ("WARC/1.1\r\nWARC-Type: %s\r\n" % rtype)
+                    if uri:
+                        head += "WARC-Target-URI: %s\r\n" % uri
+                    head += ("WARC-Date: 2026-08-19T00:00:00Z\r\n"
+                             "Content-Length: %d\r\n\r\n" % len(payload))
+                    return head.encode() + payload + b"\r\n\r\n"
+
+                blob = rec("warcinfo", "", info) + rec("response", url,
+                                                       http)
+                if d % 5 == 0:
+                    blob += rec("revisit", url + "?rev", b"")
+                sids.append(d)
+                blobs.append(blob)
+            return pa.table({
+                "shard_id": pa.array(sids, type=pa.int64()),
+                "warc": pa.array(blobs, type=pa.binary()),
+            })
+
+        shards = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            mk, batch_format="pyarrow")
+        return parse_warc(shards)
+
     def doc_hits_q(sf_dir):
         import numpy as np
 
@@ -2034,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hits": doc_hits_q,
         "trap_hosts": trap_hosts_q,
         "robots_rules": robots_rules_q,
+        "warc_records": warc_records_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4820,6 +4866,33 @@ SELECT host, agent, directive, value, seq FROM (
   UNION ALL
   SELECT host, '', 'sitemap', 'https://' || host || '/sitemap.xml',
          CAST(CASE WHEN d % 20 = 0 THEN 3 ELSE 2 END AS BIGINT) FROM r
+)
+"""
+
+    # WARC ingestion: the oracle reconstructs the record manifest from
+    # the fixture formulas — the byte-level record framing the engine
+    # scanner walks is exactly what the md5/body_len columns verify.
+    sql["warc_records"] = """
+WITH d AS (SELECT doc_id AS d, COALESCE(text, '') AS text,
+                  'https://h' || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0')
+                    || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+SELECT d AS shard_id, rec_idx, rec_type, target_uri, status,
+       content_type, body_len, body_md5 FROM (
+  SELECT d, CAST(0 AS BIGINT) AS rec_idx, 'warcinfo' AS rec_type,
+         '' AS target_uri, CAST(-1 AS BIGINT) AS status,
+         '' AS content_type, CAST(23 AS BIGINT) AS body_len,
+         md5('software: spatula-ray' || chr(13) || chr(10)) AS body_md5
+  FROM d
+  UNION ALL
+  SELECT d, CAST(1 AS BIGINT), 'response', url, CAST(200 AS BIGINT),
+         'text/html; charset=utf-8',
+         CAST(octet_length(encode(text)) AS BIGINT), md5(text)
+  FROM d
+  UNION ALL
+  SELECT d, CAST(2 AS BIGINT), 'revisit', url || '?rev',
+         CAST(-1 AS BIGINT), '', CAST(0 AS BIGINT), md5('')
+  FROM d WHERE d % 5 = 0
 )
 """
 

@@ -196,3 +196,45 @@ def test_parse_robots_stacked_agents_and_bytes():
     out = parse_robots(_ds(t)).to_pandas()
     rows = sorted(zip(out["agent"], out["seq"]))
     assert rows == [("a", 0), ("b", 0)]    # one line, two agent rows
+
+
+def test_parse_warc_records_and_truncation():
+    import hashlib
+
+    from spatula_ray.stages.ingest import parse_warc
+
+    def rec(rtype, uri, payload, version=b"WARC/1.1"):
+        head = version + b"\r\nWARC-Type: " + rtype.encode() + b"\r\n"
+        if uri:
+            head += b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        head += b"Content-Length: %d\r\n\r\n" % len(payload)
+        return head + payload + b"\r\n\r\n"
+
+    body = b"<html>hi</html>"
+    http = (b"HTTP/1.1 404 Not Found\r\nX-Other: 1\r\n"
+            b"Content-Type: text/plain\r\n\r\n" + body)
+    good = (rec("warcinfo", "", b"sw: x\r\n")
+            + rec("response", "https://a.test/x", http)
+            + rec("request", "https://a.test/x", b"GET /x\r\n"))
+    # truncated record: declared length exceeds remaining bytes ->
+    # parsed prefix kept, tail dropped
+    trunc = rec("response", "https://b.test/y", http)[:-20]
+
+    t = pa.table({
+        "shard_id": pa.array([1, 2], type=pa.int64()),
+        "warc": pa.array([good, rec("warcinfo", "", b"sw: x\r\n") + trunc],
+                         type=pa.binary()),
+    })
+    out = parse_warc(_ds(t, blocks=2)).to_pandas()
+    s1 = out[out["shard_id"] == 1].sort_values("rec_idx")
+    assert list(s1["rec_type"]) == ["warcinfo", "response", "request"]
+    resp = s1.iloc[1]
+    assert resp["status"] == 404
+    assert resp["content_type"] == "text/plain"
+    assert resp["body_len"] == len(body)
+    assert resp["body_md5"] == hashlib.md5(body).hexdigest()
+    req = s1.iloc[2]
+    assert req["status"] == -1 and req["content_type"] == ""
+    # shard 2: the leading record parses, the truncated tail is dropped
+    s2 = out[out["shard_id"] == 2]
+    assert list(s2["rec_type"]) == ["warcinfo"]
