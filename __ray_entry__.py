@@ -1366,6 +1366,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return parse_warc(shards)
 
+    def readability_q(sf_dir):
+        from spatula_ray.stages.text import readability_stats
+
+        return readability_stats(_docs(sf_dir, ["doc_id", "text"]))
+
     def doc_hits_q(sf_dir):
         import numpy as np
 
@@ -2080,6 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trap_hosts": trap_hosts_q,
         "robots_rules": robots_rules_q,
         "warc_records": warc_records_q,
+        "readability": readability_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4894,6 +4900,41 @@ SELECT d AS shard_id, rec_idx, rec_type, target_uri, status,
          CAST(-1 AS BIGINT), '', CAST(0 AS BIGINT), md5('')
   FROM d WHERE d % 5 = 0
 )
+"""
+
+    # Flesch reading ease: the same word convention as the other text
+    # oracles (string_split on ' ', empties dropped), syllable runs via
+    # regexp_extract_all, exact integer micro-grid divisions.
+    sql["readability"] = """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d)
+  WHERE w <> ''),
+per_word AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(w, '[aeiouyAEIOUY]+')))
+           AS syl
+  FROM words),
+wagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(syl) AS BIGINT) AS n_syllables
+  FROM per_word GROUP BY doc_id),
+sagg AS (
+  SELECT doc_id,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents
+  FROM d)
+SELECT d.doc_id,
+       COALESCE(w.n_words, 0) AS n_words,
+       CAST(s.n_sents AS BIGINT) AS n_sents,
+       COALESCE(w.n_syllables, 0) AS n_syllables,
+       CASE WHEN COALESCE(w.n_words, 0) = 0 THEN -1000000000
+            ELSE 206835000
+                 - (1015000 * w.n_words) // s.n_sents
+                 - (84600000 * w.n_syllables) // w.n_words
+       END AS fre_micro
+FROM d LEFT JOIN wagg w ON w.doc_id = d.doc_id
+       JOIN sagg s ON s.doc_id = d.doc_id
 """
 
     # integer HITS: the same unrolled-iteration playbook as doc_pagerank

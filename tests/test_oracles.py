@@ -72,7 +72,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "table_profile", "dust_rules",
                       "recrawl_priority", "anchor_topk",
                       "host_link_graph", "doc_hits", "trap_hosts",
-                      "robots_rules", "warc_records"]
+                      "robots_rules", "warc_records", "readability"]
 
 
 def _duck(sf_dir):

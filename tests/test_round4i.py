@@ -238,3 +238,29 @@ def test_parse_warc_records_and_truncation():
     # shard 2: the leading record parses, the truncated tail is dropped
     s2 = out[out["shard_id"] == 2]
     assert list(s2["rec_type"]) == ["warcinfo"]
+
+
+def test_readability_known_values():
+    from spatula_ray.stages.text import readability_stats
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "The cat sat. It sat!",   # 5 words, 2 sents, 5 syllables
+            "xyz 123",                # consonant-only words clamp to 1
+            "",                       # no words -> sentinel
+            None,                     # null -> like empty
+        ], type=pa.string()),
+    })
+    out = readability_stats(_ds(t, blocks=2)).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    r0 = out.loc[0]
+    assert (r0["n_words"], r0["n_sents"], r0["n_syllables"]) == (5, 2, 5)
+    assert r0["fre_micro"] == (206_835_000
+                               - (1_015_000 * 5) // 2
+                               - (84_600_000 * 5) // 5)
+    r1 = out.loc[1]
+    assert (r1["n_words"], r1["n_sents"], r1["n_syllables"]) == (2, 1, 2)
+    assert out.loc[2, "fre_micro"] == -10**9
+    assert out.loc[2, "n_sents"] == 1
+    assert out.loc[3, "fre_micro"] == -10**9
