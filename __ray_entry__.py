@@ -1025,6 +1025,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dd.substring_dup_coverage(_docs_with_neardups(sf_dir),
                                          k=5)
 
+    def exact_substr_cut_q(sf_dir):
+        # same near-dup fixture as the coverage measure: the cut must
+        # remove exactly the positions coverage counts
+        return dd.exact_substr_cut(_docs_with_neardups(sf_dir), k=5)
+
     def token_budget_select_q(sf_dir):
         from spatula_ray.stages.curate import token_budget_select
 
@@ -2086,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_rules": robots_rules_q,
         "warc_records": warc_records_q,
         "readability": readability_q,
+        "exact_substr_cut": exact_substr_cut_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4900,6 +4906,51 @@ SELECT d AS shard_id, rec_idx, rec_type, target_uri, status,
          CAST(-1 AS BIGINT), '', CAST(0 AS BIGINT), md5('')
   FROM d WHERE d % 5 = 0
 )
+"""
+
+    # ExactSubstr cut: the coverage oracle's window/dup/interval CTEs
+    # composed verbatim, extended with the word-position anti-join and
+    # ordered survivor re-join.
+    sql["exact_substr_cut"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+iw AS (SELECT doc_id, ts, len(ts) AS n,
+              unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS i
+       FROM tok),
+win AS (SELECT doc_id, i - 1 AS pos,
+               CASE WHEN n < 5 THEN array_to_string(ts, ' ')
+                    ELSE array_to_string(ts[i : i + 4], ' ') END AS g,
+               CASE WHEN n < 5 THEN n ELSE 5 END AS wlen
+        FROM iw),
+dupg AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+cw AS (SELECT doc_id, pos, wlen FROM win JOIN dupg USING (g)),
+cov AS (SELECT doc_id,
+               pos + unnest(generate_series(0, wlen - 1)) AS w
+        FROM cw),
+covd AS (SELECT DISTINCT doc_id, w FROM cov),
+wp AS (SELECT doc_id, i - 1 AS w, ts[i] AS word
+       FROM (SELECT doc_id, ts,
+                    unnest(generate_series(1, len(ts))) AS i
+             FROM tok)),
+kept AS (SELECT p.doc_id, p.w, p.word
+         FROM wp p LEFT JOIN covd c
+              ON c.doc_id = p.doc_id AND c.w = p.w
+         WHERE c.w IS NULL),
+ct AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_words,
+              string_agg(word, ' ' ORDER BY w) AS clean_text
+       FROM kept GROUP BY doc_id),
+nw AS (SELECT doc_id, len(ts) AS n_words FROM tok)
+SELECT nw.doc_id, CAST(nw.n_words AS BIGINT) AS n_words,
+       coalesce(ct.kept_words, 0) AS kept_words,
+       coalesce(ct.clean_text, '') AS clean_text
+FROM nw LEFT JOIN ct USING (doc_id)
 """
 
     # Flesch reading ease: the same word convention as the other text

@@ -655,31 +655,15 @@ def doc_novelty(ds, k_shingle: int = 3, num_buckets: int = 64):
     return parts.groupby("__b2").map_groups(fold, batch_format="pandas")
 
 
-def substring_dup_coverage(ds, k: int = 5, num_buckets: int = 64,
-                           id_col: str = "doc_id",
-                           text_col: str = "text"):
-    """Exact-substring duplication coverage (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better"): for every document,
-    the fraction (exact micro-units) of its word POSITIONS covered by
-    at least one word-``k``-gram window that occurs two or more times
-    anywhere in the corpus (other docs or elsewhere in the same doc).
-    Unlike :func:`doc_novelty` (distinct-shingle df accounting) this is
-    positional — it measures the duplicated-CHAR mass an ExactSubstr
-    cut pass would actually remove, so template farms, quote chains and
-    within-doc loops all register. Docs shorter than ``k`` words form a
-    single whole-doc window.
-
-    Scale shape: the positional explode is inherently token-scale (the
-    op is defined over every window position) but each row is four
-    narrow ints; ONE gram-hash-bucket exchange co-locates all copies of
-    a gram, so in-bucket frequency IS global frequency and only the
-    rows of genuinely duplicated windows (bounded by the true duplicated
-    mass) survive to the second, doc-bucket exchange; the per-doc
-    interval union is a single vectorized cummax sweep over the whole
-    bucket (docs separated by a 2^31 offset — no per-doc Python loop).
-    Gram identity is the 64-bit vectorized corpus hash (values never
-    appear in output; collision odds ~n^2/2^65, the
-    :func:`_shingle_hashes` precedent). Driver sees nothing."""
+def _substr_dup_positions(ds, k: int, num_buckets: int,
+                          id_col: str, text_col: str):
+    """Shared positional ExactSubstr core (Lee et al.): explode every
+    word-k-gram window position to a narrow int row, co-locate all
+    copies of a gram with ONE gram-hash-bucket exchange (in-bucket
+    frequency IS global frequency), and keep only the positions of
+    windows occurring >= 2x corpus-wide. Returns ``(doc_id, pos, wlen,
+    __b2)`` rows, ``__b2 = doc_id %% num_buckets`` — the input to both
+    the coverage measure and the cut pass."""
     import pandas as pd
 
     def explode(t: pa.Table) -> pa.Table:
@@ -753,8 +737,37 @@ def substring_dup_coverage(ds, k: int = 5, num_buckets: int = 64,
             "wlen": pa.array(out["wlen"].to_numpy(dtype=np.int64)),
             "__b2": pa.array((ids % num_buckets).astype(np.int32))})
 
-    dup = positions.groupby("__bucket").map_groups(
+    return positions.groupby("__bucket").map_groups(
         dup_rows, batch_format="pandas")
+
+
+def substring_dup_coverage(ds, k: int = 5, num_buckets: int = 64,
+                           id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Exact-substring duplication coverage (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction (exact micro-units) of its word POSITIONS covered by
+    at least one word-``k``-gram window that occurs two or more times
+    anywhere in the corpus (other docs or elsewhere in the same doc).
+    Unlike :func:`doc_novelty` (distinct-shingle df accounting) this is
+    positional — it measures the duplicated-CHAR mass an ExactSubstr
+    cut pass would actually remove, so template farms, quote chains and
+    within-doc loops all register. Docs shorter than ``k`` words form a
+    single whole-doc window.
+
+    Scale shape: the positional explode is inherently token-scale (the
+    op is defined over every window position) but each row is four
+    narrow ints; ONE gram-hash-bucket exchange co-locates all copies of
+    a gram, so in-bucket frequency IS global frequency and only the
+    rows of genuinely duplicated windows (bounded by the true duplicated
+    mass) survive to the second, doc-bucket exchange; the per-doc
+    interval union is a single vectorized cummax sweep over the whole
+    bucket (docs separated by a 2^31 offset — no per-doc Python loop).
+    Gram identity is the 64-bit vectorized corpus hash (values never
+    appear in output; collision odds ~n^2/2^65, the
+    :func:`_shingle_hashes` precedent). Driver sees nothing."""
+    dup = _substr_dup_positions(ds, k, num_buckets, id_col, text_col)
+    import pandas as pd
 
     def counts(t: pa.Table) -> pa.Table:
         ids = _i64(t[id_col])
@@ -808,6 +821,90 @@ def substring_dup_coverage(ds, k: int = 5, num_buckets: int = 64,
 
     return words.union(dup).groupby("__b2").map_groups(
         fold, batch_format="pandas")
+
+
+def exact_substr_cut(ds, k: int = 5, num_buckets: int = 64,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """ExactSubstr CUT (Lee et al. — the removal pass whose effect
+    :func:`substring_dup_coverage` measures): per document, drop every
+    word position covered by a word-``k``-gram window occurring >= 2x
+    corpus-wide and re-join the survivors. Output ``(doc_id, n_words,
+    kept_words, clean_text)`` — a fully-duplicated doc keeps 0 words and
+    emits ``''`` (the downstream min-length filter's job, not ours).
+
+    Scale shape: shares :func:`_substr_dup_positions` (token-scale
+    4-int explode, ONE gram-bucket exchange, surviving rows bounded by
+    true duplicated mass). Texts shuffle ONCE, by doc-id bucket — the
+    reassembly join is inherent to a cut (the coverage measure avoids
+    it by emitting counts only). The per-bucket kernel is a single
+    vectorized delta-array coverage sweep over the bucket's concatenated
+    word space (interval add/subtract + cumsum; no per-doc Python in
+    the masking), then one ordered per-doc join of survivors."""
+    import pandas as pd
+
+    dup = _substr_dup_positions(ds, k, num_buckets, id_col, text_col)
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "pos": t["pos"], "wlen": t["wlen"],
+            "text": pa.nulls(t.num_rows, type=pa.string()),
+            "__b2": t["__b2"]})
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = _i64(t[id_col])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "wlen": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "text": t[text_col].cast(pa.string()),
+            "__b2": pa.array((ids % num_buckets).astype(np.int32))})
+
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pyarrow")
+    dup_t = dup.map_batches(tag_dup, batch_format="pyarrow")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["pos"] < 0].sort_values("doc_id", kind="mergesort")
+        d = g[g["pos"] >= 0]
+        ids = base["doc_id"].to_numpy(dtype=np.int64)
+        texts = base["text"].tolist()
+        splits = [t.split(" ") if t else [] for t in texts]
+        lens = np.fromiter((len(s) for s in splits), dtype=np.int64,
+                           count=len(splits))
+        offs = np.r_[np.int64(0), np.cumsum(lens)]
+        total = int(offs[-1])
+        covered = np.zeros(total, dtype=bool)
+        if len(d) and total:
+            doc = d["doc_id"].to_numpy(dtype=np.int64)
+            di = np.searchsorted(ids, doc)       # ids sorted, dups exist
+            pos = d["pos"].to_numpy(dtype=np.int64)
+            wl = d["wlen"].to_numpy(dtype=np.int64)
+            start = offs[di] + pos
+            end = offs[di] + np.minimum(pos + wl, lens[di])
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, start, 1)
+            np.add.at(delta, end, -1)
+            covered = np.cumsum(delta[:total]) > 0
+        flat = (np.concatenate([np.asarray(s, dtype=object)
+                                for s in splits if s])
+                if total else np.empty(0, dtype=object))
+        doc_of_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        keep = ~covered
+        kept_counts = np.bincount(doc_of_pos[keep],
+                                  minlength=len(ids)).astype(np.int64)
+        clean = [""] * len(ids)
+        if keep.any():
+            s = pd.Series(flat[keep]).groupby(
+                doc_of_pos[keep]).agg(" ".join)
+            for idx, txt in s.items():
+                clean[int(idx)] = txt
+        return pd.DataFrame({
+            "doc_id": ids, "n_words": lens,
+            "kept_words": kept_counts,
+            "clean_text": np.asarray(clean, dtype=object)})
+
+    return docs.union(dup_t).groupby("__b2").map_groups(
+        kernel, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -72,7 +72,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "table_profile", "dust_rules",
                       "recrawl_priority", "anchor_topk",
                       "host_link_graph", "doc_hits", "trap_hosts",
-                      "robots_rules", "warc_records", "readability"]
+                      "robots_rules", "warc_records", "readability",
+                      "exact_substr_cut"]
 
 
 def _duck(sf_dir):

@@ -264,3 +264,34 @@ def test_readability_known_values():
     assert out.loc[2, "fre_micro"] == -10**9
     assert out.loc[2, "n_sents"] == 1
     assert out.loc[3, "fre_micro"] == -10**9
+
+
+def test_exact_substr_cut_matrix():
+    from spatula_ray.stages.dedup import (exact_substr_cut,
+                                          substring_dup_coverage)
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h",        # shares 'a b c d e' run with 1
+            "a b c d e x y z",        # -> positions 0..4 cut in both
+            "q r s t u v w",          # unique -> untouched
+            "p p p p p p p p p",      # within-doc repeat -> fully cut
+            "tiny doc",               # n < k whole-doc window, unique
+        ], type=pa.string()),
+    })
+    ds = _ds(t, blocks=3)
+    out = exact_substr_cut(ds, k=5).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "f g h"
+    assert out.loc[0, "kept_words"] == 3
+    assert out.loc[1, "clean_text"] == "x y z"
+    assert out.loc[2, "clean_text"] == "q r s t u v w"
+    assert out.loc[3, "clean_text"] == ""
+    assert out.loc[3, "kept_words"] == 0
+    assert out.loc[4, "clean_text"] == "tiny doc"
+
+    # consistency with the coverage measure: kept = n_words - covered
+    cov = substring_dup_coverage(ds, k=5).to_pandas().set_index("doc_id")
+    for d in range(5):
+        assert (out.loc[d, "n_words"] - out.loc[d, "kept_words"]
+                == cov.loc[d, "covered_words"])
