@@ -1260,6 +1260,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return anchor_topk(_link_rows(sf_dir), k=3)
 
+    def host_rank_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import host_link_graph, pagerank
+
+        # composition: page-level link fixture -> host graph -> integer
+        # PageRank over host ids (the Common-Crawl host-rank job). Host
+        # ids are the fixture's own digits (h0X.test -> X) so the
+        # mapping is a pure projection on both engines; self-loop host
+        # pairs are kept (a host linking itself is real signal here).
+        edges = host_link_graph(_link_rows(sf_dir))
+
+        def to_ids(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            src = pc.cast(pc.utf8_slice_codeunits(
+                t["src_host"], 1, 3), pa.int64())
+            dst = pc.cast(pc.utf8_slice_codeunits(
+                t["dst_host"], 1, 3), pa.int64())
+            return pa.table({"src": src, "dst": dst})
+
+        ids = edges.map_batches(to_ids, batch_format="pyarrow")
+        return pagerank(ids, num_nodes=10, iters=3).map_batches(
+            lambda t: pa.table({"host_id": t["node"],
+                                "rank": t["rank"]}),
+            batch_format="pyarrow")
+
     def trap_hosts_q(sf_dir):
         import pyarrow as pa
 
@@ -2092,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_records": warc_records_q,
         "readability": readability_q,
         "exact_substr_cut": exact_substr_cut_q,
+        "host_rank": host_rank_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4907,6 +4935,32 @@ SELECT d AS shard_id, rec_idx, rec_type, target_uri, status,
   FROM d WHERE d % 5 = 0
 )
 """
+
+    # host rank: the host_link_graph edge set (DISTINCT host pairs from
+    # the link fixture) fed into the doc_pagerank CTE playbook, 3
+    # iterations unrolled programmatically.
+    _hr_parts = ["""
+WITH e AS (
+  SELECT DISTINCT doc_id % 10 AS src,
+         ((doc_id * (7 + 2 * j.j) + j.j) % 997) % 10 AS dst
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j) j),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT unnest(generate_series(0, 9)) AS node,
+              CAST(1000000000 AS BIGINT) AS rank)"""]
+    for _i in (1, 2, 3):
+        _hr_parts.append(f""",
+c{_i} AS (SELECT e.dst AS node, sum(r.rank // deg.outdeg) AS s
+          FROM e JOIN r{_i - 1} r ON r.node = e.src
+                 JOIN deg ON deg.src = e.src
+          GROUP BY e.dst),
+r{_i} AS (SELECT r.node,
+                 CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                      AS BIGINT) AS rank
+          FROM r{_i - 1} r LEFT JOIN c{_i} c ON c.node = r.node)""")
+    _hr_parts.append("""
+SELECT node AS host_id, rank FROM r3
+""")
+    sql["host_rank"] = "".join(_hr_parts)
 
     # ExactSubstr cut: the coverage oracle's window/dup/interval CTEs
     # composed verbatim, extended with the word-position anti-join and
