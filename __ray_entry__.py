@@ -1030,6 +1030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remove exactly the positions coverage counts
         return dd.exact_substr_cut(_docs_with_neardups(sf_dir), k=5)
 
+    def minhash_calibration_q(sf_dir):
+        return dd.minhash_calibration(_docs_with_neardups(sf_dir),
+                                      threshold=0.2, n_perm=16)
+
     def token_budget_select_q(sf_dir):
         from spatula_ray.stages.curate import token_budget_select
 
@@ -2120,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": readability_q,
         "exact_substr_cut": exact_substr_cut_q,
         "host_rank": host_rank_q,
+        "minhash_calibration": minhash_calibration_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4961,6 +4966,67 @@ r{_i} AS (SELECT r.node,
 SELECT node AS host_id, rank FROM r3
 """)
     sql["host_rank"] = "".join(_hr_parts)
+
+    # MinHash calibration: the ngram_jaccard CTEs give the exact side;
+    # the estimate side mirrors the parity MinHasher bit-for-bit —
+    # md5_number_lower shingle hashes, a_i < 2^32 so the HUGEINT product
+    # never overflows, and the same two mod-2^64 wraps as numpy uint64.
+    sql["minhash_calibration"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN i % 10 = 0 THEN 'xq7' ELSE w END), ' ')
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+    END)) AS g
+  FROM tok
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rawp AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT a, b, c, ca.n AS na, cb.n AS nb
+  FROM rawp JOIN cnt ca ON ca.doc_id = a
+            JOIN cnt cb ON cb.doc_id = b
+  WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.2
+),
+shh AS (SELECT doc_id, CAST(md5_number_lower(g) AS HUGEINT) AS h FROM sh),
+pp AS (SELECT i,
+              ((2 * CAST(i AS HUGEINT) + 1) * 2654435769)
+                % 4294967296 AS ac,
+              (CAST(i AS HUGEINT) * 18397679294719823053)
+                % 18446744073709551616 AS bc
+       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+pv AS (SELECT s.doc_id, p.i,
+              min((((s.h * p.ac) % 18446744073709551616) + p.bc)
+                  % 18446744073709551616
+                  % 2305843009213693951) AS mh
+       FROM shh s, pp p GROUP BY s.doc_id, p.i),
+m AS (SELECT jp.a, jp.b,
+             count(*) FILTER (WHERE va.mh = vb.mh) AS matches
+      FROM jp JOIN pv va ON va.doc_id = jp.a
+              JOIN pv vb ON vb.doc_id = jp.b AND vb.i = va.i
+      GROUP BY jp.a, jp.b)
+SELECT jp.a, jp.b,
+       CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6 + 0.5)
+            AS BIGINT) AS jac_micro,
+       CAST(m.matches * 1000000 // 16 AS BIGINT) AS est_micro,
+       CAST(abs(m.matches * 1000000 // 16
+                - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
+                             + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
+FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
 
     # ExactSubstr cut: the coverage oracle's window/dup/interval CTEs
     # composed verbatim, extended with the word-position anti-join and

@@ -179,7 +179,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     # round-4i additions
                     "anchor_topk", "host_link_graph", "doc_hits",
                     "trap_hosts", "robots_rules", "warc_records",
-                    "readability", "exact_substr_cut", "host_rank"]
+                    "readability", "exact_substr_cut", "host_rank",
+                    "minhash_calibration"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

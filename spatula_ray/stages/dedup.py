@@ -164,12 +164,30 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 class MinHasher:
     """Per-doc MinHash signatures; permutation parameters are derived from
-    the seed once per actor (the stateful-stage pattern)."""
+    the seed once per actor (the stateful-stage pattern).
 
-    def __init__(self, n_perm: int = 64, k_shingle: int = 3, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERS61, size=n_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERS61, size=n_perm, dtype=np.uint64)
+    ``oracle_parity=True`` switches BOTH the shingle hash (md5
+    low-8-bytes, :func:`_shingle_hashes_md5`) and the permutation
+    parameters to closed-form constants a DuckDB mirror can compute:
+    ``a_i = ((2i+1) * 0x9E3779B9) mod 2^32`` (odd -> a bijection mod
+    2^64, and < 2^32 so the SQL HUGEINT product never overflows) and
+    ``b_i = i * 0xFF51AFD7ED558CCD mod 2^64`` — signature VALUES (not
+    just pair decisions) are then bit-identical cross-engine, which the
+    calibration audit needs. Default stays the fast seeded path."""
+
+    def __init__(self, n_perm: int = 64, k_shingle: int = 3, seed: int = 42,
+                 oracle_parity: bool = False):
+        if oracle_parity:
+            i = np.arange(n_perm, dtype=np.uint64)
+            self.a = (((np.uint64(2) * i + np.uint64(1))
+                       * np.uint64(0x9E3779B9))
+                      & np.uint64(0xFFFFFFFF))
+            self.b = i * np.uint64(0xFF51AFD7ED558CCD)
+        else:
+            rng = np.random.RandomState(seed)
+            self.a = rng.randint(1, _MERS61, size=n_perm, dtype=np.uint64)
+            self.b = rng.randint(0, _MERS61, size=n_perm, dtype=np.uint64)
+        self.parity = oracle_parity
         self.k = k_shingle
         self.n_perm = n_perm
 
@@ -189,8 +207,16 @@ class MinHasher:
         # (total_sh, n_perm) form was DRAM-bound and 6x slower (measured
         # round 4); results are bit-identical (min is associative across
         # chunk boundaries).
-        flat, n_sh = _shingle_hashes_batch(batch["text"].to_pylist(),
-                                           self.k)
+        if self.parity:
+            shs = [_shingle_hashes_md5(t or "", self.k)
+                   for t in batch["text"].to_pylist()]
+            n_sh = np.fromiter((len(s) for s in shs), dtype=np.int64,
+                               count=len(shs))
+            flat = (np.concatenate(shs) if shs
+                    else np.empty(0, dtype=np.uint64))
+        else:
+            flat, n_sh = _shingle_hashes_batch(batch["text"].to_pylist(),
+                                               self.k)
         n = len(n_sh)
         sig = np.zeros((n, self.n_perm), dtype=np.uint64)
         nz = np.nonzero(n_sh)[0]
@@ -427,6 +453,74 @@ def minhash_dup_pairs(ds, threshold: float = 0.5, n_perm: int = 64,
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard similarity join (the oracle for the approximate paths)
 # ---------------------------------------------------------------------------
+
+def minhash_calibration(ds, threshold: float = 0.2,
+                        n_perm: int = 16, k_shingle: int = 3,
+                        num_buckets: int = 32):
+    """MinHash estimator calibration audit — the quality dial a
+    dedup deployment tunes ``n_perm``/banding against (the
+    :func:`ann_recall` analogue for the minhash path): for every pair
+    the EXACT inverted-index join finds at ``threshold``, compare the
+    signature estimate (matching components / n_perm, exact micro-units)
+    with the exact Jaccard. Uses the ``oracle_parity`` MinHasher so
+    signature VALUES are bit-identical to the SQL mirror (fast-path
+    signatures differ only in the permutation constants, not the
+    estimator's statistics).
+
+    Output ``(a, b, jac_micro, est_micro, err_micro)``. Scale shape:
+    the exact join's two compact-int exchanges + two doc-id hash-bucket
+    joins attaching fixed-size signature vectors to the (duplication-
+    bounded) pair set; signatures travel as int64 views (Ray's
+    sort-groupby has no uint64 path — the dust_rules convention)."""
+    from .joins import hash_bucket_join
+
+    sig = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(
+        n_perm=n_perm, k_shingle=k_shingle, oracle_parity=True),
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5,
+        batch_size=512, max_restarts=0)
+
+    def as_side(key: str):
+        # signatures pack into one binary blob per doc: acero joins
+        # reject list payloads, and a blob keeps the join row narrow
+        def fn(t: pa.Table) -> pa.Table:
+            lst = t["minhash"].combine_chunks()
+            mat = lst.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.uint64).reshape(-1, n_perm)
+            blobs = [mat[r].tobytes() for r in range(mat.shape[0])]
+            return pa.table({
+                key: t["doc_id"],
+                "sig_" + key: pa.array(blobs, type=pa.binary())})
+        return fn
+
+    pairs = exact_jaccard_pairs(ds, threshold=threshold,
+                                k_shingle=k_shingle,
+                                num_buckets=num_buckets)
+    j = hash_bucket_join(pairs, sig.map_batches(
+        as_side("a"), batch_format="pyarrow"), on=["a"],
+        num_buckets=num_buckets)
+    j = hash_bucket_join(j, sig.map_batches(
+        as_side("b"), batch_format="pyarrow"), on=["b"],
+        num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()),
+                           dtype=np.uint64).reshape(n, n_perm)
+        sb = np.frombuffer(b"".join(t["sig_b"].to_pylist()),
+                           dtype=np.uint64).reshape(n, n_perm)
+        matches = (sa == sb).sum(axis=1).astype(np.int64)
+        est = matches * np.int64(1_000_000) // np.int64(n_perm)
+        jac = np.floor(t["jaccard"].to_numpy(zero_copy_only=False)
+                       * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "jac_micro": pa.array(jac),
+            "est_micro": pa.array(est),
+            "err_micro": pa.array(np.abs(est - jac)),
+        })
+
+    return j.map_batches(score, batch_format="pyarrow")
+
 
 def exact_jaccard_pairs(ds, threshold: float = 0.5, k_shingle: int = 3,
                         num_buckets: int = 64, max_df: int = None):

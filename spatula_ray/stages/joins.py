@@ -83,6 +83,16 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
             t = t.replace_schema_metadata(None)   # pandas-block relic
             if renames:
                 t = t.rename_columns([renames.get(c, c) for c in t.schema.names])
+            # pandas-block inputs may have upcast int columns with nulls
+            # to float64 (e.g. a prior join's side-local nulls); cast
+            # back to the declared type BEFORE bucketing or the key hash
+            # diverges between sides (no-op when nothing drifted)
+            import pyarrow.compute as pc
+
+            for ci, name in enumerate(t.schema.names):
+                want = types.get(name)
+                if want is not None and t.schema.field(ci).type != want:
+                    t = t.set_column(ci, name, pc.cast(t[name], want))
             t = t.append_column("__bucket", _bucket_of(t, on, num_buckets))
             t = t.append_column("__side", pa.array([side] * t.num_rows,
                                                    type=pa.int8()))
@@ -107,6 +117,13 @@ def hash_bucket_join(left, right, on: List[str], how: str = "inner",
         import pyarrow.compute as pc
 
         g = g.combine_chunks()
+        # the sort shuffle unifies mixed pandas/arrow side blocks to
+        # pandas, upcasting int columns with side-local nulls to
+        # float64; cast back to declared types before the acero join
+        for ci, name in enumerate(g.schema.names):
+            want = types.get(name)
+            if want is not None and g.schema.field(ci).type != want:
+                g = g.set_column(ci, name, pc.cast(g[name], want))
         lg = g.filter(pc.equal(g["__side"], 0)).select(left_only + on)
         rg = g.filter(pc.equal(g["__side"], 1)).select(on + right_only)
         out = lg.join(rg, keys=on, join_type=join_type)

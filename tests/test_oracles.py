@@ -73,7 +73,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "recrawl_priority", "anchor_topk",
                       "host_link_graph", "doc_hits", "trap_hosts",
                       "robots_rules", "warc_records", "readability",
-                      "exact_substr_cut", "host_rank"]
+                      "exact_substr_cut", "host_rank",
+                      "minhash_calibration"]
 
 
 def _duck(sf_dir):

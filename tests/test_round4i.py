@@ -295,3 +295,31 @@ def test_exact_substr_cut_matrix():
     for d in range(5):
         assert (out.loc[d, "n_words"] - out.loc[d, "kept_words"]
                 == cov.loc[d, "covered_words"])
+
+
+def test_minhash_calibration_identical_and_bounds():
+    import ray.data as rd
+
+    from spatula_ray.stages.dedup import minhash_calibration
+
+    # doc 1 == doc 2 exactly; doc 3 half-overlaps via shared prefix
+    base = "w%d " * 30
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            " ".join("w%d" % i for i in range(30)),
+            " ".join("w%d" % i for i in range(30)),
+            " ".join("w%d" % i for i in range(15))
+            + " " + " ".join("z%d" % i for i in range(15)),
+        ], type=pa.string()),
+    })
+    out = minhash_calibration(rd.from_arrow(t), threshold=0.2,
+                              n_perm=16).to_pandas()
+    ident = out[(out["a"] == 1) & (out["b"] == 2)].iloc[0]
+    assert ident["jac_micro"] == 1_000_000
+    assert ident["est_micro"] == 1_000_000     # identical sigs
+    assert ident["err_micro"] == 0
+    part = out[(out["a"] == 1) & (out["b"] == 3)]
+    assert len(part) == 1                       # above threshold
+    assert 0 < part.iloc[0]["jac_micro"] < 1_000_000
+    assert (out["est_micro"] % (1_000_000 // 16) == 0).all()
