@@ -1436,12 +1436,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_link_graph(_link_rows(sf_dir))
 
-    def dust_rules_q(sf_dir):
+    def _dust_pages(sf_dir):
         import hashlib as _hl
 
         import pyarrow as pa
-
-        from spatula_ray.stages.ingest import dust_param_rules
 
         # fixture: per doc a base URL on host doc_id%10 with params a,b;
         # every 2nd doc adds a ?sid= variant (ORDER-SCRAMBLED, same
@@ -1474,9 +1472,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "fingerprint": pa.array(fps, type=pa.string()),
             })
 
-        pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             mk, batch_format="pyarrow")
-        return dust_param_rules(pages, min_support=2, oracle_parity=True)
+
+    def dust_rules_q(sf_dir):
+        from spatula_ray.stages.ingest import dust_param_rules
+
+        return dust_param_rules(_dust_pages(sf_dir), min_support=2,
+                                oracle_parity=True)
+
+    def canonical_urls_q(sf_dir):
+        from spatula_ray.stages.ingest import canonical_urls
+
+        # same aliased-page fixture as dust_rules: variants sharing a
+        # content fingerprint collapse to the lexicographically smallest
+        # URL with an alias count
+        return canonical_urls(_dust_pages(sf_dir))
 
     _PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
                      "l_linenumber", "l_quantity", "l_extendedprice",
@@ -2125,6 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substr_cut": exact_substr_cut_q,
         "host_rank": host_rank_q,
         "minhash_calibration": minhash_calibration_q,
+        "canonical_urls": canonical_urls_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -4966,6 +4978,33 @@ r{_i} AS (SELECT r.node,
 SELECT node AS host_id, rank FROM r3
 """)
     sql["host_rank"] = "".join(_hr_parts)
+
+    # canonical-URL election over the dust_rules alias fixture: min-URL
+    # per shared fingerprint, singletons dropped.
+    sql["canonical_urls"] = """
+WITH d AS (
+  SELECT doc_id AS dd, COALESCE(text, '') AS text,
+         'https://h' || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0')
+           || '.test/p/' || doc_id AS base
+  FROM documents
+),
+pages AS (
+  SELECT base || '?a=' || (dd % 5) || '&b=' || (dd % 3) AS url,
+         md5(text) AS fp FROM d
+  UNION ALL
+  SELECT base || '?a=' || (dd % 5) || '&sid=' || dd || '&b=' || (dd % 3),
+         md5(text) FROM d WHERE dd % 2 = 0
+  UNION ALL
+  SELECT base || '?a=' || (dd % 5) || '&b=' || (dd % 3) || '&ref=x',
+         md5(text) FROM d WHERE dd % 9 = 0
+  UNION ALL
+  SELECT base || '?a=' || (dd % 5) || '&b=' || (dd % 3) || '&v=1',
+         md5(text || '#v') FROM d WHERE dd % 4 = 0
+)
+SELECT fp AS fingerprint, min(url) AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_aliases
+FROM pages GROUP BY fp HAVING count(*) >= 2
+"""
 
     # MinHash calibration: the ngram_jaccard CTEs give the exact side;
     # the estimate side mirrors the parity MinHasher bit-for-bit —

@@ -609,3 +609,52 @@ def parse_warc(shards, shard_col: str = "shard_id",
         })
 
     return shards.map_batches(parse, batch_format="pyarrow")
+
+
+def canonical_urls(pages, url_col: str = "url",
+                   fp_col: str = "fingerprint", num_buckets: int = 32):
+    """Canonical-URL election — the alias-folding table downstream of
+    :func:`dust_param_rules` and ``graph.resolve_redirects``: URLs whose
+    content fingerprints are identical are aliases of one page; per
+    fingerprint elect the lexicographically SMALLEST URL as canonical
+    (deterministic, the min-id convention every dedup stage here uses)
+    and count aliases. Output one row per alias group with >= 2 members:
+    ``(fingerprint, canonical_url, n_aliases)`` — singleton pages emit
+    nothing, so output is bounded by true aliasing.
+
+    Scale shape: per-batch Arrow group_by pre-reduces to block-local
+    ``(fp, min_url, c)`` partials, ONE fp-bucket exchange, per-bucket
+    C-path fold; bodies never appear (the fingerprint column is the
+    32-hex unit produced upstream)."""
+    import pandas as pd
+
+    from .joins import _bucket_of
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"fingerprint": t[fp_col].cast(pa.string()),
+                       "url": t[url_col].cast(pa.string())})
+             .group_by(["fingerprint"])
+             .aggregate([("url", "min"), ("url", "count")]))
+        out = pa.table({
+            "fingerprint": g["fingerprint"],
+            "url_min": g["url_min"],
+            "c": pa.array(g["url_count"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["fingerprint"], num_buckets))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame({
+                "fingerprint": pd.Series(dtype="object"),
+                "canonical_url": pd.Series(dtype="object"),
+                "n_aliases": pd.Series(dtype="int64")})
+        out = (df.groupby("fingerprint", sort=False)
+               .agg(canonical_url=("url_min", "min"),
+                    n_aliases=("c", "sum"))
+               .reset_index())
+        out["n_aliases"] = out["n_aliases"].astype("int64")
+        return out[out["n_aliases"] >= 2].reset_index(drop=True)
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

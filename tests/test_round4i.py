@@ -323,3 +323,21 @@ def test_minhash_calibration_identical_and_bounds():
     assert len(part) == 1                       # above threshold
     assert 0 < part.iloc[0]["jac_micro"] < 1_000_000
     assert (out["est_micro"] % (1_000_000 // 16) == 0).all()
+
+
+def test_canonical_urls_election():
+    from spatula_ray.stages.ingest import canonical_urls
+
+    t = pa.table({
+        "url": pa.array(["https://a.test/z", "https://a.test/b",
+                         "https://a.test/m", "https://b.test/solo"],
+                        type=pa.string()),
+        "fingerprint": pa.array(["f1", "f1", "f1", "f2"],
+                                type=pa.string()),
+    })
+    out = canonical_urls(_ds(t, blocks=3)).to_pandas()
+    assert len(out) == 1                      # singleton f2 dropped
+    r = out.iloc[0]
+    assert r["fingerprint"] == "f1"
+    assert r["canonical_url"] == "https://a.test/b"   # lexicographic min
+    assert r["n_aliases"] == 3
