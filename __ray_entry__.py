@@ -1291,6 +1291,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "rank": t["rank"]}),
             batch_format="pyarrow")
 
+    def host_rank_weighted_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import (host_link_graph,
+                                              pagerank_weighted)
+
+        # host_rank with the n_links edge weights kept: a host pair
+        # carrying many page links pulls proportionally more rank
+        edges = host_link_graph(_link_rows(sf_dir))
+
+        def to_ids(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "src": pc.cast(pc.utf8_slice_codeunits(
+                    t["src_host"], 1, 3), pa.int64()),
+                "dst": pc.cast(pc.utf8_slice_codeunits(
+                    t["dst_host"], 1, 3), pa.int64()),
+                "w": t["n_links"]})
+
+        ids = edges.map_batches(to_ids, batch_format="pyarrow")
+        return pagerank_weighted(ids, num_nodes=10, iters=3).map_batches(
+            lambda t: pa.table({"host_id": t["node"],
+                                "rank": t["rank"]}),
+            batch_format="pyarrow")
+
     def trap_hosts_q(sf_dir):
         import pyarrow as pa
 
@@ -2137,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank": host_rank_q,
         "minhash_calibration": minhash_calibration_q,
         "canonical_urls": canonical_urls_q,
+        "host_rank_weighted": host_rank_weighted_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5066,6 +5093,34 @@ SELECT jp.a, jp.b,
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
 """
+
+    # weighted host rank: the same unroll with rank * w // W_u edge
+    # contributions (HUGEINT in SQL; the engine's int64 split is exact).
+    _hrw_parts = ["""
+WITH pe AS (
+  SELECT doc_id % 10 AS src,
+         ((doc_id * (7 + 2 * j.j) + j.j) % 997) % 10 AS dst
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j) j),
+e AS (SELECT src, dst, CAST(count(*) AS HUGEINT) AS w
+      FROM pe GROUP BY src, dst),
+deg AS (SELECT src, sum(w) AS wt FROM e GROUP BY src),
+r0 AS (SELECT unnest(generate_series(0, 9)) AS node,
+              CAST(1000000000 AS BIGINT) AS rank)"""]
+    for _i in (1, 2, 3):
+        _hrw_parts.append(f""",
+c{_i} AS (SELECT e.dst AS node,
+                 sum(CAST(r.rank AS HUGEINT) * e.w // deg.wt) AS s
+          FROM e JOIN r{_i - 1} r ON r.node = e.src
+                 JOIN deg ON deg.src = e.src
+          GROUP BY e.dst),
+r{_i} AS (SELECT r.node,
+                 CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                      AS BIGINT) AS rank
+          FROM r{_i - 1} r LEFT JOIN c{_i} c ON c.node = r.node)""")
+    _hrw_parts.append("""
+SELECT node AS host_id, rank FROM r3
+""")
+    sql["host_rank_weighted"] = "".join(_hrw_parts)
 
     # ExactSubstr cut: the coverage oracle's window/dup/interval CTEs
     # composed verbatim, extended with the word-position anti-join and

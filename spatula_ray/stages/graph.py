@@ -117,10 +117,14 @@ def pagerank(edges, num_nodes: int, iters: int = 5,
         d_deg = dt["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(d_src)
         d_src, d_deg = d_src[order], d_deg[order]
-        pos = np.searchsorted(d_src, n_ids)
-        ok = (pos < len(d_src))
-        safe = np.where(ok, pos, 0)
-        outdeg = np.where(ok & (d_src[safe] == n_ids), d_deg[safe], 0)
+        if len(d_src) == 0:                # bucket with no out-edges
+            outdeg = np.zeros(len(n_ids), dtype=np.int64)
+        else:
+            pos = np.searchsorted(d_src, n_ids)
+            ok = (pos < len(d_src))
+            safe = np.where(ok, pos, 0)
+            outdeg = np.where(ok & (d_src[safe] == n_ids),
+                              d_deg[safe], 0)
         return pa.table({"node": nt["node"], "rank": nt["rank"],
                          "outdeg": i64(outdeg),
                          "__bucket": nt["__bucket"]})
@@ -676,3 +680,200 @@ def hits(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32):
         lambda t: pa.table({"node": t["node"], "hub": t["h"],
                             "auth": t["a"]}),
         batch_format="pyarrow")
+
+
+def pagerank_weighted(edges, num_nodes: int, iters: int = 5,
+                      damping_permille: int = 850,
+                      num_buckets: int = 32):
+    """Weighted integer fixed-point PageRank over ``(src, dst, w)``
+    edges — the host-graph variant (a host pair carrying 10^4 page
+    links must pull more rank than a single stray link; unweighted
+    PageRank over a compressed host graph discards exactly that
+    signal). Same grid, damping and exchange plan as :func:`pagerank`;
+    the per-edge contribution becomes ``rank * w // W_u`` (``W_u`` =
+    total out-weight), computed in int64 WITHOUT 128-bit arithmetic via
+    the exact split ``(r // W) * w + ((r % W) * w) // W`` — identical
+    to a HUGEINT ``r * w // W`` in the SQL mirror because
+    ``r = qW + s  =>  rw // W = qw + sw // W``.
+
+    Int64 range guards: the pagerank node bound, plus
+    ``max(w) * max(W_u) < 2**63`` so the split's middle product never
+    wraps (checked with two cheap aggregates at entry — weights are
+    link counts, so this holds until a single host pair carries ~10^9
+    links against a 10^9-weight hub)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .joins import _bucket_of
+
+    if num_nodes * SCALE * 1000 >= 2 ** 63:
+        raise ValueError(
+            f"pagerank_weighted int64 overflow: num_nodes ({num_nodes})"
+            f" * SCALE ({SCALE}) * 1000 >= 2**63")
+
+    base = (1000 - damping_permille) * SCALE // 1000
+    d = damping_permille
+
+    def i64(x) -> pa.Array:
+        return pa.array(np.asarray(x, dtype=np.int64))
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        out = pa.table({"src": t["src"].cast(pa.int64()),
+                        "dst": t["dst"].cast(pa.int64()),
+                        "w": t["w"].cast(pa.int64())})
+        return out.append_column("__bucket",
+                                 _bucket_of(out, ["src"], num_buckets))
+
+    eb = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    wdeg = eb.groupby("src").aggregate(Sum("w", alias_name="wout"))
+    max_w = int(eb.max("w") or 0)
+    max_W = int(wdeg.max("wout") or 0)
+    if max_w > 0 and max_w * max_W >= 2 ** 63:
+        raise ValueError("pagerank_weighted int64 overflow: "
+                         f"max(w)={max_w} * max(W)={max_W} >= 2**63")
+
+    def init_state(t: pa.Table) -> pa.Table:
+        out = pa.table({"node": t["id"].cast(pa.int64())})
+        out = out.append_column("rank", i64(np.full(t.num_rows, SCALE)))
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["node"], num_buckets))
+
+    nodes = rd.range(num_nodes).map_batches(init_state,
+                                            batch_format="pyarrow")
+
+    def with_deg(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        is_node = pc.is_valid(t["node"])
+        nt = t.filter(is_node)
+        dt = t.filter(pc.invert(is_node))
+        n_ids = nt["node"].to_numpy(zero_copy_only=False)
+        d_src = dt["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_deg = dt["wout"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d_src)
+        d_src, d_deg = d_src[order], d_deg[order]
+        if len(d_src) == 0:                # bucket with no out-edges
+            wout = np.zeros(len(n_ids), dtype=np.int64)
+        else:
+            pos = np.searchsorted(d_src, n_ids)
+            ok = (pos < len(d_src))
+            safe = np.where(ok, pos, 0)
+            wout = np.where(ok & (d_src[safe] == n_ids), d_deg[safe], 0)
+        return pa.table({"node": nt["node"], "rank": nt["rank"],
+                         "wout": i64(wout), "__bucket": nt["__bucket"]})
+
+    deg_tagged = wdeg.map_batches(
+        lambda t: pa.table({
+            "src": t["src"], "wout": t["wout"],
+            "node": pa.nulls(t.num_rows, type=pa.int64()),
+            "rank": pa.nulls(t.num_rows, type=pa.int64()),
+        }).append_column("__bucket", _bucket_of(t, ["src"], num_buckets)),
+        batch_format="pyarrow")
+    nodes_tagged = nodes.map_batches(
+        lambda t: pa.table({
+            "src": pa.nulls(t.num_rows, type=pa.int64()),
+            "wout": pa.nulls(t.num_rows, type=pa.int64()),
+            "node": t["node"], "rank": t["rank"],
+            "__bucket": t["__bucket"]}),
+        batch_format="pyarrow")
+    state = (nodes_tagged.union(deg_tagged).groupby("__bucket")
+             .map_groups(with_deg, batch_format="pyarrow")
+             .repartition(num_buckets).materialize())
+
+    def scatter_kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_edge = pc.is_valid(g["dst"])
+        et = g.filter(is_edge)
+        st = g.filter(pc.invert(is_edge))
+        empty = pa.table({"node": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.int64())})
+        if et.num_rows == 0 or st.num_rows == 0:
+            return empty
+        src_e = et["src"].to_numpy(zero_copy_only=False)
+        dst_e = et["dst"].to_numpy(zero_copy_only=False)
+        w_e = et["w"].to_numpy(zero_copy_only=False)
+        node_s = st["node"].to_numpy(zero_copy_only=False)
+        rank_s = st["rank"].to_numpy(zero_copy_only=False)
+        deg_s = st["wout"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node_s)
+        ns = node_s[order]
+        rs, ws = rank_s[order], deg_s[order]
+        pos = np.searchsorted(ns, src_e)
+        ok = pos < len(ns)
+        safe = np.where(ok, pos, 0)
+        ok &= ns[safe] == src_e
+        r_e = rs[safe][ok]
+        W_e = ws[safe][ok]
+        w_ok = w_e[ok]
+        dsts = dst_e[ok]
+        Wc = np.maximum(W_e, 1)
+        # exact split of rank * w // W without 128-bit intermediates
+        c_e = np.where(
+            W_e > 0,
+            (r_e // Wc) * w_ok + ((r_e % Wc) * w_ok) // Wc, 0)
+        codes, inv = np.unique(dsts, return_inverse=True)
+        acc = np.zeros(len(codes), dtype=np.int64)
+        np.add.at(acc, inv, c_e)
+        return pa.table({"node": i64(codes), "s": i64(acc)})
+
+    def gather_kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_state = pc.is_valid(g["rank"])
+        st = g.filter(is_state)
+        pt = g.filter(pc.invert(is_state))
+        node_s = st["node"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node_s)
+        acc = np.zeros(st.num_rows, dtype=np.int64)
+        if pt.num_rows:
+            node_p = pt["node"].to_numpy(zero_copy_only=False)
+            s_p = pt["s"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(node_s[order], node_p)
+            ok = pos < st.num_rows
+            safe = np.where(ok, pos, 0)
+            ok &= node_s[order][safe] == node_p
+            np.add.at(acc, order[safe[ok]], s_p[ok])
+        rank = base + (acc * np.int64(d)) // np.int64(1000)
+        return pa.table({"node": st["node"], "rank": i64(rank),
+                         "wout": st["wout"], "__bucket": st["__bucket"]})
+
+    for _ in range(iters):
+        ranks_side = state.map_batches(
+            lambda t: pa.table({
+                "src": pa.nulls(t.num_rows, type=pa.int64()),
+                "dst": pa.nulls(t.num_rows, type=pa.int64()),
+                "w": pa.nulls(t.num_rows, type=pa.int64()),
+                "node": t["node"], "rank": t["rank"],
+                "wout": t["wout"], "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        edges_side = eb.map_batches(
+            lambda t: pa.table({
+                "src": t["src"], "dst": t["dst"], "w": t["w"],
+                "node": pa.nulls(t.num_rows, type=pa.int64()),
+                "rank": pa.nulls(t.num_rows, type=pa.int64()),
+                "wout": pa.nulls(t.num_rows, type=pa.int64()),
+                "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        partials = (edges_side.union(ranks_side).groupby("__bucket")
+                    .map_groups(scatter_kernel, batch_format="pyarrow"))
+
+        partials_side = partials.map_batches(
+            lambda t: pa.table({
+                "node": t["node"], "s": t["s"],
+                "rank": pa.nulls(t.num_rows, type=pa.int64()),
+                "wout": pa.nulls(t.num_rows, type=pa.int64()),
+            }).append_column("__bucket",
+                             _bucket_of(t, ["node"], num_buckets)),
+            batch_format="pyarrow")
+        state_side = state.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "s": pa.nulls(t.num_rows, type=pa.int64()),
+                "rank": t["rank"], "wout": t["wout"],
+                "__bucket": t["__bucket"]}),
+            batch_format="pyarrow")
+        state = (partials_side.union(state_side).groupby("__bucket")
+                 .map_groups(gather_kernel, batch_format="pyarrow")
+                 .repartition(num_buckets).materialize())
+
+    return state.map_batches(
+        lambda t: t.select(["node", "rank"]), batch_format="pyarrow")

@@ -74,7 +74,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "host_link_graph", "doc_hits", "trap_hosts",
                       "robots_rules", "warc_records", "readability",
                       "exact_substr_cut", "host_rank",
-                      "minhash_calibration", "canonical_urls"]
+                      "minhash_calibration", "canonical_urls",
+                      "host_rank_weighted"]
 
 
 def _duck(sf_dir):

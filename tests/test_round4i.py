@@ -341,3 +341,36 @@ def test_canonical_urls_election():
     assert r["fingerprint"] == "f1"
     assert r["canonical_url"] == "https://a.test/b"   # lexicographic min
     assert r["n_aliases"] == 3
+
+
+def test_pagerank_weighted_vs_unweighted():
+    from spatula_ray.stages.graph import pagerank, pagerank_weighted
+
+    # node 0 sends 9x more weight to node 1 than to node 2
+    e = pa.table({"src": pa.array([0, 0], type=pa.int64()),
+                  "dst": pa.array([1, 2], type=pa.int64()),
+                  "w": pa.array([9, 1], type=pa.int64())})
+    w = pagerank_weighted(_ds(e), num_nodes=3, iters=2).to_pandas()
+    w = w.set_index("node").sort_index()
+    assert w.loc[1, "rank"] > w.loc[2, "rank"]
+    # unit weights must reproduce the unweighted operator exactly
+    e1 = pa.table({"src": pa.array([0, 0], type=pa.int64()),
+                   "dst": pa.array([1, 2], type=pa.int64()),
+                   "w": pa.array([1, 1], type=pa.int64())})
+    uw = pagerank(_ds(e1.select(["src", "dst"])), num_nodes=3,
+                  iters=2).to_pandas().set_index("node").sort_index()
+    ww = pagerank_weighted(_ds(e1), num_nodes=3,
+                           iters=2).to_pandas().set_index("node")
+    assert (ww.sort_index()["rank"] == uw["rank"]).all()
+
+
+def test_pagerank_weighted_overflow_guard():
+    import pytest
+
+    from spatula_ray.stages.graph import pagerank_weighted
+
+    e = pa.table({"src": pa.array([0], type=pa.int64()),
+                  "dst": pa.array([1], type=pa.int64()),
+                  "w": pa.array([2**62], type=pa.int64())})
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_weighted(_ds(e), num_nodes=2, iters=1)
