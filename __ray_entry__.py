@@ -1291,6 +1291,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "rank": t["rank"]}),
             batch_format="pyarrow")
 
+    def shard_manifest_q(sf_dir):
+        import os
+        import shutil
+
+        from spatula_ray.stages.ingest import shard_manifest, write_sharded
+
+        # true sink+source round trip: write the docs table Hive-
+        # partitioned by doc_id % 8 under /tmp, read it back pruned,
+        # and emit the per-shard resume manifest the oracle recomputes
+        # from the source table — any row lost/duplicated/mis-routed by
+        # the writer breaks the hash
+        out = "/tmp/graft_shards_%s" % os.path.basename(
+            sf_dir.rstrip("/"))
+        shutil.rmtree(out, ignore_errors=True)
+        write_sharded(_docs(sf_dir, ["doc_id", "text"]), out,
+                      num_shards=8)
+        return shard_manifest(out)
+
     def host_rank_weighted_q(sf_dir):
         import pyarrow as pa
 
@@ -2164,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_calibration": minhash_calibration_q,
         "canonical_urls": canonical_urls_q,
         "host_rank_weighted": host_rank_weighted_q,
+        "shard_manifest": shard_manifest_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5092,6 +5111,18 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # shard manifest: the oracle recomputes the per-shard resume table
+    # straight from the source — the engine's number passes through an
+    # actual partitioned parquet write + pruned read.
+    sql["shard_manifest"] = """
+SELECT doc_id % 8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS n_chars
+FROM documents GROUP BY shard
 """
 
     # weighted host rank: the same unroll with rank * w // W_u edge

@@ -658,3 +658,53 @@ def canonical_urls(pages, url_col: str = "url",
 
     return (pages.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
+
+
+def write_sharded(docs, out_dir: str, num_shards: int = 8,
+                  id_col: str = "doc_id"):
+    """Resumable-output writer: partition rows by ``id %% num_shards``
+    into one Hive-style parquet directory per shard
+    (``shard=K/...parquet``) so a failed run can skip finished
+    partitions and a reader can prune by shard — the output layout the
+    crawl checkpoints already use, exposed as a library stage. Returns
+    the written path."""
+    def tag(t: pa.Table) -> pa.Table:
+        # euclidean mod so negative ids still land in [0, m)
+        m = np.int64(num_shards)
+        v = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("shard",
+                               pa.array(((v % m) + m) % m))
+
+    docs.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"])
+    return out_dir
+
+
+def shard_manifest(out_dir: str):
+    """Read back a :func:`write_sharded` directory and produce the
+    shard manifest ``(shard, n_docs, min_doc, max_doc, n_chars)`` — the
+    resume/validation table a restarted job consults before skipping a
+    partition. One pruned read (only ``doc_id``/``text`` leave storage)
+    + ONE bounded groupby(shard)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(out_dir, columns=["doc_id", "text", "shard"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "shard": t["shard"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(t["text"].cast(pa.string()), "")),
+                pa.int64()),
+        })
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("doc_id", alias_name="min_doc"),
+                       Max("doc_id", alias_name="max_doc"),
+                       Sum("n_chars", alias_name="n_chars")))

@@ -374,3 +374,28 @@ def test_pagerank_weighted_overflow_guard():
                   "w": pa.array([2**62], type=pa.int64())})
     with pytest.raises(ValueError, match="overflow"):
         pagerank_weighted(_ds(e), num_nodes=2, iters=1)
+
+
+def test_write_sharded_roundtrip_and_resume_skip(tmp_path):
+    import os
+
+    from spatula_ray.stages.ingest import shard_manifest, write_sharded
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 9, 10, -5], type=pa.int64()),
+        "text": pa.array(["a", "bb", "ccc", "d", "ee", "f", "gg"],
+                         type=pa.string()),
+    })
+    out = str(tmp_path / "shards")
+    write_sharded(_ds(t, blocks=3), out, num_shards=4)
+    # hive layout: one directory per shard, prunable by path
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    m = shard_manifest(out).to_pandas().set_index("shard").sort_index()
+    assert m.loc[0, "n_docs"] == 1 and m.loc[0, "min_doc"] == 0
+    assert m.loc[1, "n_docs"] == 2          # 1 and 9
+    assert m.loc[1, "max_doc"] == 9
+    assert m.loc[2, "n_docs"] == 2          # 2, 10
+    assert m.loc[3, "n_docs"] == 2          # 3 and -5 (euclidean mod)
+    assert m.loc[3, "min_doc"] == -5
+    assert m["n_chars"].sum() == 12
