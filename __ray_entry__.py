@@ -1632,6 +1632,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return interleaved_doc_stats(_caption_spans_ds(sf_dir))
 
+    def interleaved_truncate_q(sf_dir):
+        from spatula_ray.stages.multimodal import interleaved_truncate
+
+        # budget chosen so a meaningful fraction of fixture docs
+        # truncate mid-sequence (text paras cost ~8, images 16)
+        return interleaved_truncate(_caption_spans_ds(sf_dir),
+                                    max_tokens=40, media_tokens=16)
+
     def url_canonicalize_q(sf_dir):
         import pyarrow as pa
 
@@ -2183,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": canonical_urls_q,
         "host_rank_weighted": host_rank_weighted_q,
         "shard_manifest": shard_manifest_q,
+        "interleaved_truncate": interleaved_truncate_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5111,6 +5120,44 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # interleaved truncation: the caption-spans CTE + a window cumsum
+    # over (doc, seq); text cost = word count, media cost flat 16.
+    sql["interleaved_truncate"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+iw AS (SELECT doc_id, ws,
+              unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS BIGINT)))
+                AS i
+       FROM w),
+paras AS (SELECT doc_id, i - 1 AS pidx,
+                 array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') AS ptext
+          FROM iw),
+np AS (SELECT doc_id, count(*) AS p FROM paras GROUP BY doc_id),
+spans AS (
+  SELECT doc_id, 2 * pidx AS seq,
+         CAST(len(string_split(ptext, ' ')) AS BIGINT) AS cost
+  FROM paras
+  UNION ALL
+  SELECT doc_id, 2 * (doc_id % p) + 1, 16 FROM np
+  UNION ALL
+  SELECT doc_id, 2 * p, 16 FROM np WHERE doc_id % 3 = 0
+),
+cum AS (
+  SELECT doc_id, seq, cost,
+         SUM(cost) OVER (PARTITION BY doc_id ORDER BY seq
+                         ROWS UNBOUNDED PRECEDING) AS rc
+  FROM spans
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans_total,
+       CAST(sum(CASE WHEN rc <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spans_kept,
+       CAST(sum(cost) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN rc <= 40 THEN cost ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       sum(CASE WHEN rc <= 40 THEN 1 ELSE 0 END) < count(*) AS truncated
+FROM cum GROUP BY doc_id
 """
 
     # shard manifest: the oracle recomputes the per-shard resume table

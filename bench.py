@@ -181,7 +181,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "trap_hosts", "robots_rules", "warc_records",
                     "readability", "exact_substr_cut", "host_rank",
                     "minhash_calibration", "canonical_urls",
-                    "host_rank_weighted", "shard_manifest"]
+                    "host_rank_weighted", "shard_manifest",
+                    "interleaved_truncate"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

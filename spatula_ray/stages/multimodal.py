@@ -865,3 +865,79 @@ def interleaved_doc_stats(span_ds, num_buckets: int = 32):
 
     return (span_ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__bucket").map_groups(fold, batch_format="pandas"))
+
+
+def interleaved_truncate(span_ds, max_tokens: int = 40,
+                         media_tokens: int = 16,
+                         num_buckets: int = 32):
+    """Budgeted truncation of interleaved documents — the OBELICS/VLM
+    example-builder step: keep the maximal seq-ordered PREFIX of spans
+    whose cumulative token cost fits ``max_tokens`` WITHOUT ever
+    splitting a span (a half-image is garbage; a split paragraph leaks
+    a dangling caption). Text spans cost their word count (the repo's
+    ``string_split(text, ' ')`` convention), media spans cost the flat
+    ``media_tokens`` budget a vision encoder reserves per image.
+
+    Output one row per doc: ``(doc_id, n_spans_total, n_spans_kept,
+    tokens_total, tokens_kept, truncated)``. Scale shape: spans reduce
+    to narrow ``(doc, seq, cost)`` rows in the streaming map (payloads
+    and media bytes never shuffle), ONE doc-hash-bucket exchange, and a
+    per-bucket vectorized sort + segment cumsum — no per-doc Python."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def costs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        is_text = pc.equal(t["kind"], "text")
+        words = pc.list_value_length(pc.split_pattern(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+            pattern=" ")).cast(pa.int64())
+        cost = pc.if_else(is_text, words,
+                          pa.scalar(media_tokens, type=pa.int64()))
+        ids = t["doc_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "seq": t["seq"].cast(pa.int64()),
+            "cost": cost,
+            "__bucket": pa.array((ids % num_buckets).astype(np.int32)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_spans_total": pd.Series(dtype="int64"),
+                "n_spans_kept": pd.Series(dtype="int64"),
+                "tokens_total": pd.Series(dtype="int64"),
+                "tokens_kept": pd.Series(dtype="int64"),
+                "truncated": pd.Series(dtype="bool")})
+        g = g.sort_values(["doc_id", "seq"], kind="mergesort")
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        cost = g["cost"].to_numpy(dtype=np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        gid = np.cumsum(new) - 1
+        cum = np.cumsum(cost)
+        base = np.zeros(len(g), dtype=np.int64)
+        starts = np.flatnonzero(new)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        run_cum = cum - np.repeat(base[starts], np.diff(
+            np.r_[starts, len(g)]))
+        keep = run_cum <= max_tokens
+        uniq = doc[starts]
+        out = pd.DataFrame({
+            "doc_id": uniq,
+            "n_spans_total": np.bincount(gid).astype(np.int64),
+            "n_spans_kept": np.bincount(
+                gid, weights=keep).astype(np.int64),
+            "tokens_total": np.bincount(
+                gid, weights=cost).astype(np.int64),
+            "tokens_kept": np.bincount(
+                gid, weights=np.where(keep, cost, 0)).astype(np.int64),
+        })
+        out["truncated"] = out["n_spans_kept"] < out["n_spans_total"]
+        return out
+
+    return (span_ds.map_batches(costs, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

@@ -75,7 +75,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "robots_rules", "warc_records", "readability",
                       "exact_substr_cut", "host_rank",
                       "minhash_calibration", "canonical_urls",
-                      "host_rank_weighted", "shard_manifest"]
+                      "host_rank_weighted", "shard_manifest",
+                      "interleaved_truncate"]
 
 
 def _duck(sf_dir):

@@ -399,3 +399,40 @@ def test_write_sharded_roundtrip_and_resume_skip(tmp_path):
     assert m.loc[3, "n_docs"] == 2          # 3 and -5 (euclidean mod)
     assert m.loc[3, "min_doc"] == -5
     assert m["n_chars"].sum() == 12
+
+
+def test_interleaved_truncate_boundaries():
+    from spatula_ray.stages.multimodal import interleaved_truncate
+
+    def span(d, seq, kind, text=None, ref=None):
+        return (d, seq, kind, text, ref)
+
+    rows = [
+        # doc 1: text(3) image(16) text(5) -> budget 20 keeps first two
+        # spans (3+16=19), third would hit 24 > 20
+        span(1, 0, "text", "a b c"), span(1, 1, "image", None, "m1"),
+        span(1, 2, "text", "d e f g h"),
+        # doc 2: fits entirely
+        span(2, 0, "text", "x y"), span(2, 1, "image", None, "m2"),
+        # doc 3: FIRST span already over budget -> keep nothing
+        span(3, 0, "text", " ".join("w%d" % i for i in range(25))),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "seq": pa.array([r[1] for r in rows], type=pa.int64()),
+        "kind": pa.array([r[2] for r in rows], type=pa.string()),
+        "text": pa.array([r[3] for r in rows], type=pa.string()),
+        "media_ref": pa.array([r[4] for r in rows], type=pa.string()),
+    })
+    out = interleaved_truncate(_ds(t, blocks=3), max_tokens=20,
+                               media_tokens=16).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    d1 = out.loc[1]
+    assert (d1["n_spans_kept"], d1["tokens_kept"]) == (2, 19)
+    assert d1["truncated"]
+    d2 = out.loc[2]
+    assert (d2["n_spans_kept"], d2["n_spans_total"]) == (2, 2)
+    assert not d2["truncated"]
+    d3 = out.loc[3]
+    assert (d3["n_spans_kept"], d3["tokens_kept"]) == (0, 0)
+    assert d3["truncated"]
