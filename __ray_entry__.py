@@ -1864,6 +1864,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # narrow projection once
         return semdedup(ds.materialize(), n_cells=16, tau_permille=960)
 
+    def cluster_select_q(sf_dir):
+        from spatula_ray.ioutil import read_parquet_clean
+        from spatula_ray.stages.similarity import cluster_balanced_select
+
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        return cluster_balanced_select(ds.materialize(), per_cell=8,
+                                       n_cells=16)
+
     def knn_graph_q(sf_dir):
         from spatula_ray.ioutil import read_parquet_clean
         from spatula_ray.stages.similarity import knn_graph
@@ -2159,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_dhash": video_frame_dhash_q,
         "interleaved_dedup": interleaved_dedup_q,
         "knn_graph": knn_graph_q,
+        "cluster_select": cluster_select_q,
         "zipf_fit": zipf_fit_q,
         "vocab_growth": vocab_growth_q,
         "corpus_report": corpus_report_q,
@@ -2381,6 +2391,33 @@ edges AS (
 SELECT vec_id, neighbor_id, CAST(nn_rank AS BIGINT) AS nn_rank, dot
 FROM edges WHERE nn_rank <= {k}
 ORDER BY vec_id, nn_rank
+"""
+
+
+def _cluster_select_oracle_sql(per_cell: int = 8, n_cells: int = 16,
+                               iters: int = 5, sample: int = 2048,
+                               q_scale: int = 1000) -> str:
+    """Exact mirror of stages/similarity.py ``cluster_balanced_select``:
+    shared integer-grid k-means prefix, centrality = integer inner
+    product of the grid-normalized vector with its cell centroid
+    (``cfin``), ranked with the engine's (score desc, id asc) total
+    order."""
+    prefix = _kmeans_cells_prefix(n_cells, iters, sample, q_scale)
+    nv = _norm_cv("x.xv", "x.xv", q_scale)
+    return prefix + f""",
+qn AS (SELECT x.vec_id, cl.cell, {nv} AS nv
+       FROM xi x JOIN cells cl USING (vec_id)),
+scored AS (
+  SELECT q.vec_id, q.cell,
+         CAST(list_inner_product(q.nv, c.cv) AS BIGINT) AS score
+  FROM qn q JOIN cfin c USING (cell)),
+ranked AS (
+  SELECT vec_id, cell, score,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY score DESC, vec_id)
+              AS BIGINT) AS rank
+  FROM scored)
+SELECT vec_id, cell, score, rank FROM ranked WHERE rank <= {per_cell}
 """
 
 
@@ -4509,6 +4546,7 @@ ORDER BY f.doc_id
     sql["semdedup"] = _semdedup_oracle_sql()
     # cell-bounded exact k-NN graph: same k-means prefix, top-k ranking
     sql["knn_graph"] = _knn_graph_oracle_sql()
+    sql["cluster_select"] = _cluster_select_oracle_sql()
     # quality-stack ensemble: composes the doc_quality and lm_nll mirrors
     # verbatim as CTEs; thresholds are exact quantile_disc over each
     # score distribution (the docs_above_median_quality convention)

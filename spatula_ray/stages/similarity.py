@@ -588,3 +588,63 @@ def knn_graph(ds, k: int = 4, n_cells: int = 16, sample: int = 2048,
 
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cell").map_groups(kernel, batch_format="pyarrow"))
+
+
+def cluster_balanced_select(ds, per_cell: int = 8, n_cells: int = 16,
+                            sample: int = 2048, iters: int = 5,
+                            q_scale: int = 1000,
+                            emb_col: str = "embedding",
+                            id_col: str = "vec_id"):
+    """Cluster-balanced prototype selection — the diversity-curation
+    step SemDeDup-style pipelines run AFTER dedup (Abbas et al. §5,
+    Sorscher et al. "Beyond neural scaling laws" prototypicality): keep
+    the ``per_cell`` most-central members of every k-means cell, so the
+    kept subset covers the embedding space instead of oversampling the
+    dense head. Centrality = exact int64 inner product between the
+    grid-normalized vector and its cell centroid (the
+    :func:`kmeans_centroids` integer grid), ranked (score desc, id asc)
+    — a total order, bit-identical cross-engine.
+
+    Output ``(vec_id, cell, score, rank)``, ``rank <= per_cell``.
+    Shuffle plan: one streaming assign map (centroids broadcast by
+    value) emitting narrow ``(id, cell, score)`` rows — embeddings
+    never shuffle — then ONE bounded groupby(cell) with a vectorized
+    rank kernel."""
+    import pandas as pd
+
+    cents = kmeans_centroids(ds, n_cells=n_cells, sample=sample,
+                             iters=iters, q_scale=q_scale,
+                             emb_col=emb_col, id_col=id_col)
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = _list_col_to_matrix(t[emb_col])
+        xi = _quantize(mat, q_scale)
+        cell = np.argmax(xi @ cents.T, axis=1)
+        nsq = (xi * xi).sum(axis=1)
+        norm = np.sqrt(nsq.astype(np.float64))
+        norm[norm == 0] = 1.0
+        nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
+            .astype(np.int64)
+        score = (nv * cents[cell]).sum(axis=1)
+        return pa.table({
+            "vec_id": t[id_col],
+            "cell": pa.array(cell.astype(np.int64)),
+            "score": pa.array(score.astype(np.int64)),
+        })
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64")})
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        g = g.head(per_cell).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["vec_id", "cell", "score", "rank"]]
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell").map_groups(rank_kernel,
+                                        batch_format="pandas"))

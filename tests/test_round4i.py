@@ -436,3 +436,30 @@ def test_interleaved_truncate_boundaries():
     d3 = out.loc[3]
     assert (d3["n_spans_kept"], d3["tokens_kept"]) == (0, 0)
     assert d3["truncated"]
+
+
+def test_cluster_balanced_select_caps_and_order():
+    import numpy as np
+
+    from spatula_ray.stages.similarity import cluster_balanced_select
+
+    # two tight clusters around +e0 and +e1; 6 vectors each, per_cell=2
+    rng = [
+        [1.0, 0.05 * i, 0.0, 0.0] for i in range(6)
+    ] + [
+        [0.05 * i, 1.0, 0.0, 0.0] for i in range(6)
+    ]
+    t = pa.table({
+        "vec_id": pa.array(range(12), type=pa.int64()),
+        "embedding": pa.array(rng, type=pa.list_(pa.float32())),
+    })
+    out = cluster_balanced_select(_ds(t, blocks=2), per_cell=2,
+                                  n_cells=2, sample=12,
+                                  iters=3).to_pandas()
+    # every cell keeps exactly per_cell rows, ranks 1..2, scores desc
+    assert sorted(out.groupby("cell")["rank"].max()) == [2, 2]
+    assert len(out) == 4
+    for _, grp in out.groupby("cell"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == [1, 2]
+        assert g["score"].iloc[0] >= g["score"].iloc[1]
