@@ -1291,6 +1291,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "rank": t["rank"]}),
             batch_format="pyarrow")
 
+    def quality_dup_calibration_q(sf_dir):
+        import hashlib as _hl
+
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.joins import hash_bucket_join
+        from spatula_ray.stages.selection import exact_quantiles
+        from spatula_ray.stages.text import hashed_linear_score
+
+        # the FineWeb-style diagnostic "does the quality score predict
+        # duplication": per score QUARTILE (exact distributed quantiles,
+        # no magic thresholds), the exact-dup fraction in micro-units.
+        # Fixture: every 3rd doc gains an exact copy, so quartiles see
+        # different dup densities only if score correlates with content.
+        def copies(t: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                if d % 3 == 0:
+                    ids.append(d + _DUP_OFFSET)
+                    texts.append(txt)
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string())})
+
+        base = _docs(sf_dir, ["doc_id", "text"])
+        aug = base.union(base.map_batches(
+            copies, batch_format="pyarrow")).materialize()
+
+        scored = hashed_linear_score(aug, oracle_parity=True) \
+            .select_columns(["doc_id", "score_micro"]).materialize()
+        qs = exact_quantiles(scored, "score_micro", [0.25, 0.5, 0.75],
+                             gather_threshold=0)
+        q1, q2, q3 = qs[0.25], qs[0.5], qs[0.75]
+
+        def md5_rows(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            fps = [_hl.md5((x or "").encode()).hexdigest()
+                   for x in t["text"].to_pylist()]
+            out = pa.table({
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "fp": pa.array(fps, type=pa.string())})
+            from spatula_ray.stages.joins import _bucket_of
+
+            return out.append_column("__bucket",
+                                     _bucket_of(out, ["fp"], 32))
+
+        def dup_flag(g):
+            import pandas as pd
+
+            if len(g) == 0:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "is_dup": pd.Series(dtype="bool")})
+            c = g.groupby("fp")["doc_id"].transform("size")
+            return pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "is_dup": (c >= 2).to_numpy()})
+
+        dup = (aug.map_batches(md5_rows, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(dup_flag, batch_format="pandas"))
+        joined = hash_bucket_join(scored, dup, on=["doc_id"])
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            s = t["score_micro"].to_numpy(zero_copy_only=False)
+            b = ((s > q1).astype(np.int64) + (s > q2) + (s > q3))
+            return pa.table({
+                "quartile": pa.array(b.astype(np.int64)),
+                "dup": pa.array(t["is_dup"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)),
+            })
+
+        from ray.data.aggregate import Count, Sum
+
+        agg = (joined.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("quartile")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("dup", alias_name="n_dup")))
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = t["n_docs"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            d = t["n_dup"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            return pa.table({
+                "quartile": t["quartile"].cast(pa.int64()),
+                "n_docs": pa.array(n), "n_dup": pa.array(d),
+                "dup_micro": pa.array(d * 1_000_000 // np.maximum(n, 1)),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def shard_manifest_q(sf_dir):
         import os
         import shutil
@@ -2202,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank_weighted": host_rank_weighted_q,
         "shard_manifest": shard_manifest_q,
         "interleaved_truncate": interleaved_truncate_q,
+        "quality_dup_calibration": quality_dup_calibration_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5158,6 +5253,42 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # quality-vs-duplication calibration: the hashed_linear mirror over
+    # the every-3rd-doc-copied corpus, quartile thresholds via
+    # quantile_disc (the filter_ensemble-proven exact_quantiles parity),
+    # dup = md5(text) group size >= 2.
+    sql["quality_dup_calibration"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug),
+b AS (SELECT doc_id, CAST(md5_number_lower(w) % 256 AS BIGINT) AS bin
+      FROM tok WHERE w <> ''),
+s AS (SELECT doc_id, SUM((bin * 2654435761) % 1001 - 500) AS score
+      FROM b GROUP BY doc_id),
+sc AS (SELECT a.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+       FROM aug a LEFT JOIN s USING (doc_id)),
+q AS (SELECT quantile_disc(score, 0.25) AS q1,
+             quantile_disc(score, 0.5) AS q2,
+             quantile_disc(score, 0.75) AS q3 FROM sc),
+dup AS (SELECT doc_id,
+               count(*) OVER (PARTITION BY md5(COALESCE(text, '')))
+                 >= 2 AS is_dup
+        FROM aug),
+rows_ AS (
+  SELECT CAST((sc.score > q.q1)::INT + (sc.score > q.q2)::INT
+              + (sc.score > q.q3)::INT AS BIGINT) AS quartile,
+         CAST(d.is_dup AS INT) AS dupi
+  FROM sc JOIN dup d USING (doc_id), q)
+SELECT quartile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dupi) AS BIGINT) AS n_dup,
+       CAST(sum(dupi) * 1000000 // greatest(count(*), 1) AS BIGINT)
+         AS dup_micro
+FROM rows_ GROUP BY quartile
 """
 
     # interleaved truncation: the caption-spans CTE + a window cumsum

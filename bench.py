@@ -182,7 +182,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "readability", "exact_substr_cut", "host_rank",
                     "minhash_calibration", "canonical_urls",
                     "host_rank_weighted", "shard_manifest",
-                    "interleaved_truncate", "cluster_select"]
+                    "interleaved_truncate", "cluster_select",
+                    "quality_dup_calibration"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -76,7 +76,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "exact_substr_cut", "host_rank",
                       "minhash_calibration", "canonical_urls",
                       "host_rank_weighted", "shard_manifest",
-                      "interleaved_truncate", "cluster_select"]
+                      "interleaved_truncate", "cluster_select",
+                      "quality_dup_calibration"]
 
 
 def _duck(sf_dir):
