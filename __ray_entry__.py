@@ -1291,6 +1291,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "rank": t["rank"]}),
             batch_format="pyarrow")
 
+    def host_boilerplate_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.text import host_boilerplate_lines
+
+        # fixture: host = h(doc_id%20); every doc carries its host's nav
+        # line + a global footer + one unique content line; every 4th
+        # doc adds a sparser per-host promo line (df ~ docs_per_host/4)
+        def mk(t: pa.Table) -> pa.Table:
+            hosts, texts = [], []
+            for d, txt in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                h = "h%02d.test" % (d % 20)
+                lines = ["nav %s home about" % h,
+                         "(c) example footer",
+                         " ".join(((txt or "").split(" "))[:8])
+                         + " #%d" % d]
+                if d % 4 == 0:
+                    lines.insert(1, "promo %s weekly deal" % h)
+                hosts.append(h)
+                texts.append("\n".join(lines))
+            return pa.table({
+                "host": pa.array(hosts, type=pa.string()),
+                "text": pa.array(texts, type=pa.string())})
+
+        docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            mk, batch_format="pyarrow")
+        return host_boilerplate_lines(docs, min_df=3)
+
     def quality_dup_calibration_q(sf_dir):
         import hashlib as _hl
 
@@ -2297,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": shard_manifest_q,
         "interleaved_truncate": interleaved_truncate_q,
         "quality_dup_calibration": quality_dup_calibration_q,
+        "host_boilerplate": host_boilerplate_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5253,6 +5283,25 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # host-scoped boilerplate: doc-frequency per (host, line) over the
+    # fixture's reconstructed line sets; unique content lines (suffixed
+    # with #doc_id) can never reach min_df.
+    sql["host_boilerplate"] = """
+WITH d AS (SELECT doc_id AS d,
+                  'h' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0')
+                    || '.test' AS host
+           FROM documents),
+lines AS (
+  SELECT host, 'nav ' || host || ' home about' AS line FROM d
+  UNION ALL
+  SELECT host, '(c) example footer' FROM d
+  UNION ALL
+  SELECT host, 'promo ' || host || ' weekly deal' FROM d WHERE d % 4 = 0
+)
+SELECT host, line, CAST(count(*) AS BIGINT) AS df
+FROM lines GROUP BY host, line HAVING count(*) >= 3
 """
 
     # quality-vs-duplication calibration: the hashed_linear mirror over

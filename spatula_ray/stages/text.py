@@ -775,3 +775,66 @@ def readability_stats(docs, text_col: str = "text"):
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def host_boilerplate_lines(docs, min_df: int = 3,
+                           host_col: str = "host",
+                           text_col: str = "text",
+                           num_buckets: int = 32):
+    """Per-host template-line detection — the site-scoped counterpart of
+    the global df boilerplate scrub (`curate.strip_boilerplate`): lines
+    repeated across >= ``min_df`` documents OF THE SAME HOST are that
+    site's nav/footer chrome (a host's template is invisible to a global
+    df threshold when the host is small, and a global scrub can't tell
+    "common on this site" from "common everywhere"). Output one row per
+    detected template line: ``(host, line, df)``.
+
+    Per-doc line distinctness is local (a document is one row), so the
+    explode pre-reduces to block-distinct ``(host, line, c)`` partials
+    via Arrow group_by before the ONE (host, line)-bucket exchange;
+    detected template lines are short strings and the output is bounded
+    by true templating. Document bodies never shuffle."""
+    import pandas as pd
+
+    from .joins import _bucket_of
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        lines = pc.split_pattern(texts, pattern="\n")
+        n = len(texts)
+        parent = np.repeat(np.arange(n, dtype=np.int64),
+                           pc.list_value_length(lines).to_numpy(
+                               zero_copy_only=False))
+        flat = pc.list_flatten(lines)
+        hosts = t[host_col].cast(pa.string()).to_numpy(
+            zero_copy_only=False)[parent]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "host": pa.array(hosts[keep]),
+            "line": flat.filter(pa.array(keep)),
+            "doc": pa.array(parent[keep]),
+        })
+        # distinct per doc, then count docs per (host, line) in-block
+        g = (base.group_by(["host", "line", "doc"]).aggregate([])
+             .group_by(["host", "line"]).aggregate([("line", "count")]))
+        out = pa.table({
+            "host": g["host"], "line": g["line"],
+            "c": pa.array(g["line_count"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["host", "line"], num_buckets))
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame({
+                "host": pd.Series(dtype="object"),
+                "line": pd.Series(dtype="object"),
+                "df": pd.Series(dtype="int64")})
+        out = (df.groupby(["host", "line"], sort=False)["c"]
+               .sum().reset_index(name="df"))
+        out["df"] = out["df"].astype("int64")
+        return out[out["df"] >= min_df].reset_index(drop=True)
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas"))

@@ -77,7 +77,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "minhash_calibration", "canonical_urls",
                       "host_rank_weighted", "shard_manifest",
                       "interleaved_truncate", "cluster_select",
-                      "quality_dup_calibration"]
+                      "quality_dup_calibration", "host_boilerplate"]
 
 
 def _duck(sf_dir):

@@ -463,3 +463,26 @@ def test_cluster_balanced_select_caps_and_order():
         g = grp.sort_values("rank")
         assert list(g["rank"]) == [1, 2]
         assert g["score"].iloc[0] >= g["score"].iloc[1]
+
+
+def test_host_boilerplate_scoping_and_dedup():
+    from spatula_ray.stages.text import host_boilerplate_lines
+
+    def doc(host, *lines):
+        return (host, "\n".join(lines))
+
+    rows = [
+        doc("a", "NAV", "x1"), doc("a", "NAV", "x2"),
+        doc("a", "NAV", "NAV", "x3"),      # repeat within doc counts once
+        doc("b", "NAV", "y1"), doc("b", "NAV", "y2"),  # df 2 < 3 on b
+        doc("b", "", "y3"),                 # empty lines never count
+    ]
+    t = pa.table({
+        "host": pa.array([r[0] for r in rows], type=pa.string()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    })
+    out = host_boilerplate_lines(_ds(t, blocks=3), min_df=3).to_pandas()
+    # only host a's NAV reaches df 3 — same line on host b stays under
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["host"], r["line"], r["df"]) == ("a", "NAV", 3)
