@@ -1458,6 +1458,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "rank": t["rank"]}),
             batch_format="pyarrow")
 
+    def reciprocal_edges_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import reciprocal_edges
+
+        docs = _docs(sf_dir, ["doc_id"]).materialize()
+        n = docs.count()
+
+        # fixture: chain edge d->(d+1)%n for all, reverse edge added
+        # when d%3==0 (reciprocal), extra d->(d+7)%n when d%2==0, a
+        # PARALLEL duplicate of the chain edge when d%5==0 (must count
+        # once), and a self-loop every 10th (excluded)
+        def mk(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64) % n
+            srcs = [d, d[d % 3 == 0] * 0 + (d[d % 3 == 0] + 1) % n]
+            dsts = [(d + 1) % n, d[d % 3 == 0]]
+            srcs.append(d[d % 2 == 0])
+            dsts.append((d[d % 2 == 0] + 7) % n)
+            srcs.append(d[d % 5 == 0])
+            dsts.append((d[d % 5 == 0] + 1) % n)
+            srcs.append(d[d % 10 == 0])
+            dsts.append(d[d % 10 == 0])
+            return pa.table({
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts))})
+
+        edges = docs.map_batches(mk, batch_format="pyarrow")
+        return reciprocal_edges(edges)
+
+    def degree_histogram_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import degree_histogram
+
+        docs = _docs(sf_dir, ["doc_id"]).materialize()
+        n = docs.count()
+
+        def mk_edges(t):
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            reps = 1 + (d % 3)
+            src = np.repeat(d % n, reps)
+            seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            j = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - np.repeat(seg, reps) + 1)
+            dst = (src + j * j * 7919 + 13) % n
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        return degree_histogram(docs.map_batches(
+            mk_edges, batch_format="pyarrow"))
+
     def trap_hosts_q(sf_dir):
         import pyarrow as pa
 
@@ -2327,6 +2381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_truncate": interleaved_truncate_q,
         "quality_dup_calibration": quality_dup_calibration_q,
         "host_boilerplate": host_boilerplate_q,
+        "reciprocal_edges": reciprocal_edges_q,
+        "degree_histogram": degree_histogram_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5283,6 +5339,49 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # reciprocal-link audit: distinct directed edges, LEFT JOIN for the
+    # reverse direction, per-src exact micro fraction.
+    sql["reciprocal_edges"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (SELECT doc_id % nn.n AS d, nn.n AS n FROM documents, nn),
+e0 AS (
+  SELECT d AS src, (d + 1) % n AS dst FROM base
+  UNION ALL SELECT (d + 1) % n, d FROM base WHERE d % 3 = 0
+  UNION ALL SELECT d, (d + 7) % n FROM base WHERE d % 2 = 0
+  UNION ALL SELECT d, (d + 1) % n FROM base WHERE d % 5 = 0
+  UNION ALL SELECT d, d FROM base WHERE d % 10 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+rec AS (SELECT a.src, (b.src IS NOT NULL) AS has_rev
+        FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src)
+SELECT src, CAST(count(*) AS BIGINT) AS out_deg,
+       CAST(sum(CASE WHEN has_rev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recip,
+       CAST(sum(CASE WHEN has_rev THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recip_micro
+FROM rec GROUP BY src
+"""
+
+    # degree histogram: the doc_pagerank edge fixture, exact log2
+    # buckets (floor(log2) is exact at the only risky points — powers
+    # of two — on both engines; the engine additionally corrects
+    # boundaries in integer space).
+    sql["degree_histogram"] = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT d.doc_id % n.n AS src,
+             (d.doc_id + d.j * d.j * 7919 + 13) % n.n AS dst
+      FROM (SELECT doc_id,
+                   unnest(generate_series(1, 1 + doc_id % 3)) AS j
+            FROM documents) d, n),
+outd AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+ind AS (SELECT dst AS node, count(*) AS deg FROM e GROUP BY dst),
+u AS (SELECT 'out' AS direction, deg FROM outd
+      UNION ALL SELECT 'in', deg FROM ind)
+SELECT direction, CAST(floor(log2(deg)) AS BIGINT) AS log2_deg,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM u GROUP BY direction, log2_deg
 """
 
     # host-scoped boilerplate: doc-frequency per (host, line) over the

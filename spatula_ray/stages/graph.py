@@ -877,3 +877,145 @@ def pagerank_weighted(edges, num_nodes: int, iters: int = 5,
 
     return state.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
+
+
+def reciprocal_edges(edges, num_buckets: int = 32):
+    """Reciprocal-link audit over ``(src, dst)`` edges — the classic
+    link-spam / link-exchange signal (organic web graphs are ~25%
+    reciprocal at host level; link farms approach 100%): per src node,
+    its out-degree, the number of out-edges whose reverse edge exists,
+    and the reciprocal fraction in exact micro-units. Self-loops are
+    excluded (trivially reciprocal).
+
+    Shape: each edge emits ONE row keyed by its unordered pair
+    (min, max) with a direction bit; ONE pair-bucket exchange
+    co-locates both directions, the per-bucket kernel marks pairs with
+    both bits, and a second doc... node-bucket fold sums per src. Both
+    exchanges move 3-int rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .joins import _bucket_of
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        out = pa.table({
+            "lo": pa.array(lo), "hi": pa.array(hi),
+            "src": pa.array(s),
+            "fwd": pa.array((s < d).astype(np.int8)),
+        })
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["lo", "hi"], num_buckets))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "src": pd.Series(dtype="int64"),
+                "out": pd.Series(dtype="int64"),
+                "recip": pd.Series(dtype="int64")})
+        # distinct directions per unordered pair (parallel edges count once)
+        g = g.drop_duplicates(["lo", "hi", "src", "fwd"])
+        both = (g.groupby(["lo", "hi"], sort=False)["fwd"]
+                .transform("nunique") == 2)
+        return pd.DataFrame({
+            "src": g["src"].to_numpy(dtype=np.int64),
+            "out": np.ones(len(g), dtype=np.int64),
+            "recip": both.to_numpy().astype(np.int64)})
+
+    marked = (edges.map_batches(pair_rows, batch_format="pyarrow")
+              .groupby("__bucket").map_groups(mark,
+                                              batch_format="pandas"))
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b2", _bucket_of(t, ["src"], num_buckets))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "src": pd.Series(dtype="int64"),
+                "out_deg": pd.Series(dtype="int64"),
+                "n_recip": pd.Series(dtype="int64"),
+                "recip_micro": pd.Series(dtype="int64")})
+        out = (df.groupby("src", sort=False)
+               .agg(out_deg=("out", "sum"), n_recip=("recip", "sum"))
+               .reset_index())
+        out["out_deg"] = out["out_deg"].astype("int64")
+        out["n_recip"] = out["n_recip"].astype("int64")
+        out["recip_micro"] = (out["n_recip"] * 1_000_000
+                              // out["out_deg"]).astype("int64")
+        return out
+
+    return (marked.map_batches(tag_src, batch_format="pyarrow")
+            .groupby("__b2").map_groups(fold, batch_format="pandas"))
+
+
+def degree_histogram(edges, num_buckets: int = 32):
+    """Log2-bucketed in/out-degree histogram — the one-page web-graph
+    health audit (degree distributions are the first thing that shifts
+    when a crawl hits a spam network or a trap): per (direction,
+    floor(log2(degree))) bucket, the node count. Exact integers only
+    (bit_length is the integer log2), so cross-engine exact.
+
+    Shape: per-block Arrow group_by pre-combines (node, c) partials for
+    each direction, ONE node-bucket exchange folds exact degrees, then
+    a bounded (direction x ~64 buckets) groupby."""
+    import pandas as pd
+
+    from .joins import _bucket_of
+
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for direction, col in (("out", "src"), ("in", "dst")):
+            g = (pa.table({"node": t[col].cast(pa.int64())})
+                 .group_by(["node"]).aggregate([("node", "count")]))
+            frames.append(pa.table({
+                "direction": pa.array([direction] * g.num_rows,
+                                      type=pa.string()),
+                "node": g["node"],
+                "c": pa.array(g["node_count"].to_numpy(
+                    zero_copy_only=False).astype(np.int64))}))
+        out = pa.concat_tables(frames)
+        return out.append_column(
+            "__bucket", _bucket_of(out, ["direction", "node"],
+                                   num_buckets))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "direction": pd.Series(dtype="object"),
+                "log2_deg": pd.Series(dtype="int64"),
+                "n_nodes": pd.Series(dtype="int64")})
+        deg = (df.groupby(["direction", "node"], sort=False)["c"]
+               .sum().reset_index(name="deg"))
+        d = deg["deg"].to_numpy(dtype=np.int64)
+        # floor(log2) vectorized, then exact boundary correction so the
+        # float log can never be off by one: 2^lb <= d < 2^(lb+1)
+        lb = np.floor(np.log2(d.astype(np.float64))).astype(np.int64)
+        lb = np.where((np.int64(1) << np.minimum(lb + 1, 62)) <= d,
+                      lb + 1, lb)
+        lb = np.where((np.int64(1) << np.maximum(
+            np.minimum(lb, 62), 0)) > d, lb - 1, lb)
+        deg["log2_deg"] = lb
+        out = (deg.groupby(["direction", "log2_deg"], sort=False)
+               .size().reset_index(name="n_nodes"))
+        out["log2_deg"] = out["log2_deg"].astype("int64")
+        out["n_nodes"] = out["n_nodes"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    # per-bucket partial histograms merge in one bounded groupby
+    # (direction x <=64 log buckets); strip the pandas-block schema
+    # metadata first or the sort-reduce logs unhashable-schema warnings
+    return (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t.replace_schema_metadata(None),
+                         batch_format="pyarrow")
+            .groupby(["direction", "log2_deg"])
+            .aggregate(Sum("n_nodes", alias_name="n_nodes")))

@@ -77,7 +77,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "minhash_calibration", "canonical_urls",
                       "host_rank_weighted", "shard_manifest",
                       "interleaved_truncate", "cluster_select",
-                      "quality_dup_calibration", "host_boilerplate"]
+                      "quality_dup_calibration", "host_boilerplate",
+                      "reciprocal_edges", "degree_histogram"]
 
 
 def _duck(sf_dir):

@@ -486,3 +486,39 @@ def test_host_boilerplate_scoping_and_dedup():
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["host"], r["line"], r["df"]) == ("a", "NAV", 3)
+
+
+def test_reciprocal_edges_matrix():
+    from spatula_ray.stages.graph import reciprocal_edges
+
+    e = pa.table({
+        "src": pa.array([0, 1, 0, 0, 2, 2], type=pa.int64()),
+        "dst": pa.array([1, 0, 2, 1, 2, 3], type=pa.int64()),
+        # 0->1 / 1->0 reciprocal; 0->2 not; 0->1 DUPLICATE counts once;
+        # 2->2 self-loop excluded; 2->3 not reciprocal
+    })
+    out = reciprocal_edges(_ds(e, blocks=3)).to_pandas()
+    out = out.set_index("src").sort_index()
+    r0 = out.loc[0]
+    assert (r0["out_deg"], r0["n_recip"]) == (2, 1)
+    assert r0["recip_micro"] == 500_000
+    assert (out.loc[1, "out_deg"], out.loc[1, "n_recip"]) == (1, 1)
+    assert (out.loc[2, "out_deg"], out.loc[2, "n_recip"]) == (1, 0)
+
+
+def test_degree_histogram_buckets():
+    from spatula_ray.stages.graph import degree_histogram
+
+    # node 0 has out-degree 4 (log2 bucket 2); nodes 1..4 out-degree 1
+    # (bucket 0); in-degrees: node 1 gets 5 (bucket 2), 2..4 get 1
+    e = pa.table({
+        "src": pa.array([0, 0, 0, 0, 1, 2, 3, 4], type=pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 1, 1, 1, 1], type=pa.int64()),
+    })
+    out = degree_histogram(_ds(e, blocks=3)).to_pandas()
+    key = {(r["direction"], r["log2_deg"]): r["n_nodes"]
+           for _, r in out.iterrows()}
+    assert key[("out", 2)] == 1          # deg 4
+    assert key[("out", 0)] == 4          # deg 1 x4
+    assert key[("in", 2)] == 1           # deg 5 -> floor(log2(5)) = 2
+    assert key[("in", 0)] == 3           # deg 1 x3
