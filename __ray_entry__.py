@@ -1512,6 +1512,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_histogram(docs.map_batches(
             mk_edges, batch_format="pyarrow"))
 
+    def hyperball_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import hyperball
+
+        docs = _docs(sf_dir, ["doc_id"]).materialize()
+        n = docs.count()
+
+        def mk_edges(t):
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            reps = 1 + (d % 3)
+            src = np.repeat(d % n, reps)
+            seg = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            j = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - np.repeat(seg, reps) + 1)
+            dst = (src + j * j * 7919 + 13) % n
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+        return hyperball(edges, n, iters=2, p=6)
+
     def trap_hosts_q(sf_dir):
         import pyarrow as pa
 
@@ -2383,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_boilerplate": host_boilerplate_q,
         "reciprocal_edges": reciprocal_edges_q,
         "degree_histogram": degree_histogram_q,
+        "hyperball_reach": hyperball_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5340,6 +5364,42 @@ SELECT jp.a, jp.b,
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
 """
+
+    # HyperBall neighborhood function: per-node register unions along
+    # out-edges, unrolled per iteration; register state digested to
+    # exact (v_zero, sum_r) ints. 2^58 = 288230376151711744.
+    _hb_parts = ["""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT d.doc_id % n.n AS src,
+             (d.doc_id + d.j * d.j * 7919 + 13) % n.n AS dst
+      FROM (SELECT doc_id,
+                   unnest(generate_series(1, 1 + doc_id % 3)) AS j
+            FROM documents) d, n),
+hh AS (SELECT doc_id AS node,
+              CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                AS h
+       FROM documents),
+s0 AS (SELECT node,
+              CAST(h // 288230376151711744 AS BIGINT) AS b,
+              CAST(CASE WHEN h % 288230376151711744 = 0 THEN 59
+                   ELSE 59 - length(format('{:b}',
+                        CAST(h % 288230376151711744 AS BIGINT))) END
+                   AS BIGINT) AS r
+       FROM hh)"""]
+    for _i in (1, 2):
+        _hb_parts.append(f""",
+s{_i} AS (SELECT node, b, max(r) AS r FROM (
+           SELECT node, b, r FROM s{_i - 1}
+           UNION ALL
+           SELECT e.src, s.b, s.r
+           FROM e JOIN s{_i - 1} s ON s.node = e.dst)
+         GROUP BY node, b)""")
+    _hb_parts.append("""
+SELECT node, CAST(64 - count(*) AS BIGINT) AS v_zero,
+       CAST(sum(r) AS BIGINT) AS sum_r
+FROM s2 GROUP BY node
+""")
+    sql["hyperball_reach"] = "".join(_hb_parts)
 
     # reciprocal-link audit: distinct directed edges, LEFT JOIN for the
     # reverse direction, per-src exact micro fraction.

@@ -1019,3 +1019,100 @@ def degree_histogram(edges, num_buckets: int = 32):
                          batch_format="pyarrow")
             .groupby(["direction", "log2_deg"])
             .aggregate(Sum("n_nodes", alias_name="n_nodes")))
+
+
+def hyperball(edges, num_nodes: int, iters: int = 2, p: int = 6):
+    """HyperBall (Boldi & Vigna, WWW'13 — "In-core computation of
+    geometric centralities with HyperBall"): the neighborhood function
+    N(v, t) = |{nodes reachable from v in <= t hops}| estimated per node
+    with an HLL counter propagated along OUT-edges —
+    ``B_{t+1}(v) = B_t(v) ∪ ⋃_{v->w} B_t(w)``. THE scalable way to get
+    per-page reach / centrality on a web graph (exact 2-hop sets are
+    quadratic in hub degree; register unions are linear in |E|).
+
+    ``m = 2^p`` registers per node (default 64); item hash is the
+    md5-parity convention of the HLL sketches (``sketch._hash64``), so
+    the register state is bit-identical to a DuckDB unroll. The output
+    is the exact integer DIGEST of each node's final registers —
+    ``(node, v_zero, sum_r)`` (zero-register count and rho sum) — the
+    float HLL estimate is a trivial client-side map left off the gate
+    surface (the registers, not the estimator, are what distribution
+    can get wrong). rho is computed with an integer boundary correction
+    so float rounding above 2^53 can never shift it.
+
+    Shuffle plan per iteration: ONE dst-keyed bucket join (register
+    rows ride to their in-neighbors... strictly: each edge (src, dst)
+    pulls dst's registers to src) + ONE (node, b) groupby-max fold of
+    |E| x m-sparse register rows. Registers stay SPARSE (only set
+    buckets exist as rows); absent registers count into v_zero at the
+    end."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .joins import hash_bucket_join
+    from .sketch import _hash64
+
+    m = 1 << p
+    wbits = 64 - p
+
+    def i64(x) -> pa.Array:
+        return pa.array(np.asarray(x, dtype=np.int64))
+
+    def init_regs(t: pa.Table) -> pa.Table:
+        nodes = t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _hash64([str(int(v)) for v in nodes], oracle_parity=True)
+        b = (h >> np.uint64(wbits)).astype(np.int64)
+        w = (h & np.uint64((1 << wbits) - 1)).astype(np.int64)
+        rho = np.full(len(w), wbits + 1, dtype=np.int64)
+        nz = w > 0
+        if nz.any():
+            e = np.frexp(w[nz].astype(np.float64))[1].astype(np.int64)
+            # integer boundary correction: 2^(e-1) <= w < 2^e exactly
+            e = np.where((np.int64(1) << np.minimum(e, 62)) <= w[nz],
+                         e + 1, e)
+            e = np.where((np.int64(1) << np.maximum(e - 1, 0)) > w[nz],
+                         e - 1, e)
+            rho[nz] = wbits - (e - 1)
+        return pa.table({"node": i64(nodes), "b": i64(b),
+                         "r": i64(rho)})
+
+    state = rd.range(num_nodes).map_batches(
+        init_regs, batch_format="pyarrow").materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"].cast(pa.int64()),
+                         "dst": t["dst"].cast(pa.int64())})
+
+    eb = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        pulled = hash_bucket_join(
+            eb, state.map_batches(
+                lambda t: pa.table({"dst": t["node"], "b": t["b"],
+                                    "r": t["r"]}),
+                batch_format="pyarrow"),
+            on=["dst"])
+        moved = pulled.map_batches(
+            lambda t: pa.table({"node": t["src"], "b": t["b"],
+                                "r": t["r"]}),
+            batch_format="pyarrow")
+        state = (state.union(moved)
+                 .groupby(["node", "b"])
+                 .aggregate(Max("r", alias_name="r"))).materialize()
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (state.groupby("node")
+           .aggregate(Count(alias_name="n_set"),
+                      Sum("r", alias_name="sum_r")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_set = t["n_set"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "v_zero": i64(m - n_set),
+            "sum_r": t["sum_r"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -78,7 +78,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "host_rank_weighted", "shard_manifest",
                       "interleaved_truncate", "cluster_select",
                       "quality_dup_calibration", "host_boilerplate",
-                      "reciprocal_edges", "degree_histogram"]
+                      "reciprocal_edges", "degree_histogram",
+                      "hyperball_reach"]
 
 
 def _duck(sf_dir):

@@ -522,3 +522,28 @@ def test_degree_histogram_buckets():
     assert key[("out", 0)] == 4          # deg 1 x4
     assert key[("in", 2)] == 1           # deg 5 -> floor(log2(5)) = 2
     assert key[("in", 0)] == 3           # deg 1 x3
+
+
+def test_hyperball_register_semantics():
+    from spatula_ray.stages.graph import hyperball
+
+    # chain 0 -> 1 -> 2: after 2 iterations node 0's registers are the
+    # union of {0,1,2}, node 1's of {1,2}, node 2's of {2} only
+    e = pa.table({"src": pa.array([0, 1], type=pa.int64()),
+                  "dst": pa.array([1, 2], type=pa.int64())})
+    out = hyperball(_ds(e, blocks=2), num_nodes=3, iters=2,
+                    p=6).to_pandas().set_index("node").sort_index()
+    # reach grows monotonically along the chain: fewer zero registers
+    # and a larger rho sum upstream (with 3 distinct hashes, buckets
+    # rarely collide at m=64 — and even under collision max() keeps
+    # sum_r monotone)
+    assert out.loc[0, "v_zero"] <= out.loc[1, "v_zero"] <= \
+        out.loc[2, "v_zero"]
+    assert out.loc[0, "sum_r"] >= out.loc[1, "sum_r"] >= \
+        out.loc[2, "sum_r"]
+    assert out.loc[2, "v_zero"] == 63      # exactly its own register
+    # one-iteration run must differ for node 0 (can't see 2 yet)
+    out1 = hyperball(_ds(e), num_nodes=3, iters=1,
+                     p=6).to_pandas().set_index("node").sort_index()
+    assert out1.loc[0, "sum_r"] <= out.loc[0, "sum_r"]
+    assert out1.loc[1, "sum_r"] == out.loc[1, "sum_r"]
