@@ -1512,6 +1512,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_histogram(docs.map_batches(
             mk_edges, batch_format="pyarrow"))
 
+    def rendezvous_shards_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import rendezvous_shards
+
+        def mk(t: pa.Table) -> pa.Table:
+            urls = ["https://h%02d.test/p/%d" % (d % 10, d)
+                    for d in t["doc_id"].to_pylist()]
+            return pa.table({"url": pa.array(urls, type=pa.string())})
+
+        urls = _docs(sf_dir, ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow")
+        return rendezvous_shards(urls, n_old=8, n_new=9)
+
     def hyperball_q(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -2407,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_edges": reciprocal_edges_q,
         "degree_histogram": degree_histogram_q,
         "hyperball_reach": hyperball_q,
+        "rendezvous_shards": rendezvous_shards_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5363,6 +5378,29 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # rendezvous sharding: per URL the argmax-weight shard under 8 and
+    # 9 shards, same md5 weights, ties to the lower shard id.
+    sql["rendezvous_shards"] = """
+WITH u AS (SELECT 'https://h' || lpad(CAST(doc_id % 10 AS VARCHAR), 2, '0')
+                    || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+w AS (SELECT url, s.s AS s,
+             md5_number_lower(url || '#' || CAST(s.s AS VARCHAR)) AS wt
+      FROM u, (SELECT unnest(generate_series(0, 8)) AS s) s),
+old AS (SELECT url, s AS shard_old FROM (
+          SELECT url, s, row_number() OVER (PARTITION BY url
+                     ORDER BY wt DESC, s) AS rk
+          FROM w WHERE s < 8) WHERE rk = 1),
+nw AS (SELECT url, s AS shard_new FROM (
+          SELECT url, s, row_number() OVER (PARTITION BY url
+                     ORDER BY wt DESC, s) AS rk
+          FROM w) WHERE rk = 1)
+SELECT o.url, CAST(o.shard_old AS BIGINT) AS shard_old,
+       CAST(n.shard_new AS BIGINT) AS shard_new,
+       o.shard_old <> n.shard_new AS moved
+FROM old o JOIN nw n USING (url)
 """
 
     # HyperBall neighborhood function: per-node register unions along

@@ -185,7 +185,7 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "interleaved_truncate", "cluster_select",
                     "quality_dup_calibration", "host_boilerplate",
                     "reciprocal_edges", "degree_histogram",
-                    "hyperball_reach"]
+                    "hyperball_reach", "rendezvous_shards"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -708,3 +708,40 @@ def shard_manifest(out_dir: str):
                        Min("doc_id", alias_name="min_doc"),
                        Max("doc_id", alias_name="max_doc"),
                        Sum("n_chars", alias_name="n_chars")))
+
+
+def rendezvous_shards(urls, n_old: int = 8, n_new: int = 9,
+                      url_col: str = "url"):
+    """Rendezvous (highest-random-weight) shard assignment audit —
+    the resharding story for the URL-seen filter fleet: modulo
+    sharding moves ~(1 - 1/n) of all keys when a shard is added;
+    rendezvous hashing (Thaler & Ravishankar '96) moves EXACTLY the
+    keys whose argmax shifts to the new shard — expected 1/n_new of
+    them — so a 10^10-key fleet can grow without a full rebuild. Per
+    URL: the winning shard under ``n_old`` and ``n_new`` shards
+    (weight = md5 of ``url#shard`` — the repo's md5_number_lower
+    parity convention; ties, astronomically unlikely, break to the
+    lower shard id) and a ``moved`` flag. Pure streaming map, no
+    shuffle; the 1/n_new expected-move invariant is what the gate's
+    aggregate over the corpus actually verifies."""
+    import hashlib
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = t[url_col].to_pylist()
+        old = np.empty(len(us), dtype=np.int64)
+        new = np.empty(len(us), dtype=np.int64)
+        for i, u in enumerate(us):
+            u = u or ""
+            ws = [int.from_bytes(
+                hashlib.md5(("%s#%d" % (u, s)).encode()).digest()[8:],
+                "little") for s in range(n_new)]
+            old[i] = max(range(n_old), key=lambda s: (ws[s], -s))
+            new[i] = max(range(n_new), key=lambda s: (ws[s], -s))
+        return pa.table({
+            "url": pa.array(us, type=pa.string()),
+            "shard_old": pa.array(old),
+            "shard_new": pa.array(new),
+            "moved": pa.array(old != new),
+        })
+
+    return urls.map_batches(assign, batch_format="pyarrow")

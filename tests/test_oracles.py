@@ -79,7 +79,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "interleaved_truncate", "cluster_select",
                       "quality_dup_calibration", "host_boilerplate",
                       "reciprocal_edges", "degree_histogram",
-                      "hyperball_reach"]
+                      "hyperball_reach", "rendezvous_shards"]
 
 
 def _duck(sf_dir):

@@ -547,3 +547,23 @@ def test_hyperball_register_semantics():
                      p=6).to_pandas().set_index("node").sort_index()
     assert out1.loc[0, "sum_r"] <= out.loc[0, "sum_r"]
     assert out1.loc[1, "sum_r"] == out.loc[1, "sum_r"]
+
+
+def test_rendezvous_move_fraction_and_stability():
+    from spatula_ray.stages.ingest import rendezvous_shards
+
+    urls = ["https://x.test/p/%d" % i for i in range(600)]
+    t = pa.table({"url": pa.array(urls, type=pa.string())})
+    out = rendezvous_shards(_ds(t, blocks=3), n_old=8,
+                            n_new=9).to_pandas()
+    # every moved key moved TO the new shard (the rendezvous property:
+    # existing shards' relative order is unchanged)
+    moved = out[out["moved"]]
+    assert (moved["shard_new"] == 8).all()
+    assert (out.loc[~out["moved"], "shard_old"]
+            == out.loc[~out["moved"], "shard_new"]).all()
+    # expected move fraction ~1/9; allow generous slack at n=600
+    frac = len(moved) / len(out)
+    assert 0.04 < frac < 0.20
+    assert out["shard_old"].between(0, 7).all()
+    assert out["shard_new"].between(0, 8).all()
