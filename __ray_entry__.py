@@ -1512,6 +1512,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_histogram(docs.map_batches(
             mk_edges, batch_format="pyarrow"))
 
+    def colink_similarity_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.graph import colink_similarity
+
+        # the link fixture's (src page, dst host id) projection; hosts
+        # linked from overlapping page sets (targets cycle mod 10 hosts)
+        # produce a dense-but-bounded pair table
+        def proj(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            dh = pc.cast(pc.utf8_slice_codeunits(
+                pc.struct_field(pc.extract_regex(
+                    t["dst_url"],
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/?#]+)"), "h"),
+                1, 3), pa.int64())
+            return pa.table({"src_url": t["src_url"], "dst_host": dh})
+
+        links = _link_rows(sf_dir).map_batches(proj,
+                                               batch_format="pyarrow")
+        return colink_similarity(links, threshold=0.05)
+
     def rendezvous_shards_q(sf_dir):
         import pyarrow as pa
 
@@ -2422,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": degree_histogram_q,
         "hyperball_reach": hyperball_q,
         "rendezvous_shards": rendezvous_shards_q,
+        "colink_similarity": colink_similarity_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5378,6 +5401,26 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # co-citation host similarity: exact Jaccard over distinct inbound
+    # page sets, host ids straight from the link-fixture formulas.
+    sql["colink_similarity"] = """
+WITH l AS (
+  SELECT DISTINCT
+         'https://h0' || CAST(doc_id % 10 AS VARCHAR)
+           || '.test/p/' || CAST(doc_id AS VARCHAR) AS src,
+         ((doc_id * (7 + 2 * j.j) + j.j) % 997) % 10 AS host
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j) j),
+cnt AS (SELECT host, count(*) AS n FROM l GROUP BY host),
+pairs AS (SELECT a.host AS a, b.host AS b, count(*) AS c
+          FROM l a JOIN l b ON a.src = b.src AND a.host < b.host
+          GROUP BY 1, 2)
+SELECT a, b,
+       floor(c::DOUBLE / (ca.n + cb.n - c) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM pairs JOIN cnt ca ON ca.host = a
+           JOIN cnt cb ON cb.host = b
+WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.05
 """
 
     # rendezvous sharding: per URL the argmax-weight shard under 8 and

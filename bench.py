@@ -185,7 +185,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "interleaved_truncate", "cluster_select",
                     "quality_dup_calibration", "host_boilerplate",
                     "reciprocal_edges", "degree_histogram",
-                    "hyperball_reach", "rendezvous_shards"]
+                    "hyperball_reach", "rendezvous_shards",
+                    "colink_similarity"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

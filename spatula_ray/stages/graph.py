@@ -1116,3 +1116,88 @@ def hyperball(edges, num_nodes: int, iters: int = 2, p: int = 6):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def colink_similarity(links, threshold: float = 0.2,
+                      num_buckets: int = 64, max_df: int = None):
+    """Co-citation similarity between hosts (Small '73 co-citation /
+    the SimRank-lite used for "related sites"): exact Jaccard between
+    the sets of PAGES each host pair is linked FROM — two hosts linked
+    by mostly the same pages are near-duplicates of audience, the
+    mirror/spam-network signal on the host graph. Input: ``(src_url,
+    dst_host)`` rows (page-level links after host extraction).
+
+    Implementation: the documents' inverted-index set-similarity core
+    (:func:`spatula_ray.stages.dedup._jaccard_join`) verbatim, with
+    "shingle" = hashed linking page and "document" = host id — the
+    same two compact-int exchanges and the same ``max_df`` hot-page
+    cap. Output ``(a, b, jaccard)`` over host ids (undirected,
+    a < b)."""
+    import pandas as pd
+
+    from .dedup import _jaccard_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        src = t["src_url"].cast(pa.string()).to_numpy(
+            zero_copy_only=False)
+        host = t["dst_host"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # block-local distinct (host, src) — the inverted index wants
+        # set semantics; cross-block repeats merge in the join's
+        # partial-count groupby ONLY if deduped here first, so a
+        # global distinct pass runs before n_sh counting
+        return pa.table({
+            "shingle": pa.array(pd.util.hash_array(
+                np.asarray(src, dtype=object))),
+            "doc_id": pa.array(host),
+        })
+
+    rows = links.map_batches(explode, batch_format="pyarrow")
+
+    # global distinct (shingle, host) + per-host set size, then the
+    # standard inverted-index layout (shingle, doc_id, n_sh, __bucket)
+    def tag(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        return pa.table({
+            "shingle": t["shingle"], "doc_id": t["doc_id"],
+            "__bucket": pa.array((sh % np.uint64(num_buckets))
+                                 .astype(np.int32))})
+
+    def distinct_and_size(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "shingle": pd.Series(dtype="uint64"),
+                "doc_id": pd.Series(dtype="int64")})
+        g = g.drop_duplicates(["shingle", "doc_id"])
+        return g[["shingle", "doc_id"]]
+
+    distinct = (rows.map_batches(tag, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(distinct_and_size, batch_format="pandas"))
+
+    # per-host set size via one bounded groupby, broadcast back as a
+    # small dict (host cardinality is the politeness-shard domain)
+    from ray.data.aggregate import Count
+
+    sizes = {int(r["doc_id"]): int(r["n_sh"]) for r in
+             distinct.groupby("doc_id")
+             .aggregate(Count(alias_name="n_sh")).take_all()}
+
+    def inv_layout(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        hosts = t["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_sh = np.fromiter((sizes.get(int(h), 0) for h in hosts),
+                           dtype=np.int64, count=len(hosts))
+        return pa.table({
+            "shingle": pa.array(sh, type=pa.uint64()),
+            "doc_id": pa.array(hosts),
+            "n_sh": pa.array(n_sh),
+            "__bucket": pa.array((sh % np.uint64(num_buckets))
+                                 .astype(np.int32))})
+
+    inv = distinct.map_batches(inv_layout, batch_format="pyarrow")
+    return _jaccard_join(inv, threshold, num_buckets, max_df)

@@ -79,7 +79,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "interleaved_truncate", "cluster_select",
                       "quality_dup_calibration", "host_boilerplate",
                       "reciprocal_edges", "degree_histogram",
-                      "hyperball_reach", "rendezvous_shards"]
+                      "hyperball_reach", "rendezvous_shards",
+                      "colink_similarity"]
 
 
 def _duck(sf_dir):

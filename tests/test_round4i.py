@@ -567,3 +567,26 @@ def test_rendezvous_move_fraction_and_stability():
     assert 0.04 < frac < 0.20
     assert out["shard_old"].between(0, 7).all()
     assert out["shard_new"].between(0, 8).all()
+
+
+def test_colink_similarity_sets():
+    from spatula_ray.stages.graph import colink_similarity
+
+    # hosts 1 and 2 share 2 of 3 linking pages (J = 2/4 = 0.5);
+    # host 3 is linked only from p1 (J(1,3) = 1/3); duplicate link
+    # rows must not inflate intersections
+    rows = [("p1", 1), ("p2", 1), ("p3", 1),
+            ("p1", 2), ("p2", 2), ("p9", 2),
+            ("p1", 3), ("p1", 3)]
+    t = pa.table({
+        "src_url": pa.array([r[0] for r in rows], type=pa.string()),
+        "dst_host": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+    out = colink_similarity(_ds(t, blocks=3),
+                            threshold=0.3).to_pandas()
+    out = out.set_index(["a", "b"]).sort_index()
+    assert abs(out.loc[(1, 2), "jaccard"] - 0.5) < 1e-9
+    assert (1, 3) in out.index          # 1/3 >= 0.3
+    assert abs(out.loc[(1, 3), "jaccard"] - 0.333333) < 1e-6
+    assert (2, 3) in out.index          # 1/3 as well
+    assert len(out) == 3
