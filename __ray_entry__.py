@@ -1534,6 +1534,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                batch_format="pyarrow")
         return colink_similarity(links, threshold=0.05)
 
+    def textrank_q(sf_dir):
+        from spatula_ray.stages.curate import textrank_keywords
+
+        return textrank_keywords(_docs(sf_dir, ["doc_id", "text"]),
+                                 vocab_size=50, iters=3)
+
     def rendezvous_shards_q(sf_dir):
         import pyarrow as pa
 
@@ -2445,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_reach": hyperball_q,
         "rendezvous_shards": rendezvous_shards_q,
         "colink_similarity": colink_similarity_q,
+        "textrank_keywords": textrank_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5402,6 +5409,50 @@ SELECT jp.a, jp.b,
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
 """
+
+    # TextRank keywords: head-vocab co-occurrence graph + the weighted
+    # pagerank unroll (host_rank_weighted pattern) over <= 50 word ids.
+    _tr_parts = ["""
+WITH tokp AS (
+  SELECT doc_id, i, ts[i] AS w FROM (
+    SELECT doc_id, string_split(text, ' ') AS ts,
+           unnest(generate_series(1, len(ts))) AS i
+    FROM documents)),
+tc AS (SELECT w AS term, count(*) AS cnt FROM (
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY w),
+vocab AS (SELECT term,
+                 row_number() OVER (ORDER BY cnt DESC, term) - 1 AS vid
+          FROM tc
+          QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 50),
+pairs AS (SELECT a.vid AS x, b.vid AS y
+          FROM tokp t1
+          JOIN tokp t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+          JOIN vocab a ON a.term = t1.w
+          JOIN vocab b ON b.term = t2.w
+          WHERE a.vid <> b.vid),
+e AS (SELECT src, dst, CAST(count(*) AS HUGEINT) AS w FROM (
+        SELECT x AS src, y AS dst FROM pairs
+        UNION ALL SELECT y, x FROM pairs)
+      GROUP BY src, dst),
+deg AS (SELECT src, sum(w) AS wt FROM e GROUP BY src),
+r0 AS (SELECT unnest(generate_series(0, 49)) AS node,
+              CAST(1000000000 AS BIGINT) AS rank)"""]
+    for _i in (1, 2, 3):
+        _tr_parts.append(f""",
+c{_i} AS (SELECT e.dst AS node,
+                 sum(CAST(r.rank AS HUGEINT) * e.w // deg.wt) AS s
+          FROM e JOIN r{_i - 1} r ON r.node = e.src
+                 JOIN deg ON deg.src = e.src
+          GROUP BY e.dst),
+r{_i} AS (SELECT r.node,
+                 CAST(150000000 + (coalesce(c.s, 0) * 850) // 1000
+                      AS BIGINT) AS rank
+          FROM r{_i - 1} r LEFT JOIN c{_i} c ON c.node = r.node)""")
+    _tr_parts.append("""
+SELECT v.term, r.rank FROM r3 r JOIN vocab v ON v.vid = r.node
+""")
+    sql["textrank_keywords"] = "".join(_tr_parts)
 
     # co-citation host similarity: exact Jaccard over distinct inbound
     # page sets, host ids straight from the link-fixture formulas.

@@ -2705,3 +2705,66 @@ def length_bucket_batches(docs, batch_rows: int = 8,
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def textrank_keywords(docs, vocab_size: int = 50, iters: int = 3):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) over the
+    corpus head vocabulary: build the word co-occurrence graph
+    (adjacent-token pairs, both words in the top-``vocab_size`` vocab,
+    symmetrized, weighted by pair frequency) and rank words with the
+    integer fixed-point WEIGHTED PageRank (`graph.pagerank_weighted`) —
+    the classic unsupervised keyword scorer, here as a pure composition
+    of two already-verified operators, bit-exact end to end.
+
+    Output ``(term, rank)``, one row per vocab word. Scale shape:
+    :func:`corpus_vocab`'s bounded reduce (driver sees <= V rows — the
+    documented vocab budget), ONE streaming pass over tokens emitting
+    per-batch (src, dst, c) pair partials against the broadcast vocab
+    (searchsorted, no per-token Python), one V^2-bounded groupby-sum,
+    then pagerank_weighted's two-exchange iterations over <= V nodes."""
+    from ray.data.aggregate import Sum
+
+    from .graph import pagerank_weighted
+
+    vocab_rows = corpus_vocab(docs, vocab_size).take_all()
+    terms = [r["term"] for r in vocab_rows]          # index == vid
+    v = len(terms)
+    terms_np = np.asarray(terms, dtype=object)
+    order = np.argsort(terms_np)
+    sorted_terms = terms_np[order]
+    sorted_vids = order.astype(np.int64)
+
+    def edge_partials(t: pa.Table) -> pa.Table:
+        idx, flat, _ = _flat_tokens(t["text"].to_pylist())
+        if len(flat) == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        pos = np.searchsorted(sorted_terms, flat)
+        ok = pos < v
+        safe = np.where(ok, pos, 0)
+        ok &= sorted_terms[safe] == flat
+        vids = np.where(ok, sorted_vids[safe], -1)
+        w1, w2 = vids[:-1], vids[1:]
+        m = (idx[1:] == idx[:-1]) & (w1 >= 0) & (w2 >= 0) & (w1 != w2)
+        src = np.concatenate([w1[m], w2[m]])
+        dst = np.concatenate([w2[m], w1[m]])
+        g = (pd.DataFrame({"src": src, "dst": dst})
+             .groupby(["src", "dst"], sort=False).size()
+             .reset_index(name="w"))
+        return pa.table({
+            "src": pa.array(g["src"].to_numpy(dtype=np.int64)),
+            "dst": pa.array(g["dst"].to_numpy(dtype=np.int64)),
+            "w": pa.array(g["w"].to_numpy(dtype=np.int64))})
+
+    edges = (docs.map_batches(edge_partials, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+    pr = pagerank_weighted(edges, num_nodes=v, iters=iters)
+
+    def name(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": pa.array(terms_np[nodes], type=pa.string()),
+            "rank": t["rank"]})
+
+    return pr.map_batches(name, batch_format="pyarrow")

@@ -80,7 +80,7 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "quality_dup_calibration", "host_boilerplate",
                       "reciprocal_edges", "degree_histogram",
                       "hyperball_reach", "rendezvous_shards",
-                      "colink_similarity"]
+                      "colink_similarity", "textrank_keywords"]
 
 
 def _duck(sf_dir):

@@ -590,3 +590,24 @@ def test_colink_similarity_sets():
     assert abs(out.loc[(1, 3), "jaccard"] - 0.333333) < 1e-6
     assert (2, 3) in out.index          # 1/3 as well
     assert len(out) == 3
+
+
+def test_textrank_hub_word_wins():
+    import ray.data as rd
+
+    from spatula_ray.stages.curate import textrank_keywords
+
+    # 'core' co-occurs with everything; satellites only with 'core'
+    texts = ["core alpha core beta core gamma core delta"] * 4 + \
+            ["alpha beta"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = textrank_keywords(rd.from_arrow(t).repartition(3),
+                            vocab_size=10, iters=3).to_pandas()
+    out = out.set_index("term")
+    assert out.loc["core", "rank"] == out["rank"].max()
+    # satellites all present, ranked below the hub
+    for w in ("alpha", "beta", "gamma", "delta"):
+        assert out.loc[w, "rank"] < out.loc["core", "rank"]
