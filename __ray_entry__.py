@@ -1534,6 +1534,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                batch_format="pyarrow")
         return colink_similarity(links, threshold=0.05)
 
+    def sitemap_index_q(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.stages.ingest import parse_sitemap_index
+
+        # fixture: every 20th doc owns a host whose sitemapindex lists
+        # 1 + d%4 child sitemaps; every 3rd child omits <lastmod>, one
+        # entry per host omits <loc> entirely (must drop)
+        def mk(t: pa.Table) -> pa.Table:
+            hosts, bodies = [], []
+            for d in t["doc_id"].to_pylist():
+                if d % 20 != 0:
+                    continue
+                host = "h%d.test" % d
+                parts = ["<?xml version=\"1.0\"?>", "<sitemapindex>"]
+                for k in range(1 + d % 4):
+                    parts.append("<sitemap>")
+                    parts.append("<loc>https://%s/sitemap-%d.xml</loc>"
+                                 % (host, k))
+                    if k % 3 != 2:
+                        parts.append("<lastmod>2026-08-%02d</lastmod>"
+                                     % (10 + k % 3))
+                    parts.append("</sitemap>")
+                parts.append("<sitemap><lastmod>2026-01-01</lastmod>"
+                             "</sitemap>")
+                parts.append("</sitemapindex>")
+                hosts.append(host)
+                bodies.append("".join(parts))
+            return pa.table({
+                "host": pa.array(hosts, type=pa.string()),
+                "body": pa.array(bodies, type=pa.string())})
+
+        idx = _docs(sf_dir, ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow")
+        return parse_sitemap_index(idx)
+
     def textrank_q(sf_dir):
         from spatula_ray.stages.curate import textrank_keywords
 
@@ -2452,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_shards": rendezvous_shards_q,
         "colink_similarity": colink_similarity_q,
         "textrank_keywords": textrank_q,
+        "sitemap_index": sitemap_index_q,
         "table_profile": table_profile_q,
         "temperature_mix": temperature_mix_q,
         "bm25_topk": bm25_topk_q,
@@ -5408,6 +5445,23 @@ SELECT jp.a, jp.b,
                 - CAST(floor(jp.c::DOUBLE / (jp.na + jp.nb - jp.c) * 1e6
                              + 0.5) AS BIGINT)) AS BIGINT) AS err_micro
 FROM jp JOIN m ON m.a = jp.a AND m.b = jp.b
+"""
+
+    # sitemap index recursion: the oracle reconstructs the child rows
+    # the fixture serialized (the sitemap_seeds convention); the
+    # loc-less trailing entry must vanish.
+    sql["sitemap_index"] = """
+WITH r AS (SELECT doc_id AS d,
+                  'h' || CAST(doc_id AS VARCHAR) || '.test' AS host
+           FROM documents WHERE doc_id % 20 = 0),
+k AS (SELECT d, host, unnest(generate_series(0, d % 4)) AS k FROM r)
+SELECT host,
+       'https://' || host || '/sitemap-' || CAST(k AS VARCHAR)
+         || '.xml' AS sitemap_url,
+       CASE WHEN k % 3 = 2 THEN ''
+            ELSE '2026-08-' || lpad(CAST(10 + k % 3 AS VARCHAR), 2, '0')
+       END AS lastmod
+FROM k
 """
 
     # TextRank keywords: head-vocab co-occurrence graph + the weighted

@@ -186,7 +186,8 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     "quality_dup_calibration", "host_boilerplate",
                     "reciprocal_edges", "degree_histogram",
                     "hyperball_reach", "rendezvous_shards",
-                    "colink_similarity", "textrank_keywords"]
+                    "colink_similarity", "textrank_keywords",
+                    "sitemap_index"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -745,3 +745,45 @@ def rendezvous_shards(urls, n_old: int = 8, n_new: int = 9,
         })
 
     return urls.map_batches(assign, batch_format="pyarrow")
+
+
+class SitemapIndexParse:
+    """Actor-pool stage: ``<sitemapindex>`` bodies -> one row per child
+    ``<sitemap>`` entry: ``(host, sitemap_url, lastmod)`` — the
+    recursion step the module docstring promises (index files point at
+    sitemaps; feed this stage's output URLs back through the fetcher
+    and :class:`SitemapParse`). Entries missing ``<loc>`` drop; missing
+    ``<lastmod>`` emits ''. Same budget class as SitemapParse: one DOM
+    parse per host-sized body, bodies never shuffle."""
+
+    def __init__(self):
+        from ..dom import fromstring_xml
+
+        self._parse = fromstring_xml
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hosts, urls, mods = [], [], []
+        for host, body in zip(t["host"].to_pylist(),
+                              t["body"].to_pylist()):
+            root = self._parse(body or "")
+            for entry in root.xpath("//sitemap"):
+                loc = entry.xpath("./loc/text()")
+                if not loc:
+                    continue
+                mod = entry.xpath("./lastmod/text()")
+                hosts.append(host)
+                urls.append(loc[0])
+                mods.append(mod[0] if mod else "")
+        return pa.table({
+            "host": pa.array(hosts, type=pa.string()),
+            "sitemap_url": pa.array(urls, type=pa.string()),
+            "lastmod": pa.array(mods, type=pa.string()),
+        })
+
+
+def parse_sitemap_index(indexes, concurrency=(2, 8),
+                        batch_size: int = 32):
+    """Actor-pool wrapper for :class:`SitemapIndexParse`."""
+    return indexes.map_batches(
+        SitemapIndexParse, concurrency=concurrency,
+        batch_size=batch_size, batch_format="pyarrow", max_restarts=0)

@@ -80,7 +80,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "quality_dup_calibration", "host_boilerplate",
                       "reciprocal_edges", "degree_histogram",
                       "hyperball_reach", "rendezvous_shards",
-                      "colink_similarity", "textrank_keywords"]
+                      "colink_similarity", "textrank_keywords",
+                      "sitemap_index"]
 
 
 def _duck(sf_dir):

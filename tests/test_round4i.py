@@ -611,3 +611,31 @@ def test_textrank_hub_word_wins():
     # satellites all present, ranked below the hub
     for w in ("alpha", "beta", "gamma", "delta"):
         assert out.loc[w, "rank"] < out.loc["core", "rank"]
+
+
+def test_sitemap_index_recursion_roundtrip():
+    from spatula_ray.stages.ingest import (parse_sitemap_index,
+                                           parse_sitemaps)
+
+    idx_body = ("<sitemapindex>"
+                "<sitemap><loc>https://a.test/s1.xml</loc>"
+                "<lastmod>2026-01-02</lastmod></sitemap>"
+                "<sitemap><loc>https://a.test/s2.xml</loc></sitemap>"
+                "<sitemap><lastmod>junk</lastmod></sitemap>"
+                "</sitemapindex>")
+    t = pa.table({"host": pa.array(["a.test"]),
+                  "body": pa.array([idx_body])})
+    out = parse_sitemap_index(_ds(t)).to_pandas()
+    assert list(out["sitemap_url"]) == ["https://a.test/s1.xml",
+                                        "https://a.test/s2.xml"]
+    assert list(out["lastmod"]) == ["2026-01-02", ""]
+
+    # recursion: the child sitemap bodies then flow through the
+    # existing leaf parser — the full index -> urlset round trip
+    leaf = ("<urlset><url><loc>https://a.test/p/1</loc></url>"
+            "<url><loc>https://a.test/p/2</loc></url></urlset>")
+    t2 = pa.table({"host": pa.array(["a.test"]),
+                   "body": pa.array([leaf])})
+    urls = parse_sitemaps(_ds(t2)).to_pandas()
+    assert list(urls["url"]) == ["https://a.test/p/1",
+                                 "https://a.test/p/2"]
