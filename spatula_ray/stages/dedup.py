@@ -763,7 +763,9 @@ def _substr_dup_positions(ds, k: int, num_buckets: int,
     def explode(t: pa.Table) -> pa.Table:
         ids = _i64(t[id_col])
         texts = t[text_col].to_pylist()
-        splits = [s.split(" ") if s else [] for s in texts]
+        # '' -> [''] (string_split convention): empty docs emit the
+        # whole-doc '' gram so cross-engine coverage agrees on them
+        splits = [s.split(" ") if s else [""] for s in texts]
         lens = np.fromiter((len(s) for s in splits), dtype=np.int64,
                            count=len(splits))
         doc_parts: List[np.ndarray] = []
@@ -866,7 +868,7 @@ def substring_dup_coverage(ds, k: int = 5, num_buckets: int = 64,
     def counts(t: pa.Table) -> pa.Table:
         ids = _i64(t[id_col])
         n = np.fromiter(
-            (len(s.split(" ")) if s else 0
+            (len(s.split(" ")) if s else 1   # '' -> [''], len 1
              for s in t[text_col].to_pylist()),
             dtype=np.int64, count=len(ids))
         return pa.table({
@@ -962,7 +964,8 @@ def exact_substr_cut(ds, k: int = 5, num_buckets: int = 64,
         d = g[g["pos"] >= 0]
         ids = base["doc_id"].to_numpy(dtype=np.int64)
         texts = base["text"].tolist()
-        splits = [t.split(" ") if t else [] for t in texts]
+        # repo-wide split convention (and DuckDB string_split): '' -> ['']
+        splits = [t.split(" ") if t else [""] for t in texts]
         lens = np.fromiter((len(s) for s in splits), dtype=np.int64,
                            count=len(splits))
         offs = np.r_[np.int64(0), np.cumsum(lens)]

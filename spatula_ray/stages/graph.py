@@ -393,10 +393,14 @@ def anchor_topk(links, k: int = 3, num_buckets: int = 32):
     dst (everyone links the front page) costs a hot reduce key bounded
     by its distinct-anchor vocabulary, not its in-degree."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from .joins import _bucket_of
 
     def partial(t: pa.Table) -> pa.Table:
+        # drop null anchors up front: a null group's count('anchor') is
+        # 0 and would otherwise occupy a top-k rank slot
+        t = t.filter(pc.is_valid(t["anchor"]))
         g = (pa.table({"dst_url": t["dst_url"], "anchor": t["anchor"]})
              .group_by(["dst_url", "anchor"])
              .aggregate([("anchor", "count")]))
@@ -888,10 +892,11 @@ def reciprocal_edges(edges, num_buckets: int = 32):
     excluded (trivially reciprocal).
 
     Shape: each edge emits ONE row keyed by its unordered pair
-    (min, max) with a direction bit; ONE pair-bucket exchange
-    co-locates both directions, the per-bucket kernel marks pairs with
-    both bits, and a second doc... node-bucket fold sums per src. Both
-    exchanges move 3-int rows."""
+    (min, max) plus its src; ONE pair-bucket exchange co-locates both
+    directions (the direction bit is derived in-kernel as src == lo),
+    the per-bucket kernel marks pairs seen in both directions, and a
+    second node-bucket fold sums per src. Both exchanges move 3-int
+    value rows (lo, hi, src / src, out, recip) plus the bucket tag."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -907,7 +912,6 @@ def reciprocal_edges(edges, num_buckets: int = 32):
         out = pa.table({
             "lo": pa.array(lo), "hi": pa.array(hi),
             "src": pa.array(s),
-            "fwd": pa.array((s < d).astype(np.int8)),
         })
         return out.append_column(
             "__bucket", _bucket_of(out, ["lo", "hi"], num_buckets))
@@ -918,9 +922,13 @@ def reciprocal_edges(edges, num_buckets: int = 32):
                 "src": pd.Series(dtype="int64"),
                 "out": pd.Series(dtype="int64"),
                 "recip": pd.Series(dtype="int64")})
-        # distinct directions per unordered pair (parallel edges count once)
-        g = g.drop_duplicates(["lo", "hi", "src", "fwd"])
-        both = (g.groupby(["lo", "hi"], sort=False)["fwd"]
+        # distinct directions per unordered pair (parallel edges count
+        # once); direction bit derived in-kernel: src == lo iff forward
+        g = g.drop_duplicates(["lo", "hi", "src"])
+        fwd = (g["src"].to_numpy(dtype=np.int64)
+               == g["lo"].to_numpy(dtype=np.int64))
+        both = (pd.Series(fwd, index=g.index)
+                .groupby([g["lo"], g["hi"]], sort=False)
                 .transform("nunique") == 2)
         return pd.DataFrame({
             "src": g["src"].to_numpy(dtype=np.int64),

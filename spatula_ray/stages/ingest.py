@@ -669,11 +669,11 @@ def write_sharded(docs, out_dir: str, num_shards: int = 8,
     crawl checkpoints already use, exposed as a library stage. Returns
     the written path."""
     def tag(t: pa.Table) -> pa.Table:
-        # euclidean mod so negative ids still land in [0, m)
+        # numpy % already returns values in [0, m) for a positive
+        # modulus, even for negative ids (floored mod, unlike C)
         m = np.int64(num_shards)
         v = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return t.append_column("shard",
-                               pa.array(((v % m) + m) % m))
+        return t.append_column("shard", pa.array(v % m))
 
     docs.map_batches(tag, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["shard"])
