@@ -2358,7 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     concurrency=2, num_cpus=0.5,
         max_restarts=0)
 
-    return {
+    q = {
         # crawl engine (flagship)
         "crawl_docs": dw.docweb_records,
         "crawl_spans": dw.docweb_spans,
@@ -2505,6 +2505,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_within_doc": dedup_within_doc_q,
         "token_budget_select": token_budget_select_q,
     }
+    # The driver's correctness gate samples the FIRST 50 entries; rounds
+    # 1-4 always presented the same head, so the graph / ingest /
+    # multimodal / BPE families never received a driver row (round-4
+    # verdict item #3). Rotate them into the window — crawl rows stay
+    # first (the flagship), then the never-driver-checked families, then
+    # everything else in its original order. The local gate
+    # (scripts/check_correctness.py) still checks all entries.
+    window = [
+        # crawl engine (flagship, always first)
+        "crawl_docs", "crawl_spans", "crawl_seen_urls", "crawl_scout",
+        "crawl_class_counts", "crawl_span_stats",
+        # link-graph family
+        "doc_pagerank", "host_rank", "host_rank_weighted", "doc_hits",
+        "hyperball_reach", "reciprocal_edges", "degree_histogram",
+        "colink_similarity", "anchor_topk", "host_link_graph",
+        "resolve_redirects", "textrank_keywords",
+        # crawl-ops / ingest family
+        "sitemap_seeds", "sitemap_index", "robots_rules",
+        "robots_conformance", "warc_records", "dust_rules", "trap_hosts",
+        "snapshot_diff", "recrawl_priority", "canonical_urls",
+        "url_canonicalize", "rendezvous_shards",
+        # multimodal family
+        "audio_features", "image_dhash", "image_dup_groups",
+        "video_frame_dhash", "interleaved_dedup", "interleaved_neardup",
+        "caption_pairs", "interleaved_doc_stats", "media_asset_dedup",
+        "interleaved_truncate",
+        # BPE family
+        "bpe_merges", "bpe_token_counts", "tokenizer_fertility",
+        # round-5-touched + k-means-cell family
+        "exact_substr_cut", "exact_substr_coverage", "semdedup",
+        "knn_graph", "cluster_select", "main_content", "readability",
+    ]
+    assert len(window) == 50 and all(name in q for name in window)
+    return {**{name: q[name] for name in window},
+            **{k: v for k, v in q.items() if k not in set(window)}}
 
 
 # SQL fragments shared by the doc-web oracles
