@@ -2140,7 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["vec_id", "embedding"])
         # scanned twice (k-means sample, assign) — materialize the
         # narrow projection once
-        return semdedup(ds.materialize(), n_cells=16, tau_permille=960)
+        return semdedup(ds.materialize(), tau_permille=960)
 
     def cluster_select_q(sf_dir):
         from spatula_ray.ioutil import read_parquet_clean
@@ -2148,8 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
-        return cluster_balanced_select(ds.materialize(), per_cell=8,
-                                       n_cells=16)
+        return cluster_balanced_select(ds.materialize(), per_cell=8)
 
     def knn_graph_q(sf_dir):
         from spatula_ray.ioutil import read_parquet_clean
@@ -2159,7 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 columns=["vec_id", "embedding"])
         # scanned twice (k-means sample, assign) — materialize the
         # narrow projection once
-        return knn_graph(ds.materialize(), k=4, n_cells=16) \
+        return knn_graph(ds.materialize(), k=4) \
             .sort(["vec_id", "nn_rank"])
 
     def zipf_fit_q(sf_dir):
@@ -2562,18 +2561,36 @@ def _norm_cv(vec: str, prev: str, q_scale: int) -> str:
             f"* {q_scale}.0 + 0.5)) END")
 
 
-def _kmeans_cells_prefix(n_cells: int, iters: int, sample: int,
+def _kmeans_cells_prefix(n_cells, iters: int, sample: int,
                          q_scale: int) -> str:
     """Shared CTE chain — integer-grid k-means (Lloyd iterations unrolled)
     ending in ``cells(vec_id, cell)`` and keeping ``xi(vec_id, v, xv)``
     in scope. Exact mirror of stages/similarity.py ``kmeans_centroids``;
     see `_ivf_oracle_sql` for the reproducibility argument. The final
-    centroid CTE is named ``cfin``."""
+    centroid CTE is named ``cfin``.
+
+    ``n_cells=None`` mirrors similarity.derive_n_cells: the cell count
+    is DERIVED from ``count(*)`` with the identical integer formula
+    ``least(2048, greatest(16, (n + 255) // 256))`` — the round-4
+    verdict fix #1 (auto-scaled cells) stays exactly SQL-reproducible
+    because both sides compute the same pure-integer function of the
+    same row count."""
     def norm_cv(vec: str, prev: str) -> str:
         return _norm_cv(vec, prev, q_scale)
 
+    if n_cells is None:
+        nc_cte = """
+nc AS (SELECT least(2048, greatest(16, (count(*) + 255) // 256)) AS c
+       FROM embeddings),"""
+        c0_from = "FROM generate_series(0, 2047) j(j), nc, sc, samp s"
+        c0_where = "WHERE j.j < nc.c AND s.rn = (j.j * sc.s) // nc.c"
+    else:
+        nc_cte = ""
+        c0_from = f"FROM generate_series(0, {n_cells - 1}) j(j), sc, samp s"
+        c0_where = f"WHERE s.rn = (j.j * sc.s) // {n_cells}"
+
     parts = [f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),{nc_cte}
 xi AS (SELECT vec_id, v,
               list_transform(v, x -> floor(x * {q_scale}.0 + 0.5)) AS xv
        FROM e),
@@ -2583,8 +2600,8 @@ sc AS (SELECT count(*) AS s FROM samp),
 c0 AS (
   SELECT j.j AS cell,
          {norm_cv('s.xv', 's.xv')} AS cv
-  FROM generate_series(0, {n_cells - 1}) j(j), sc, samp s
-  WHERE s.rn = (j.j * sc.s) // {n_cells}
+  {c0_from}
+  {c0_where}
 )"""]
     for t in range(1, iters + 1):
         p = t - 1
@@ -2664,7 +2681,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
     return "".join(parts)
 
 
-def _semdedup_oracle_sql(n_cells: int = 16, iters: int = 5,
+def _semdedup_oracle_sql(n_cells=None, iters: int = 5,
                          sample: int = 2048, q_scale: int = 1000,
                          tau_permille: int = 960) -> str:
     """Exact mirror of stages/similarity.py ``semdedup``: the shared
@@ -2689,7 +2706,7 @@ FROM qn q LEFT JOIN dup d USING (vec_id)
 """
 
 
-def _knn_graph_oracle_sql(k: int = 4, n_cells: int = 16, iters: int = 5,
+def _knn_graph_oracle_sql(k: int = 4, n_cells=None, iters: int = 5,
                           sample: int = 2048, q_scale: int = 1000) -> str:
     """Exact mirror of stages/similarity.py ``knn_graph``: the shared
     integer-grid k-means prefix assigns cells; within-cell similarities
@@ -2716,7 +2733,7 @@ ORDER BY vec_id, nn_rank
 """
 
 
-def _cluster_select_oracle_sql(per_cell: int = 8, n_cells: int = 16,
+def _cluster_select_oracle_sql(per_cell: int = 8, n_cells=None,
                                iters: int = 5, sample: int = 2048,
                                q_scale: int = 1000) -> str:
     """Exact mirror of stages/similarity.py ``cluster_balanced_select``:
