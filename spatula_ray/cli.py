@@ -284,16 +284,29 @@ def cmd_scrape(args) -> int:
         jdir = os.path.join(outdir, "records")
         os.makedirs(jdir, exist_ok=True)
         count = 0
-        for batch in result.docs.select_columns(["doc_id", "record_json"]) \
+        rec_cols = ["doc_id", "record_json"]
+        has_struct = "record" in result.docs.schema().names
+        if has_struct:
+            rec_cols.append("record")
+        for batch in result.docs.select_columns(rec_cols) \
                 .iter_batches(batch_format="pyarrow"):
-            for did, rec in zip(batch["doc_id"].to_pylist(),
-                                batch["record_json"].to_pylist()):
+            structs = batch["record"].to_pylist() if has_struct \
+                else [None] * batch.num_rows
+            for did, rec, rs in zip(batch["doc_id"].to_pylist(),
+                                    batch["record_json"].to_pylist(),
+                                    structs):
+                # typed-record classes carry the struct, not JSON bytes;
+                # the sink is the serialization boundary either way
+                obj = rs if rec is None else json.loads(bytes(rec))
                 if dump_fn is not None:
                     with open(os.path.join(jdir, f"{did}.json"), "w") as f:
-                        dump_fn(json.loads(bytes(rec)), f)
-                else:
+                        dump_fn(obj, f)
+                elif rec is not None:
                     with open(os.path.join(jdir, f"{did}.json"), "wb") as f:
                         f.write(bytes(rec))
+                else:
+                    with open(os.path.join(jdir, f"{did}.json"), "w") as f:
+                        json.dump(obj, f, sort_keys=True, default=str)
                 count += 1
     n = result.counters.get("emitted", 0)
     print(f"success: wrote {n} objects to {outdir}")

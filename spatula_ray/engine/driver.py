@@ -405,6 +405,12 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
 
     stats = CrawlStatsCollector(initial=counters)
 
+    # typed-record struct column (round-4 verdict fix #4): docs schema
+    # extends per crawl when any registered class declares record_fields
+    from .schema import extend_schema, merged_record_type
+
+    docs_schema = extend_schema(DOCS_SCHEMA, merged_record_type(registry))
+
     runner_kwargs = dict(
         registry=registry,
         resolver_factory=resolver_factory,
@@ -593,7 +599,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         combined = out.map_batches(_keep_and_elect,
                                    batch_format="pyarrow").materialize()
         emits = combined.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
-                        .map_batches(_project(DOCS_SCHEMA), batch_format="pyarrow")
+                        .map_batches(_project(docs_schema), batch_format="pyarrow")
         pages = combined.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \
                         .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
 
@@ -645,11 +651,11 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         docs_dir = os.path.join(ckpt, "docs")
         pages_dir = os.path.join(ckpt, "pages")
         docs = rd.read_parquet(docs_dir) if os.path.isdir(docs_dir) and _has_files(docs_dir) \
-            else rd.from_arrow(DOCS_SCHEMA.empty_table())
+            else rd.from_arrow(docs_schema.empty_table())
         page_log = rd.read_parquet(pages_dir) if os.path.isdir(pages_dir) and _has_files(pages_dir) \
             else rd.from_arrow(PAGE_LOG_SCHEMA.empty_table())
     else:
-        docs = _union_parts(docs_parts, DOCS_SCHEMA)
+        docs = _union_parts(docs_parts, docs_schema)
         page_log = _union_parts(page_parts, PAGE_LOG_SCHEMA)
         # ONE counting pass over the whole (narrow, materialized) page log
         # — no per-wave executions spent on counters, and the emitted

@@ -88,6 +88,35 @@ def empty_union_table() -> pa.Table:
     return UNION_SCHEMA.empty_table()
 
 
+def merged_record_type(registry) -> "pa.StructType | None":
+    """Typed-record support (round-4 verdict fix #4): a page class may
+    declare ``record_fields = [(name, pa.DataType), ...]`` — its
+    process_page records are then emitted as ONE nullable Arrow struct
+    column (``record``) instead of per-record JSON bytes, so downstream
+    projections read C-level struct fields with no per-row
+    ``json.loads``. Classes in one crawl share a merged struct (union of
+    their declared fields; same-name fields must agree on type — loud
+    failure here beats a silent cast downstream). Returns None when no
+    registered class declares a schema (the generic record_json path)."""
+    fields: dict = {}
+    for cls in registry.values():
+        for name, typ in (getattr(cls, "record_fields", None) or []):
+            if name in fields and fields[name] != typ:
+                raise TypeError(
+                    f"record_fields type clash for {name!r}: "
+                    f"{fields[name]} vs {typ}")
+            fields[name] = typ
+    return pa.struct(list(fields.items())) if fields else None
+
+
+def extend_schema(schema: pa.Schema, record_type) -> pa.Schema:
+    """Append the nullable typed-record struct column to a base schema
+    (UNION_SCHEMA / DOCS_SCHEMA); identity when record_type is None."""
+    if record_type is None:
+        return schema
+    return schema.append(pa.field("record", record_type))
+
+
 def rows_to_table(rows: list, schema: pa.Schema) -> pa.Table:
     """dict rows -> Arrow table with explicit schema (missing keys -> null)."""
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema}

@@ -46,24 +46,19 @@ def docweb_records(sf_dir: str):
     result = crawl_docweb(sf_dir)
 
     def decode(batch: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "lang": [], "source": [], "text": [],
-                "n_chars": []}
-        for cls, rec in zip(batch["page_class"].to_pylist(),
-                            batch["record_json"].to_pylist()):
-            if cls != "DocDetail":
-                continue
-            r = json.loads(bytes(rec))
-            rows["doc_id"].append(r["doc_id"])
-            rows["lang"].append(r["lang"])
-            rows["source"].append(r["source"])
-            rows["text"].append(r["text"])
-            rows["n_chars"].append(r["n_chars"])
+        # typed-record path (round-4 verdict fix #4): DocDetail declares
+        # record_fields, so the record is an Arrow struct column and the
+        # projection is C-level struct_field reads — no per-row JSON
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["page_class"], "DocDetail"))
+        rec = t["record"].combine_chunks()
         return pa.table({
-            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-            "lang": pa.array(rows["lang"], type=pa.string()),
-            "source": pa.array(rows["source"], type=pa.string()),
-            "text": pa.array(rows["text"], type=pa.string()),
-            "n_chars": pa.array(rows["n_chars"], type=pa.int64()),
+            "doc_id": pc.struct_field(rec, "doc_id"),
+            "lang": pc.struct_field(rec, "lang"),
+            "source": pc.struct_field(rec, "source"),
+            "text": pc.struct_field(rec, "text"),
+            "n_chars": pc.struct_field(rec, "n_chars"),
         })
 
     return result.docs.map_batches(decode, batch_format="pyarrow")
@@ -194,23 +189,19 @@ def docweb_host_stats(sf_dir: str):
     budget would bite). Host is parsed from each detail page's fetched
     URL, so the oracle cross-checks the crawler's own host routing, not
     a re-derivation from the input table."""
-    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ siblings)
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
     result = crawl_docweb(sf_dir)
 
     def decode(batch: pa.Table) -> pa.Table:
-        hosts, chars = [], []
-        for cls, url, rec in zip(batch["page_class"].to_pylist(),
-                                 batch["source_url"].to_pylist(),
-                                 batch["record_json"].to_pylist()):
-            if cls != "DocDetail":
-                continue
-            hosts.append(url.split("//", 1)[1].split("/", 1)[0])
-            chars.append(json.loads(bytes(rec))["n_chars"])
+        t = batch.filter(pc.equal(batch["page_class"], "DocDetail"))
+        hosts = [u.split("//", 1)[1].split("/", 1)[0]
+                 for u in t["source_url"].to_pylist()]
         return pa.table({
             "host": pa.array(hosts, type=pa.string()),
-            "n_chars": pa.array(chars, type=pa.int64()),
+            "n_chars": pc.struct_field(t["record"].combine_chunks(),
+                                       "n_chars"),
         })
 
     return (result.docs.map_batches(decode, batch_format="pyarrow")

@@ -56,11 +56,25 @@ SCALE = 10**9
 
 
 def pagerank(edges, num_nodes: int, iters: int = 5,
-             damping_permille: int = 850, num_buckets: int = 32):
+             damping_permille: int = 850, num_buckets: int = 32,
+             engine: str = "actor"):
     """Integer fixed-point PageRank over an edge Dataset with columns
     ``(src, dst)``; nodes are ``0..num_nodes-1``. Returns a Dataset of
     ``(node, rank)`` with integer ranks on the ``SCALE`` grid. See module
-    docstring for semantics, determinism, and the shuffle plan."""
+    docstring for semantics, determinism, and the shuffle plan.
+
+    ``engine="actor"`` (default) runs the fused BSP path — resident
+    shards, zero Dataset executions inside the loop (bsp.pagerank_bsp,
+    round-4 verdict fix #2); ``engine="dataset"`` keeps the streaming
+    two-exchange-per-iteration plan below (the spill-friendly path when
+    resident state cannot fit). Both are bit-identical (integer sums are
+    order-independent; equality asserted in tests/test_round5.py)."""
+    if engine == "actor":
+        from .bsp import pagerank_bsp
+
+        return pagerank_bsp(edges, num_nodes, iters=iters,
+                            damping_permille=damping_permille,
+                            num_buckets=num_buckets, weighted=False)
     import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -244,7 +258,8 @@ def pagerank(edges, num_nodes: int, iters: int = 5,
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
 
 
-def resolve_redirects(edges, hop_cap: int = 8, num_buckets: int = 32):
+def resolve_redirects(edges, hop_cap: int = 8, num_buckets: int = 32,
+                      engine: str = "actor"):
     """Redirect-chain resolution over ``(src, dst)`` redirect edges — the
     other classic post-crawl link job: every crawler accumulates a
     redirect map (301/302/canonical rows) and needs, per source URL, the
@@ -282,6 +297,14 @@ def resolve_redirects(edges, hop_cap: int = 8, num_buckets: int = 32):
     Dataset executions for identical output). Returns a Dataset of
     ``(src_url, final_url, hops, is_cycle)``, one row per source.
     """
+    if engine == "actor":
+        # fused BSP pointer doubling (bsp.resolve_redirects_bsp):
+        # bit-identical, zero Dataset executions inside the rounds
+        from .bsp import resolve_redirects_bsp
+
+        return resolve_redirects_bsp(edges, hop_cap=hop_cap,
+                                     num_buckets=num_buckets)
+
     import pandas as pd
 
     from .joins import _bucket_of
@@ -688,7 +711,7 @@ def hits(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32):
 
 def pagerank_weighted(edges, num_nodes: int, iters: int = 5,
                       damping_permille: int = 850,
-                      num_buckets: int = 32):
+                      num_buckets: int = 32, engine: str = "actor"):
     """Weighted integer fixed-point PageRank over ``(src, dst, w)``
     edges — the host-graph variant (a host pair carrying 10^4 page
     links must pull more rank than a single stray link; unweighted
@@ -705,6 +728,13 @@ def pagerank_weighted(edges, num_nodes: int, iters: int = 5,
     wraps (checked with two cheap aggregates at entry — weights are
     link counts, so this holds until a single host pair carries ~10^9
     links against a 10^9-weight hub)."""
+    if engine == "actor":
+        from .bsp import pagerank_bsp
+
+        return pagerank_bsp(edges, num_nodes, iters=iters,
+                            damping_permille=damping_permille,
+                            num_buckets=num_buckets, weighted=True)
+
     import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -1029,7 +1059,8 @@ def degree_histogram(edges, num_buckets: int = 32):
             .aggregate(Sum("n_nodes", alias_name="n_nodes")))
 
 
-def hyperball(edges, num_nodes: int, iters: int = 2, p: int = 6):
+def hyperball(edges, num_nodes: int, iters: int = 2, p: int = 6,
+              num_buckets: int = 32, engine: str = "actor"):
     """HyperBall (Boldi & Vigna, WWW'13 — "In-core computation of
     geometric centralities with HyperBall"): the neighborhood function
     N(v, t) = |{nodes reachable from v in <= t hops}| estimated per node
@@ -1054,6 +1085,12 @@ def hyperball(edges, num_nodes: int, iters: int = 2, p: int = 6):
     |E| x m-sparse register rows. Registers stay SPARSE (only set
     buckets exist as rows); absent registers count into v_zero at the
     end."""
+    if engine == "actor":
+        from .bsp import hyperball_bsp
+
+        return hyperball_bsp(edges, num_nodes, iters=iters, p=p,
+                             num_buckets=num_buckets)
+
     import ray.data as rd
     from ray.data.aggregate import Max
 

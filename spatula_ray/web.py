@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 import html as _html
+
+import pyarrow as pa
 import json
 import re
 from typing import Any, Dict, Optional
@@ -380,6 +382,12 @@ class DocList(HtmlListPage):
 
 
 class DocDetail(HtmlPage):
+    # typed-record declaration: the engine emits these as one Arrow
+    # struct column (no JSON bytes) — engine/schema.merged_record_type
+    record_fields = [("doc_id", pa.int64()), ("lang", pa.string()),
+                     ("source", pa.string()), ("text", pa.string()),
+                     ("n_chars", pa.int64())]
+
     def get_source_from_input(self):
         return self.input["url"]
 

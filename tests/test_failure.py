@@ -63,6 +63,8 @@ def test_worker_death_mid_batch_is_retried_idempotently(tmp_path):
     assert len(hurt_rows) == len(clean_rows)
     for a, b in zip(hurt_rows, clean_rows):
         assert a["doc_id"] == b["doc_id"]
-        assert bytes(a["record_json"]) == bytes(b["record_json"])
+        # DocDetail declares record_fields -> typed struct, no JSON
+        assert a["record"] == b["record"]
+        assert a["record_json"] is None and b["record_json"] is None
     assert hurt.fetched_urls() == clean.fetched_urls()
     assert hurt.counters["emitted"] == clean.counters["emitted"]

@@ -99,3 +99,106 @@ def test_semdedup_derived_cells_matches_explicit():
                       sample=256).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert auto.equals(manual)
+
+
+# ---- round-5 brief item #2: fused BSP engines vs Dataset engines ----
+
+
+def _edge_ds(pairs):
+    src, dst = zip(*pairs)
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64())}))
+
+
+def _rand_edges(n_nodes, n_edges, seed):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    return list(zip(src.tolist(), dst.tolist()))
+
+
+def test_pagerank_bsp_bit_identical_to_dataset():
+    from spatula_ray.stages.graph import pagerank
+
+    edges = _rand_edges(200, 1500, seed=21)
+    a = pagerank(_edge_ds(edges), 200, iters=4, engine="actor") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    d = pagerank(_edge_ds(edges), 200, iters=4, engine="dataset") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(d)
+
+
+def test_pagerank_weighted_bsp_bit_identical():
+    from spatula_ray.stages.graph import pagerank_weighted
+
+    rng = np.random.RandomState(31)
+    src = rng.randint(0, 80, 600)
+    dst = rng.randint(0, 80, 600)
+    w = rng.randint(1, 50, 600)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "w": pa.array(w)})
+    a = pagerank_weighted(ray.data.from_arrow(t), 80, iters=3,
+                          engine="actor").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    d = pagerank_weighted(ray.data.from_arrow(t), 80, iters=3,
+                          engine="dataset").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(d)
+
+
+def test_resolve_redirects_bsp_bit_identical():
+    from spatula_ray.stages.graph import resolve_redirects
+
+    # chains, a 3-loop, a self-loop feeder, and terminal hops
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),          # chain len 3
+             ("x1", "x2"), ("x2", "x3"), ("x3", "x1"),    # 3-cycle
+             ("f", "x1"),                                  # feeds the cycle
+             ("p", "q"),                                   # 1 hop
+             ("l0", "l1"), ("l1", "l2"), ("l2", "l3"),
+             ("l3", "l4"), ("l4", "l5"), ("l5", "l6"),
+             ("l6", "l7"), ("l7", "l8")]                  # len-8 chain
+    t = pa.table({"src": pa.array([e[0] for e in edges]),
+                  "dst": pa.array([e[1] for e in edges])})
+    a = resolve_redirects(ray.data.from_arrow(t), hop_cap=8,
+                          engine="actor").to_pandas() \
+        .sort_values("src_url").reset_index(drop=True)
+    d = resolve_redirects(ray.data.from_arrow(t), hop_cap=8,
+                          engine="dataset").to_pandas() \
+        .sort_values("src_url").reset_index(drop=True)
+    assert a.equals(d)
+    byid = a.set_index("src_url")
+    assert byid.loc["a", "final_url"] == "d" and byid.loc["a", "hops"] == 3
+    assert bool(byid.loc["x1", "is_cycle"])
+    assert bool(byid.loc["f", "is_cycle"])   # feeds a loop -> unresolved
+    assert byid.loc["l0", "final_url"] == "l8" and byid.loc["l0", "hops"] == 8
+
+
+def test_hyperball_bsp_bit_identical():
+    from spatula_ray.stages.graph import hyperball
+
+    edges = _rand_edges(120, 700, seed=41)
+    a = hyperball(_edge_ds(edges), 120, iters=2, p=6, engine="actor") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    d = hyperball(_edge_ds(edges), 120, iters=2, p=6, engine="dataset") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(d)
+
+
+def test_bsp_bucket_hash_matches_joins_bucket_of():
+    """The resident-shard bucketing must stay in lockstep with
+    joins._bucket_of or loads land on the wrong shard."""
+    import pandas as pd
+
+    from spatula_ray.stages.bsp import _bucket_i64, _bucket_str
+    from spatula_ray.stages.joins import _bucket_of
+
+    ids = np.array([0, 1, 7, 123456789, 2**40, -1], dtype=np.int64)
+    t = pa.table({"k": pa.array(ids)})
+    expect = _bucket_of(t, ["k"], 32).to_numpy(zero_copy_only=False)
+    assert (_bucket_i64(ids, 32) == expect).all()
+
+    strs = np.array(["a", "http://x/y", "", "zzz"], dtype=object)
+    t2 = pa.table({"k": pa.array(strs.tolist(), type=pa.string())})
+    expect2 = _bucket_of(t2, ["k"], 32).to_numpy(zero_copy_only=False)
+    assert (_bucket_str(strs, 32) == expect2).all()
