@@ -819,6 +819,8 @@ def _substr_dup_positions(ds, k: int, num_buckets: int,
     positions = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
 
+    _OFF = np.int64(1) << np.int64(31)   # > any doc's word count
+
     def dup_rows(g: pd.DataFrame) -> pa.Table:
         # all copies of a gram are in this bucket -> in-bucket counts
         # are global window frequency. Arrow out: the downstream union
@@ -827,10 +829,34 @@ def _substr_dup_positions(ds, k: int, num_buckets: int,
         c = g.groupby("gh")["doc_id"].transform("size")
         out = g.loc[c >= 2, ["doc_id", "pos", "wlen"]]
         ids = out["doc_id"].to_numpy(dtype=np.int64)
+        pos = out["pos"].to_numpy(dtype=np.int64)
+        end = pos + out["wlen"].to_numpy(dtype=np.int64)
+        if len(ids):
+            # merge overlapping/adjacent windows into coverage RUNS
+            # before the doc-bucket exchange (round-4 verdict fix #5):
+            # both consumers take the interval UNION, so emitting merged
+            # (doc, run-start, run-len) rows is exact while cutting the
+            # exchange from window-scale to run-scale (~k-fold fewer
+            # rows on contiguous duplicated regions). Same cummax sweep
+            # as the coverage fold, docs separated by a 2^31 offset.
+            o = np.lexsort((pos, ids))
+            ids, pos, end = ids[o], pos[o], end[o]
+            ordv = np.r_[np.int64(0),
+                         np.cumsum(ids[1:] != ids[:-1])].astype(np.int64)
+            s_sh = pos + ordv * _OFF
+            e_sh = end + ordv * _OFF
+            cummax = np.maximum.accumulate(
+                np.r_[np.int64(-1), e_sh[:-1]])
+            new_run = s_sh > cummax
+            starts_idx = np.flatnonzero(new_run)
+            run_end = np.maximum.reduceat(end, starts_idx)
+            ids = ids[new_run]
+            pos = pos[new_run]
+            end = run_end
         return pa.table({
             "doc_id": pa.array(ids),
-            "pos": pa.array(out["pos"].to_numpy(dtype=np.int64)),
-            "wlen": pa.array(out["wlen"].to_numpy(dtype=np.int64)),
+            "pos": pa.array(pos),
+            "wlen": pa.array(end - pos),
             "__b2": pa.array((ids % num_buckets).astype(np.int32))})
 
     return positions.groupby("__bucket").map_groups(
