@@ -115,6 +115,25 @@ class _FrontierSink:
         return refs, n
 
 
+class _CandSink:
+    """``num_cpus=0`` actor owning the CURRENT wave's candidate blocks
+    (narrow CAND_SCHEMA rows parked by the runners — round-5 election
+    fuse). Keyed add: a retried runner task re-parks under its own
+    deterministic key and REPLACES its block, so task retry cannot
+    duplicate candidates (the winner election would admit both copies)."""
+
+    def __init__(self):
+        self._blocks: dict = {}
+
+    def add(self, key, refs: list, n: int) -> None:
+        self._blocks[key] = (refs, n)
+
+    def drain(self):
+        blocks, self._blocks = self._blocks, {}
+        refs = [r for (rs, _) in blocks.values() for r in rs]
+        return refs, sum(n for _, n in blocks.values())
+
+
 def _park(table: pa.Table, sink) -> None:
     """Store ``table`` in the object store owned by ``sink`` and register
     it; the ray.get makes the registration a barrier so a subsequent
@@ -364,6 +383,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     # actor is fully started — ray.put(_owner=...) from a worker fails
     # with "actor not alive" if it races the async actor launch
     sink = ray.remote(num_cpus=0)(_FrontierSink).remote()
+    cand_sink = ray.remote(num_cpus=0)(_CandSink).remote()
     ray.get(sink.__ray_ready__.remote())
 
     # ---- resume ----------------------------------------------------------
@@ -422,6 +442,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         error_policy=cfg.error_policy,
         simulate_latency=cfg.simulate_latency,
         cache_dir=cfg.cache_dir,
+        cand_sink=cand_sink,
     )
 
     def task_runner(batch: pa.Table) -> pa.Table:
@@ -571,33 +592,33 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         out = out.materialize()
         t_run = time.time()
 
-        # ONE combined materialization per wave over the wide union blocks
-        # (round-3 fix: the narrow emit/page projection and the candidate
-        # winner-filter were two separate full scans of the union — the
-        # biggest per-wave data since every expand candidate carries its
-        # payload; fusing them halves the wide-scan volume and removes one
-        # executor startup per wave). Round-4 fix (verdict #5): the same
-        # pass now also BUILDS the next frontier — winner rows are parked
-        # in the sink actor's object-store blocks instead of being carried
-        # through ``combined`` and re-materialized in a third execution.
-        # ``combined`` keeps only emit/page rows, so the wave's wide union
-        # blocks release at wave end and the doc partitions no longer pin
-        # frontier payloads. Candidates that lose the dedup election never
-        # reach a materialized block.
+        # Round-5 election fuse (verdict #8): candidates never ride the
+        # union output at all — each runner task parks its expand/defer
+        # rows as narrow CAND_SCHEMA blocks in the candidate sink (keyed,
+        # retry-idempotent), so the wave's union blocks hold ONLY
+        # emit/page rows and materialize exactly once. After the offers
+        # commit, the winner election runs over the parked candidate
+        # blocks alone (a small execution over frontier-payload rows),
+        # parking winners in the frontier sink as before. This removes
+        # the round-3/4 full re-scan + re-materialization of the wave's
+        # wide blocks: per-wave object-store traffic for emit/page
+        # payloads is halved, and the election pass is proportional to
+        # the candidate count, not the wave's document mass.
         commit_shards()
 
-        def _keep_and_elect(t: pa.Table) -> pa.Table:
-            is_ep = pc.is_in(t["row_kind"],
-                             value_set=pa.array([KIND_EMIT, KIND_PAGE]))
-            cand = t.filter(pc.is_in(
-                t["row_kind"], value_set=pa.array([KIND_EXPAND, KIND_DEFER])))
-            winners = query_batch(cand)
-            if winners.num_rows:
-                _park(winners.combine_chunks(), sink)
-            return t.filter(is_ep)
+        cand_refs, _n_cand = ray.get(cand_sink.drain.remote())
+        if cand_refs:
+            def _elect(t: pa.Table) -> pa.Table:
+                winners = query_batch(t)
+                if winners.num_rows:
+                    _park(winners.combine_chunks(), sink)
+                return pa.table({"n": pa.array([t.num_rows],
+                                               type=pa.int64())})
 
-        combined = out.map_batches(_keep_and_elect,
-                                   batch_format="pyarrow").materialize()
+            ray.data.from_arrow_refs(cand_refs).map_batches(
+                _elect, batch_format="pyarrow").materialize()
+
+        combined = out
         emits = combined.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
                         .map_batches(_project(docs_schema), batch_format="pyarrow")
         pages = combined.map_batches(_split(KIND_PAGE), batch_format="pyarrow") \

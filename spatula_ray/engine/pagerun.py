@@ -31,6 +31,7 @@ from ..origins import to_spec
 from ..runner import PAGINATION_ORDINAL, order_key_str, scout_projection, to_jsonable
 from .keys import canonicalize, dedup_hash, encode_order_key, hash64, host_of
 from .schema import (
+    CAND_SCHEMA,
     FRONTIER_SCHEMA,
     KIND_DEFER,
     KIND_EMIT,
@@ -127,6 +128,22 @@ class _UnionBuilder:
         return pa.concat_tables(parts)
 
 
+_HOST_HASH_CACHE: dict = {}
+
+
+def _host_hash(host: str) -> int:
+    """Per-process memo of hash64(host): a page's children overwhelmingly
+    share a handful of hosts, so the blake2b repeats. Bounded (cleared at
+    64k entries) so a 10^8-host crawl cannot grow worker heaps."""
+    v = _HOST_HASH_CACHE.get(host)
+    if v is None:
+        if len(_HOST_HASH_CACHE) >= 65536:
+            _HOST_HASH_CACHE.clear()
+        v = hash64(host)
+        _HOST_HASH_CACHE[host] = v
+    return v
+
+
 def frontier_row_from_page(page: Page, key: typing.Tuple[int, ...],
                            depth: int) -> dict:
     """Enqueue-time projection of a Page instance to a frontier row.
@@ -144,7 +161,7 @@ def frontier_row_from_page(page: Page, key: typing.Tuple[int, ...],
         "canon_url": canon,
         "url_hash": dedup_hash(name, canon) if url else 0,
         "host": host,
-        "host_hash": hash64(host) if host else 0,
+        "host_hash": _host_hash(host) if host else 0,
         "page_class": name,
         "input_json": encode_input(page.input),
         "source_spec": to_spec(source),
@@ -167,7 +184,8 @@ class PageRunner:
                  error_policy: str = "record",
                  simulate_latency: bool = False,
                  query_input: bool = False,
-                 cache_dir: typing.Optional[str] = None):
+                 cache_dir: typing.Optional[str] = None,
+                 cand_sink=None):
         self.registry = registry
         from .schema import extend_schema, merged_record_type
 
@@ -196,6 +214,12 @@ class PageRunner:
         # driver's candidate pass (off by default: frontier arrives
         # pre-filtered)
         self.query_input = query_input
+        # round-5 election fuse: when the driver provides a candidate
+        # sink, expand/defer rows are parked there (narrow CAND_SCHEMA
+        # blocks, keyed for task-retry idempotence) instead of riding
+        # the wave's union output — the post-commit winner election then
+        # scans candidates only, never the emit/page payload
+        self.cand_sink = cand_sink
         if dep_ref is not None:
             import ray
 
@@ -460,8 +484,32 @@ class PageRunner:
             else:
                 self._run_row(row, b)
         self._offer_expands(b.fr)
+        if self.cand_sink is not None and b.fr:
+            self._park_candidates(b.fr)
+            b.fr = []
         # lineage counters are derived by the driver from the materialized
         # wave output (a cheap narrow pass) — no per-batch RPC to a shared
         # stats actor, which would serialize every runner on one mailbox at
         # cluster scale (round-1 verdict fix #6)
         return b.table()
+
+    def _park_candidates(self, fr_rows: list) -> None:
+        """Park this batch's expand/defer rows in the candidate sink.
+        The key is a deterministic digest of the rows' (url_hash,
+        order_bytes) identity, so a RETRIED task (worker death mid-batch
+        — tests/test_failure.py) replaces its own block instead of
+        double-parking: duplicated candidates would both pass the winner
+        election and fetch twice. hashlib, not hash(): Python's str/bytes
+        hash is per-process salted and a retry lands in a new worker."""
+        import hashlib
+
+        import ray
+
+        h = hashlib.blake2b(digest_size=16)
+        for r in fr_rows:
+            h.update(int(r.get("url_hash") or 0).to_bytes(8, "little"))
+            h.update(r.get("order_bytes") or b"")
+        key = (len(fr_rows), h.hexdigest())
+        t = rows_to_table(fr_rows, CAND_SCHEMA)
+        ref = ray.put(t, _owner=self.cand_sink)
+        ray.get(self.cand_sink.add.remote(key, [ref], t.num_rows))

@@ -83,6 +83,12 @@ for name, typ in [("row_kind", pa.string())] + FRONTIER_FIELDS + DOCS_FIELDS + P
 UNION_SCHEMA = pa.schema(list(_union_fields.items()))
 UNION_COLUMNS = list(_union_fields.keys())
 
+# candidate rows (expand/defer) parked by the runner for the post-commit
+# winner election — frontier payload only, never the emit/page columns
+# (round-5: the election no longer re-scans the wave's full union blocks)
+CAND_SCHEMA = pa.schema([("row_kind", pa.string())] + FRONTIER_FIELDS
+                        + [("wave", pa.int32())])
+
 
 def empty_union_table() -> pa.Table:
     return UNION_SCHEMA.empty_table()

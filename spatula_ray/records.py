@@ -83,6 +83,8 @@ def display_element(el) -> str:
 # input payload <-> JSON bytes (frontier envelope's dynamic column)
 # ---------------------------------------------------------------------------
 
+from json.encoder import encode_basestring_ascii as _escape_str
+
 _TYPE_KEY = "__spatula_ray_type__"
 _RAW_KEY = "__raw__"
 
@@ -95,6 +97,10 @@ def encode_input(obj: Any) -> bytes:
     if isinstance(obj, (str, int, float, bool, list)):
         return json.dumps({_RAW_KEY: obj}, sort_keys=True).encode()
     if isinstance(obj, dict):
+        if len(obj) == 1 and "url" in obj and type(obj["url"]) is str:
+            # hot path: the ubiquitous {"url": ...} child input — one
+            # C-level string escape instead of the dict encoder
+            return ('{"url": %s}' % _escape_str(obj["url"])).encode()
         return json.dumps(obj, sort_keys=True, default=str).encode()
     d = obj_to_dict(obj)  # raises ValueError on unsupported types
     cls = type(obj)

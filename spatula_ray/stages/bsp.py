@@ -541,3 +541,152 @@ def hyperball_bsp(edges, num_nodes: int, iters: int = 2, p: int = 6,
         ray.get(done)
 
     return _collect(shards, "digest_table")
+
+
+# ---------------------------------------------------------------------- hits
+
+
+class _HITSShard:
+    """Resident partition for integer fixed-point HITS: holds BOTH edge
+    copies (src-bucketed for the authority step, dst-bucketed for the
+    hub step — the Dataset path materializes the same two) plus the
+    bucket's (h, a) node states. Max-normalization is two tiny driver
+    reduces per iteration, exactly like the Dataset path's counts-only
+    ``max`` aggregates."""
+
+    def __init__(self, bucket: int, num_buckets: int, scale: int):
+        self.b = bucket
+        self.nb = num_buckets
+        self.scale = np.int64(scale)
+        self.s_src = np.empty(0, dtype=np.int64)
+        self.s_dst = np.empty(0, dtype=np.int64)
+        self.d_src = np.empty(0, dtype=np.int64)
+        self.d_dst = np.empty(0, dtype=np.int64)
+        self.nodes = np.empty(0, dtype=np.int64)
+        self.h = np.empty(0, dtype=np.int64)
+        self.a = np.empty(0, dtype=np.int64)
+        self.raw = np.empty(0, dtype=np.int64)
+
+    def set_edges_src(self, src, dst):
+        self.s_src = np.asarray(src, dtype=np.int64)
+        self.s_dst = np.asarray(dst, dtype=np.int64)
+        self.s_dst_bucket = _bucket_i64(self.s_dst, self.nb)
+
+    def set_edges_dst(self, src, dst):
+        self.d_src = np.asarray(src, dtype=np.int64)
+        self.d_dst = np.asarray(dst, dtype=np.int64)
+        self.d_src_bucket = _bucket_i64(self.d_src, self.nb)
+
+    def init_nodes(self, num_nodes: int):
+        ids = np.arange(num_nodes, dtype=np.int64)
+        self.nodes = ids[_bucket_i64(ids, self.nb) == self.b]
+        self.h = np.full(len(self.nodes), self.scale, dtype=np.int64)
+        self.a = np.full(len(self.nodes), self.scale, dtype=np.int64)
+        return len(self.nodes)
+
+    def _scatter(self, vals, jk, ek, ek_bucket):
+        out = []
+        if len(jk) == 0 or len(self.nodes) == 0:
+            empty = (np.empty(0, dtype=np.int64),
+                     np.empty(0, dtype=np.int64))
+            return tuple(empty for _ in range(self.nb)) \
+                if self.nb > 1 else empty
+        pos = np.searchsorted(self.nodes, jk)
+        v_e = vals[pos]
+        for j in range(self.nb):
+            sel = ek_bucket == j
+            codes, inv = np.unique(ek[sel], return_inverse=True)
+            acc = np.zeros(len(codes), dtype=np.int64)
+            np.add.at(acc, inv, v_e[sel])
+            out.append((codes, acc))
+        return tuple(out) if self.nb > 1 else out[0]
+
+    def a_scatter(self):
+        # authority: h flows src -> dst over src-resident edges
+        return self._scatter(self.h, self.s_src, self.s_dst,
+                             self.s_dst_bucket)
+
+    def h_scatter(self):
+        # hub: NEW a flows dst -> src over dst-resident edges
+        return self._scatter(self.a, self.d_dst, self.d_src,
+                             self.d_src_bucket)
+
+    def gather(self, *parts):
+        acc = np.zeros(len(self.nodes), dtype=np.int64)
+        for nodes_p, sums_p in parts:
+            if len(nodes_p) == 0:
+                continue
+            pos = np.searchsorted(self.nodes, nodes_p)
+            ok = pos < len(self.nodes)
+            safe = np.where(ok, pos, 0)
+            ok &= self.nodes[safe] == nodes_p
+            np.add.at(acc, safe[ok], sums_p[ok])
+        self.raw = acc
+        return int(acc.max()) if len(acc) else 0
+
+    def normalize(self, which: str, gmax: int):
+        if gmax > 0:
+            newv = self.raw * self.scale // np.int64(gmax)
+        else:
+            newv = np.zeros(len(self.raw), dtype=np.int64)
+        setattr(self, which, newv)
+
+    def state_table(self) -> pa.Table:
+        return pa.table({"node": _i64(self.nodes), "hub": _i64(self.h),
+                         "auth": _i64(self.a)})
+
+
+def hits_bsp(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32,
+             scale: int = None):
+    """Fused HITS: two edge-load exchanges (one per direction), then per
+    iteration two scatter/gather supersteps plus two scalar max reduces.
+    Bit-identical to graph.hits (same integer half-step normalization)."""
+    import ray
+
+    from .joins import _bucket_of
+
+    if scale is None:
+        from .graph import HITS_SCALE
+        scale = HITS_SCALE
+    if num_nodes * scale * scale >= 2 ** 63:
+        raise ValueError(
+            f"hits int64 overflow: num_nodes ({num_nodes}) * "
+            f"HITS_SCALE^2 >= 2**63; reduce graph.HITS_SCALE")
+
+    B = num_buckets
+    Shard = ray.remote(_HITSShard)
+    shards = [Shard.options(num_cpus=0).remote(b, B, scale)
+              for b in range(B)]
+
+    def tag(key):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({"src": t["src"].cast(pa.int64()),
+                            "dst": t["dst"].cast(pa.int64())})
+            return out.append_column(
+                "__bucket", _bucket_of(out, [key], B))
+        return fn
+
+    _load_by_bucket(edges.map_batches(tag("src"), batch_format="pyarrow"),
+                    shards, "set_edges_src", ["src", "dst"])
+    _load_by_bucket(edges.map_batches(tag("dst"), batch_format="pyarrow"),
+                    shards, "set_edges_dst", ["src", "dst"])
+    ray.get([s.init_nodes.remote(num_nodes) for s in shards])
+
+    def superstep(scatter_method: str, which: str):
+        if B > 1:
+            mat = [getattr(s, scatter_method)
+                   .options(num_returns=B).remote() for s in shards]
+            maxes = ray.get([
+                shards[j].gather.remote(*[mat[b][j] for b in range(B)])
+                for j in range(B)])
+        else:
+            mat = [getattr(s, scatter_method).remote() for s in shards]
+            maxes = ray.get([shards[0].gather.remote(mat[0])])
+        gmax = max(maxes) if maxes else 0
+        ray.get([s.normalize.remote(which, gmax) for s in shards])
+
+    for _ in range(iters):
+        superstep("a_scatter", "a")   # authority half-step (uses h)
+        superstep("h_scatter", "h")   # hub half-step (uses NEW a)
+
+    return _collect(shards)

@@ -526,7 +526,8 @@ def host_link_graph(links, num_buckets: int = 32):
 HITS_SCALE = 10**6
 
 
-def hits(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32):
+def hits(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32,
+         engine: str = "actor"):
     """Integer fixed-point HITS (Kleinberg '99, "Authoritative sources
     in a hyperlinked environment") over an edge Dataset ``(src, dst)``
     with nodes ``0..num_nodes-1`` — the hub/authority dual of
@@ -552,6 +553,12 @@ def hits(edges, num_nodes: int, iters: int = 3, num_buckets: int = 32):
     streaming map with a broadcast scalar). Edges are bucketed ONCE per
     direction (hash(src) and hash(dst)) and reused every iteration;
     everything that moves is (int64, int64) rows."""
+    if engine == "actor":
+        from .bsp import hits_bsp
+
+        return hits_bsp(edges, num_nodes, iters=iters,
+                        num_buckets=num_buckets)
+
     import pyarrow.compute as pc
     import ray.data as rd
 

@@ -224,8 +224,17 @@ class FormulaResolver:
         parts = [f"<html><body><h1>page {h}/{p}</h1>"]
         import numpy as _np
 
-        rng = _np.random.RandomState(self._rng(h, p, 999) & 0x7FFFFFFF)
-        idx = rng.randint(0, len(_WORDS), size=self.text_words)
+        # filler words via a vectorized hash mix — the old per-page
+        # RandomState construction alone cost ~120us/page, ~25% of the
+        # whole synthetic fetch. Only the filler TEXT changes (links,
+        # media, ordering all derive from _rng/blake2b as before); the
+        # spider record is {url, n_links, n_media}, so no oracle or
+        # conformance surface reads these bytes.
+        base = _np.uint64(self._rng(h, p, 999))
+        mix = (base + _np.arange(self.text_words, dtype=_np.uint64)
+               * _np.uint64(0x9E3779B97F4A7C15))
+        mix ^= mix >> _np.uint64(31)
+        idx = (mix % _np.uint64(len(_WORDS))).astype(_np.int64)
         words = [_WORDS[i] for i in idx]
         parts.append(f"<p>{' '.join(words)}</p>")
         for l in range(self.links_per_page):

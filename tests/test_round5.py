@@ -202,3 +202,14 @@ def test_bsp_bucket_hash_matches_joins_bucket_of():
     t2 = pa.table({"k": pa.array(strs.tolist(), type=pa.string())})
     expect2 = _bucket_of(t2, ["k"], 32).to_numpy(zero_copy_only=False)
     assert (_bucket_str(strs, 32) == expect2).all()
+
+
+def test_hits_bsp_bit_identical():
+    from spatula_ray.stages.graph import hits
+
+    edges = _rand_edges(150, 900, seed=51)
+    a = hits(_edge_ds(edges), 150, iters=3, engine="actor") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    d = hits(_edge_ds(edges), 150, iters=3, engine="dataset") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(d)
