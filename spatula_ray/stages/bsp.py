@@ -433,6 +433,7 @@ class _HBShard:
         self.wbits = 64 - p
         self.src = np.empty(0, dtype=np.int64)
         self.dst = np.empty(0, dtype=np.int64)
+        self.src_bucket = np.empty(0, dtype=np.int64)
         self.nodes = np.empty(0, dtype=np.int64)
         self.regs = np.empty((0, self.m), dtype=np.int64)
 
@@ -560,8 +561,10 @@ class _HITSShard:
         self.scale = np.int64(scale)
         self.s_src = np.empty(0, dtype=np.int64)
         self.s_dst = np.empty(0, dtype=np.int64)
+        self.s_dst_bucket = np.empty(0, dtype=np.int64)
         self.d_src = np.empty(0, dtype=np.int64)
         self.d_dst = np.empty(0, dtype=np.int64)
+        self.d_src_bucket = np.empty(0, dtype=np.int64)
         self.nodes = np.empty(0, dtype=np.int64)
         self.h = np.empty(0, dtype=np.int64)
         self.a = np.empty(0, dtype=np.int64)
