@@ -134,6 +134,58 @@ class _CandSink:
         return refs, sum(n for _, n in blocks.values())
 
 
+def _winner_filter(batch: pa.Table, shard_handles: list) -> pa.Table:
+    """Winner filter: keep pre-admitted rows, null-source rows, and
+    min-order winners for the sealed wave. Module-level (not a crawl()
+    closure) so the raw-task election ships only the shard handles."""
+    import numpy as np
+    import ray
+
+    if not shard_handles:
+        return batch
+    n_shards = len(shard_handles)
+    keep = np.ones(batch.num_rows, dtype=bool)
+    pre = batch["pre_admitted"].combine_chunks().fill_null(False) \
+        .to_numpy(zero_copy_only=False)
+    has_url = np.asarray(
+        pc.not_equal(batch["url"], "").combine_chunks().fill_null(False))
+    hashes = batch["url_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    orders = batch["order_bytes"].combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    ask = np.nonzero(~pre & has_url)[0]
+    if not len(ask):
+        return batch
+    shard_of = (hashes[ask] % np.uint64(n_shards)).astype(np.int64)
+    futures, idx_lists = [], []
+    for sh in np.unique(shard_of):
+        idxs = ask[shard_of == sh]
+        futures.append(shard_handles[int(sh)].query.remote(
+            hashes[idxs].tolist(), orders[idxs].tolist()))
+        idx_lists.append(idxs)
+    for idxs, mask in zip(idx_lists, ray.get(futures)):
+        keep[idxs] = np.asarray(mask, dtype=bool)
+    return batch.filter(pa.array(keep))
+
+
+def _elect_block(shard_handles: list, *tables):
+    """Raw-task winner election over a GROUP of parked candidate blocks
+    (round-5: replaces the per-wave Dataset execution — the election is
+    embarrassingly parallel over already-materialized blocks, so a bounded
+    set of plain tasks skips the streaming-executor spin-up floor each
+    wave; grouping ~len/64 blocks per task batches the seen-filter query
+    RPCs instead of paying one tiny RPC round per runner-task block).
+    The blocks arrive as top-level varargs so Ray resolves the refs
+    in-plasma (zero-copy local fetch). Winners return as the task's first
+    output (second is the row count, so the driver learns sizes without
+    fetching the tables): task-return objects are DRIVER-owned, so there
+    is no ``_owner`` transfer to race and a task retry replaces its own
+    output instead of appending a duplicate park."""
+    winners = _winner_filter(
+        pa.concat_tables(tables) if len(tables) > 1 else tables[0],
+        shard_handles)
+    return winners.combine_chunks(), winners.num_rows
+
+
 def _park(table: pa.Table, sink) -> None:
     """Store ``table`` in the object store owned by ``sink`` and register
     it; the ray.get makes the registration a barrier so a subsequent
@@ -482,36 +534,8 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             ray.get([s.commit.remote() for s in shard_handles])
 
     def query_batch(batch: pa.Table) -> pa.Table:
-        """Winner filter: keep pre-admitted rows, null-source rows, and
-        min-order winners (runs fused onto the candidate projection pass so
-        the next wave's frontier is already deduplicated — candidates can
-        be ~links_per_page x larger than the frontier, so filtering before
-        materializing them matters)."""
-        import numpy as np
-
-        if not shard_handles:
-            return batch
-        keep = np.ones(batch.num_rows, dtype=bool)
-        pre = batch["pre_admitted"].combine_chunks().fill_null(False) \
-            .to_numpy(zero_copy_only=False)
-        has_url = np.asarray(
-            pc.not_equal(batch["url"], "").combine_chunks().fill_null(False))
-        hashes = batch["url_hash"].combine_chunks().to_numpy(zero_copy_only=False)
-        orders = batch["order_bytes"].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        ask = np.nonzero(~pre & has_url)[0]
-        if not len(ask):
-            return batch
-        shard_of = (hashes[ask] % np.uint64(n_shards)).astype(np.int64)
-        futures, idx_lists = [], []
-        for sh in np.unique(shard_of):
-            idxs = ask[shard_of == sh]
-            futures.append(shard_handles[int(sh)].query.remote(
-                hashes[idxs].tolist(), orders[idxs].tolist()))
-            idx_lists.append(idxs)
-        for idxs, mask in zip(idx_lists, ray.get(futures)):
-            keep[idxs] = np.asarray(mask, dtype=bool)
-        return batch.filter(pa.array(keep))
+        """Winner filter (see :func:`_winner_filter`) for the seed pass."""
+        return _winner_filter(batch, shard_handles)
 
     # ---- seeding ---------------------------------------------------------
     if frontier_ds is None:
@@ -531,14 +555,18 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     docs_parts: List = []
     page_parts: List = []
     wave = start_wave
+    elect_task = ray.remote(num_cpus=1, num_returns=2)(_elect_block)
     t0 = time.time()
 
     verbose = bool(os.environ.get("SPATULA_RAY_WAVE_TIMING"))
 
-    def _drain_frontier():
-        """Rebuild the next wave's frontier from the sink-owned blocks;
-        returns (dataset, row_count) without a dataset execution."""
+    def _drain_frontier(extra_refs=(), extra_rows=0):
+        """Rebuild the next wave's frontier from the sink-owned blocks
+        plus the wave's driver-owned election outputs; returns
+        (dataset, row_count) without a dataset execution."""
         refs, n_rows = ray.get(sink.drain.remote())
+        refs = refs + list(extra_refs)
+        n_rows += extra_rows
         if not refs:
             return ray.data.from_arrow(UNION_SCHEMA.empty_table()), 0
         return ray.data.from_arrow_refs(refs), n_rows
@@ -598,25 +626,33 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         # retry-idempotent), so the wave's union blocks hold ONLY
         # emit/page rows and materialize exactly once. After the offers
         # commit, the winner election runs over the parked candidate
-        # blocks alone (a small execution over frontier-payload rows),
-        # parking winners in the frontier sink as before. This removes
-        # the round-3/4 full re-scan + re-materialization of the wave's
-        # wide blocks: per-wave object-store traffic for emit/page
-        # payloads is halved, and the election pass is proportional to
-        # the candidate count, not the wave's document mass.
+        # blocks alone as a bounded set of raw tasks returning the
+        # winner blocks (see _elect_block). This removes the round-3/4
+        # full re-scan + re-materialization of the wave's wide blocks:
+        # per-wave object-store traffic for emit/page payloads is
+        # halved, and the election pass is proportional to the
+        # candidate count, not the wave's document mass.
         commit_shards()
 
         cand_refs, _n_cand = ray.get(cand_sink.drain.remote())
+        win_refs: List = []
+        win_rows = 0
         if cand_refs:
-            def _elect(t: pa.Table) -> pa.Table:
-                winners = query_batch(t)
-                if winners.num_rows:
-                    _park(winners.combine_chunks(), sink)
-                return pa.table({"n": pa.array([t.num_rows],
-                                               type=pa.int64())})
-
-            ray.data.from_arrow_refs(cand_refs).map_batches(
-                _elect, batch_format="pyarrow").materialize()
+            # round-5: raw tasks instead of a Dataset execution — at most
+            # ~64 grouped tasks per wave (see _elect_block). num_cpus=1
+            # caps concurrency at the cpu count so the election reuses
+            # the runner-warmed worker processes instead of forking a
+            # second pool mid-wave. The ray.get on the count outputs is
+            # the wave's election barrier; the winner tables stay in the
+            # object store as driver-owned refs.
+            n_groups = min(64, len(cand_refs))
+            pairs = [
+                elect_task.remote(shard_handles, *cand_refs[g::n_groups])
+                for g in range(n_groups)
+            ]
+            counts = ray.get([c for _, c in pairs])
+            win_refs = [t for (t, _), c in zip(pairs, counts) if c]
+            win_rows = sum(counts)
 
         combined = out
         emits = combined.map_batches(_split(KIND_EMIT), batch_format="pyarrow") \
@@ -639,12 +675,12 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             docs_parts.append(emits)
             page_parts.append(pages)
 
-        # next frontier: the election pass already parked the winner rows
-        # (plus any quota-deferred rows) in the sink — rebuild from refs,
-        # no third execution, count arrives with the drain
+        # next frontier: the election tasks returned the winner blocks
+        # (driver-owned refs); quota-deferred rows sit in the sink —
+        # merge both, no third execution, counts arrive without a fetch
         out = None  # release the union blocks
         wave_n = n
-        frontier_ds, n = _drain_frontier()
+        frontier_ds, n = _drain_frontier(win_refs, win_rows)
         if verbose:
             print(f"[wave {wave}] n={wave_n} runner={t_run - tw:.2f}s "
                   f"cands={time.time() - t_run:.2f}s next={n}", flush=True)
