@@ -167,6 +167,51 @@ def _winner_filter(batch: pa.Table, shard_handles: list) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
+def _count_union_block(*tables) -> list:
+    """Raw-task lineage counting over a group of materialized wave union
+    blocks: filter to page rows, fold the narrow per-batch counters
+    (round-5: replaces the end-of-crawl Dataset execution that re-ran the
+    split + projection over every wave's blocks just to read counters).
+    Returns (k, v) pairs the driver sums."""
+    out: Dict[str, int] = {}
+    for t in tables:
+        p = t.filter(pc.equal(t["row_kind"], KIND_PAGE))
+        if p.num_rows == 0:
+            continue
+        ct = _page_count_batch(p)
+        for k, v in zip(ct["k"].to_pylist(), ct["v"].to_pylist()):
+            out[k] = out.get(k, 0) + v
+    return list(out.items())
+
+
+def _offer_block(shard_handles: list, *tables) -> int:
+    """Raw-task offer pass over a group of materialized seed blocks
+    (phase 1 of the dedup protocol for rows that never pass through a
+    runner). Offers are idempotent per (hash, order) — min is
+    associative — so a task retry is harmless. Emits only a count."""
+    import numpy as np
+    import ray
+
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    n_shards = len(shard_handles)
+    fresh = t.filter(pc.invert(
+        t["pre_admitted"].combine_chunks().fill_null(False)))
+    urls_present = fresh.filter(pc.not_equal(fresh["url"], ""))
+    if urls_present.num_rows:
+        hashes = urls_present["url_hash"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        orders = urls_present["order_bytes"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
+        ray.get([
+            shard_handles[int(s)].offer.remote(
+                hashes[m].tolist(), orders[m].tolist())
+            for s in np.unique(shard_of)
+            for m in [shard_of == s]
+        ])
+    return t.num_rows
+
+
 def _elect_block(shard_handles: list, *tables):
     """Raw-task winner election over a GROUP of parked candidate blocks
     (round-5: replaces the per-wave Dataset execution — the election is
@@ -436,7 +481,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
     # with "actor not alive" if it races the async actor launch
     sink = ray.remote(num_cpus=0)(_FrontierSink).remote()
     cand_sink = ray.remote(num_cpus=0)(_CandSink).remote()
-    ray.get(sink.__ray_ready__.remote())
+    ray.get([sink.__ray_ready__.remote(), cand_sink.__ray_ready__.remote()])
 
     # ---- resume ----------------------------------------------------------
     ckpt = cfg.checkpoint_dir
@@ -505,37 +550,13 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         return r(batch)
 
     shard_handles = list(shards)
-    n_shards = len(shard_handles)
-
-    def offer_batch(batch: pa.Table) -> pa.Table:
-        """Phase 1 of the dedup protocol; emits only a count (the candidate
-        rows themselves stay put — the query pass re-reads them). Shard
-        routing is a vectorized ``% n_shards`` over the hash column."""
-        import numpy as np
-
-        fresh = batch.filter(pc.invert(batch["pre_admitted"].combine_chunks().fill_null(False)))
-        urls_present = fresh.filter(pc.not_equal(fresh["url"], ""))
-        if urls_present.num_rows:
-            hashes = urls_present["url_hash"].combine_chunks().to_numpy(
-                zero_copy_only=False)
-            orders = urls_present["order_bytes"].combine_chunks() \
-                .to_numpy(zero_copy_only=False)
-            shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
-            ray.get([
-                shard_handles[int(s)].offer.remote(
-                    hashes[m].tolist(), orders[m].tolist())
-                for s in np.unique(shard_of)
-                for m in [shard_of == s]
-            ])
-        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
 
     def commit_shards() -> None:
         if shard_handles:
             ray.get([s.commit.remote() for s in shard_handles])
 
-    def query_batch(batch: pa.Table) -> pa.Table:
-        """Winner filter (see :func:`_winner_filter`) for the seed pass."""
-        return _winner_filter(batch, shard_handles)
+    elect_task = ray.remote(num_cpus=1, num_returns=2)(_elect_block)
+    seed_n: Optional[int] = None
 
     # ---- seeding ---------------------------------------------------------
     if frontier_ds is None:
@@ -543,19 +564,34 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         frontier_ds = ray.data.from_arrow(seed_t)
         if shard_handles:
             # seeds never pass through a runner, so they take the
-            # standalone offer pass; wave 0's runner query-filters them
+            # standalone offer pass; wave 0's runner query-filters them.
+            # Raw tasks over the materialized seed blocks (round-5): the
+            # offer, commit and query phases cost three actor-RPC rounds
+            # instead of three Dataset executions.
             ray.get([s.begin_wave.remote() for s in shard_handles])
-            seeds_mat = frontier_ds.materialize()
-            seeds_mat.map_batches(offer_batch,
-                                  batch_format="pyarrow").materialize()
-            commit_shards()
-            frontier_ds = seeds_mat.map_batches(
-                query_batch, batch_format="pyarrow").materialize()
+            seed_refs = frontier_ds.materialize().to_arrow_refs()
+            if seed_refs:
+                offer_task = ray.remote(num_cpus=1)(_offer_block)
+                n_groups = min(64, len(seed_refs))
+                groups = [seed_refs[g::n_groups] for g in range(n_groups)]
+                ray.get([offer_task.remote(shard_handles, *grp)
+                         for grp in groups])
+                commit_shards()
+                pairs = [elect_task.remote(shard_handles, *grp)
+                         for grp in groups]
+                counts = ray.get([c for _, c in pairs])
+                win = [t for (t, _), c in zip(pairs, counts) if c]
+                seed_n = sum(counts)
+                frontier_ds = ray.data.from_arrow_refs(win) if win \
+                    else ray.data.from_arrow(UNION_SCHEMA.empty_table())
+            else:
+                seed_n = 0
 
     docs_parts: List = []
     page_parts: List = []
     wave = start_wave
-    elect_task = ray.remote(num_cpus=1, num_returns=2)(_elect_block)
+    count_task = ray.remote(num_cpus=1)(_count_union_block)
+    count_futs: List = []
     t0 = time.time()
 
     verbose = bool(os.environ.get("SPATULA_RAY_WAVE_TIMING"))
@@ -571,7 +607,9 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             return ray.data.from_arrow(UNION_SCHEMA.empty_table()), 0
         return ray.data.from_arrow_refs(refs), n_rows
 
-    n = frontier_ds.count()   # materialized seed / checkpoint frontier
+    # seed path knows its count from the election outputs; the
+    # checkpoint-resume path counts its parquet-loaded frontier
+    n = seed_n if seed_n is not None else frontier_ds.count()
     while True:
         tw = time.time()
         if n == 0 or (cfg.max_waves is not None and wave >= cfg.max_waves):
@@ -661,17 +699,27 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
                         .map_batches(_project(PAGE_LOG_SCHEMA), batch_format="pyarrow")
 
         if ckpt:
-            # checkpointed crawls pay a per-wave counting pass so the
+            # checkpointed crawls pay a per-wave counting barrier so the
             # manifest always carries exact cumulative counters for resume
-            for r in pages.map_batches(_page_count_batch,
-                                       batch_format="pyarrow").take_all():
-                stats.add({r["k"]: int(r["v"])})
+            blk_refs = out.to_arrow_refs()
+            ngc = min(16, max(1, len(blk_refs)))
+            for pairs in ray.get([count_task.remote(*blk_refs[g::ngc])
+                                  for g in range(ngc)] if blk_refs else []):
+                stats.add({k: int(v) for k, v in pairs})
             ddir = os.path.join(ckpt, "docs", f"wave_{wave:05d}")
             pdir = os.path.join(ckpt, "pages", f"wave_{wave:05d}")
             emits.write_parquet(ddir)
             pages.write_parquet(pdir)
         else:
-            # counters are derived once at crawl end from the page log
+            # counters fold from the wave's materialized union blocks via
+            # raw tasks submitted now, gathered once at crawl end — they
+            # fill scheduler gaps during later waves and the end-of-crawl
+            # counting execution is gone (round-5)
+            blk_refs = out.to_arrow_refs()
+            if blk_refs:
+                ngc = min(16, len(blk_refs))
+                count_futs.extend(count_task.remote(*blk_refs[g::ngc])
+                                  for g in range(ngc))
             docs_parts.append(emits)
             page_parts.append(pages)
 
@@ -719,9 +767,12 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         # total comes from the per-page n_emitted column in the same pass
         # (a second docs-side count execution would re-run the split +
         # projection over every wave's blocks just to read a length)
-        for r in page_log.map_batches(_page_count_batch,
-                                      batch_format="pyarrow").take_all():
-            stats.add({r["k"]: int(r["v"])})
+        t_cnt = time.time()
+        for pairs in ray.get(count_futs):
+            stats.add({k: int(v) for k, v in pairs})
+        if verbose:
+            print(f"[final] counter gather {time.time() - t_cnt:.2f}s",
+                  flush=True)
 
     counters = stats.get()
     counters.setdefault("pages", 0)
