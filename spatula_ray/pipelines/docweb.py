@@ -71,26 +71,25 @@ def docweb_spans(sf_dir: str):
     result = crawl_docweb(sf_dir)
 
     def flatten(batch: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "kind": [], "text": [], "media_ref": [],
-                "offset": []}
-        for cls, url, spans in zip(batch["page_class"].to_pylist(),
-                                   batch["source_url"].to_pylist(),
-                                   batch["spans"].to_pylist()):
-            if cls != "DocDetail":
-                continue
-            did = int(url.rsplit("/", 1)[1])
-            for s in spans or []:
-                rows["doc_id"].append(did)
-                rows["kind"].append(s["kind"])
-                rows["text"].append(s["text"])
-                rows["media_ref"].append(s["media_ref"])
-                rows["offset"].append(s["offset"])
+        # fully vectorized explode (round-5: the last per-row Python loop
+        # in the crawl projections): list_parent_indices aligns each
+        # flattened span struct with its document row, the doc id comes
+        # from one regex kernel over the url tail
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["page_class"], "DocDetail"))
+        spans = t["spans"].combine_chunks()
+        ids = pc.struct_field(
+            pc.extract_regex(t["source_url"].combine_chunks(),
+                             r"/(?P<id>[0-9]+)$"), "id").cast(pa.int64())
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
         return pa.table({
-            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-            "kind": pa.array(rows["kind"], type=pa.string()),
-            "text": pa.array(rows["text"], type=pa.string()),
-            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
-            "offset": pa.array(rows["offset"], type=pa.int32()),
+            "doc_id": ids.take(parent),
+            "kind": pc.struct_field(flat, "kind").cast(pa.string()),
+            "text": pc.struct_field(flat, "text").cast(pa.string()),
+            "media_ref": pc.struct_field(flat, "media_ref").cast(pa.string()),
+            "offset": pc.struct_field(flat, "offset").cast(pa.int32()),
         })
 
     return result.docs.map_batches(flatten, batch_format="pyarrow")
