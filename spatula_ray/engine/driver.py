@@ -556,6 +556,13 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             ray.get([s.commit.remote() for s in shard_handles])
 
     elect_task = ray.remote(num_cpus=1, num_returns=2)(_elect_block)
+    # raw-task fan-out widths scale with the cluster, not a constant:
+    # ~2 election tasks per core keeps every node busy while batching
+    # the seen-filter RPCs; the counter folds take ~1 task per 2 cores
+    # (they run in scheduler gaps behind later waves)
+    ncpu_total = max(1, int(ray.cluster_resources().get("CPU", 32)))
+    elect_width = max(2 * ncpu_total, 8)
+    count_width = max(ncpu_total // 2, 8)
     seed_n: Optional[int] = None
 
     # ---- seeding ---------------------------------------------------------
@@ -572,7 +579,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             seed_refs = frontier_ds.materialize().to_arrow_refs()
             if seed_refs:
                 offer_task = ray.remote(num_cpus=1)(_offer_block)
-                n_groups = min(64, len(seed_refs))
+                n_groups = min(elect_width, len(seed_refs))
                 groups = [seed_refs[g::n_groups] for g in range(n_groups)]
                 ray.get([offer_task.remote(shard_handles, *grp)
                          for grp in groups])
@@ -677,13 +684,13 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
         win_rows = 0
         if cand_refs:
             # round-5: raw tasks instead of a Dataset execution — at most
-            # ~64 grouped tasks per wave (see _elect_block). num_cpus=1
+            # elect_width grouped tasks per wave (see _elect_block). num_cpus=1
             # caps concurrency at the cpu count so the election reuses
             # the runner-warmed worker processes instead of forking a
             # second pool mid-wave. The ray.get on the count outputs is
             # the wave's election barrier; the winner tables stay in the
             # object store as driver-owned refs.
-            n_groups = min(64, len(cand_refs))
+            n_groups = min(elect_width, len(cand_refs))
             pairs = [
                 elect_task.remote(shard_handles, *cand_refs[g::n_groups])
                 for g in range(n_groups)
@@ -702,7 +709,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             # checkpointed crawls pay a per-wave counting barrier so the
             # manifest always carries exact cumulative counters for resume
             blk_refs = out.to_arrow_refs()
-            ngc = min(16, max(1, len(blk_refs)))
+            ngc = min(count_width, max(1, len(blk_refs)))
             for pairs in ray.get([count_task.remote(*blk_refs[g::ngc])
                                   for g in range(ngc)] if blk_refs else []):
                 stats.add({k: int(v) for k, v in pairs})
@@ -717,7 +724,7 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             # counting execution is gone (round-5)
             blk_refs = out.to_arrow_refs()
             if blk_refs:
-                ngc = min(16, len(blk_refs))
+                ngc = min(count_width, len(blk_refs))
                 count_futs.extend(count_task.remote(*blk_refs[g::ngc])
                                   for g in range(ngc))
             docs_parts.append(emits)
