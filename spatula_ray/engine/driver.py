@@ -88,33 +88,6 @@ def _project(schema: pa.Schema):
 
 
 
-class _FrontierSink:
-    """``num_cpus=0`` actor that owns the next wave's frontier blocks.
-
-    Wave passes (winner election, quota deferral) park their output
-    tables in the object store with ``ray.put(..., _owner=sink)`` — the
-    sink outlives the producing worker, so the blocks survive worker
-    churn — and register the refs here. The driver drains once per wave
-    and rebuilds the frontier with ``from_arrow_refs``: the frontier
-    never takes a third full-dataset execution (round-3 verdict fix #5)
-    and its row count arrives with the refs, so the wave loop's
-    ``count()`` is free."""
-
-    def __init__(self):
-        self._refs: list = []
-        self._rows = 0
-
-    def add(self, refs: list, n: int) -> None:
-        # refs arrive wrapped in a list so Ray does not auto-inline them
-        self._refs.extend(refs)
-        self._rows += n
-
-    def drain(self):
-        refs, n = self._refs, self._rows
-        self._refs, self._rows = [], 0
-        return refs, n
-
-
 class _CandSink:
     """``num_cpus=0`` actor owning the CURRENT wave's candidate blocks
     (narrow CAND_SCHEMA rows parked by the runners — round-5 election
@@ -231,95 +204,106 @@ def _elect_block(shard_handles: list, *tables):
     return winners.combine_chunks(), winners.num_rows
 
 
-def _park(table: pa.Table, sink) -> None:
-    """Store ``table`` in the object store owned by ``sink`` and register
-    it; the ray.get makes the registration a barrier so a subsequent
-    driver drain (which runs after the wave's materialize) sees it."""
-    import ray
+def _priority_route(t: pa.Table, n_shards: int):
+    import numpy as np
 
-    ref = ray.put(table, _owner=sink)
-    ray.get(sink.add.remote([ref], table.num_rows))
+    hh = t["host_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    return (hh % np.uint64(n_shards)).astype(np.int64)
 
 
-def _priority_select(frontier_ds, k: int, shards: list, sink):
-    """Deterministic per-host priority queue under a wave quota: keep the
-    top-k fetchable rows per host by (priority, order_bytes); the rest
-    defer to the next wave (already-deduped winners, so they bypass
-    re-dedup). Null-source rows are never deferred.
-
-    The election runs in the sharded :class:`PriorityShard` actors via the
-    same offer / seal / query shape as the URL-seen filter (round-2
-    verdict fix #4): batches offer their narrow (host_hash, priority,
-    order_bytes, fetchable) projections to the owning shard — the full
-    rows (list/binary payload columns) never move and the deferred key
-    set never touches the driver.
-
-    Returns ``(admitted_ds, n_deferred)``; deferred rows are parked in
-    ``sink`` (flagged ``pre_admitted``) in the SAME pass that filters
-    the admitted rows — one execution instead of round-3's two, and the
-    per-shard ``query`` calls run once per batch instead of twice.
-    """
+def _priority_offer_block(shards: list, *tables) -> int:
+    """Raw-task offer pass for the per-host wave quota: route the narrow
+    (host_hash, priority, order_bytes, fetchable) projections to their
+    owning :class:`PriorityShard` — the full rows (list/binary payload
+    columns) never move. Offers are idempotent per order key, so a task
+    retry is harmless. Vectorized routing (round-3 verdict fix #8)."""
     import numpy as np
     import ray
 
-    n_shards = len(shards)
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    shard_of = _priority_route(t, len(shards))
+    pri = t["priority"].combine_chunks().to_numpy(zero_copy_only=False)
+    orders = t["order_bytes"].combine_chunks().to_numpy(zero_copy_only=False)
+    fetchable = pc.not_equal(t["url"], "").combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    hh = t["host_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+    ray.get([
+        shards[int(s)].offer.remote(
+            hh[m].tolist(), pri[m].tolist(),
+            orders[m].tolist(), fetchable[m].tolist())
+        for s in np.unique(shard_of)
+        for m in [shard_of == s]
+    ])
+    return t.num_rows
 
-    def _route(t: pa.Table):
-        hh = t["host_hash"].combine_chunks().to_numpy(zero_copy_only=False)
-        return (hh % np.uint64(n_shards)).astype(np.int64)
 
-    def offer_fn(t: pa.Table) -> pa.Table:
-        # vectorized routing (round-3 verdict fix #8): numpy mask slices
-        # of the narrow projection columns, no per-row Python
-        shard_of = _route(t)
-        pri = t["priority"].combine_chunks().to_numpy(zero_copy_only=False)
-        orders = t["order_bytes"].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        fetchable = pc.not_equal(t["url"], "").combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        hh = t["host_hash"].combine_chunks().to_numpy(zero_copy_only=False)
-        ray.get([
-            shards[int(s)].offer.remote(
-                hh[m].tolist(), pri[m].tolist(),
-                orders[m].tolist(), fetchable[m].tolist())
-            for s in np.unique(shard_of)
-            for m in [shard_of == s]
-        ])
-        return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
+def _priority_admit_block(shards: list, *tables):
+    """Raw-task admit pass after the quota seal: split a group of
+    frontier blocks into (admitted, deferred) by the sharded defer
+    verdicts. Deferred rows are flagged ``pre_admitted`` (already-deduped
+    winners bypass re-dedup next wave). Both splits return as task
+    outputs — driver-owned refs, no sink ownership transfer."""
+    import numpy as np
+    import ray
 
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    shard_of = _priority_route(t, len(shards))
+    orders = t["order_bytes"].combine_chunks().to_numpy(zero_copy_only=False)
+    mask = np.zeros(t.num_rows, dtype=bool)
+    futures, idx_lists = [], []
+    for s in np.unique(shard_of):
+        idxs = np.nonzero(shard_of == s)[0]
+        futures.append(shards[int(s)].query.remote(orders[idxs].tolist()))
+        idx_lists.append(idxs)
+    for idxs, verdicts in zip(idx_lists, ray.get(futures)):
+        mask[idxs] = verdicts
+    d = t.filter(pa.array(mask))
+    if d.num_rows:
+        i = d.schema.get_field_index("pre_admitted")
+        d = d.set_column(i, "pre_admitted", pa.array([True] * d.num_rows))
+    a = t.filter(pa.array(~mask))
+    return (a.combine_chunks(), d.combine_chunks(),
+            (a.num_rows, d.num_rows))
+
+
+def _priority_select(frontier_ds, k: int, shards: list, width: int):
+    """Deterministic per-host priority queue under a wave quota: keep the
+    top-k fetchable rows per host by (priority, order_bytes); the rest
+    defer to the next wave. Null-source rows are never deferred.
+
+    The election runs in the sharded :class:`PriorityShard` actors via
+    the same offer / seal / query shape as the URL-seen filter (round-2
+    verdict fix #4). Round-5: both passes are cluster-width raw-task
+    fan-outs over the frontier's materialized blocks (zero Dataset
+    executions; same rationale as :func:`_elect_block`).
+
+    Returns ``(admitted_ds, n_deferred, defer_refs, defer_rows)`` —
+    the deferred blocks are driver-owned task outputs the caller merges
+    into the next wave's frontier."""
+    import ray
+    import ray.data
+
+    refs = frontier_ds.materialize().to_arrow_refs()
+    if not refs:
+        return frontier_ds, 0, [], 0
+    offer_task = ray.remote(num_cpus=1)(_priority_offer_block)
+    n_groups = min(width, len(refs))
+    groups = [refs[g::n_groups] for g in range(n_groups)]
     ray.get([s.begin_wave.remote() for s in shards])
-    frontier_ds.map_batches(offer_fn, batch_format="pyarrow").materialize()
+    ray.get([offer_task.remote(shards, *grp) for grp in groups])
     n_deferred = sum(ray.get([s.seal.remote(k) for s in shards]))
     if n_deferred == 0:
-        return frontier_ds, 0
+        return frontier_ds, 0, [], 0
 
-    def _defer_mask(t: pa.Table) -> "np.ndarray":
-        shard_of = _route(t)
-        orders = t["order_bytes"].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        mask = np.zeros(t.num_rows, dtype=bool)
-        futures, idx_lists = [], []
-        for s in np.unique(shard_of):
-            idxs = np.nonzero(shard_of == s)[0]
-            futures.append(shards[int(s)].query.remote(
-                orders[idxs].tolist()))
-            idx_lists.append(idxs)
-        for idxs, verdicts in zip(idx_lists, ray.get(futures)):
-            mask[idxs] = verdicts
-        return mask
-
-    def admit_fn(t: pa.Table) -> pa.Table:
-        mask = _defer_mask(t)
-        d = t.filter(pa.array(mask))
-        if d.num_rows:
-            i = d.schema.get_field_index("pre_admitted")
-            d = d.set_column(i, "pre_admitted", pa.array([True] * d.num_rows))
-            _park(d, sink)
-        return t.filter(pa.array(~mask))
-
-    admitted = frontier_ds.map_batches(admit_fn,
-                                       batch_format="pyarrow").materialize()
-    return admitted, n_deferred
+    admit_task = ray.remote(num_cpus=1, num_returns=3)(_priority_admit_block)
+    trips = [admit_task.remote(shards, *grp) for grp in groups]
+    counts = ray.get([c for _, _, c in trips])
+    adm_refs = [a for (a, _, _), (na, _) in zip(trips, counts) if na]
+    defer_refs = [d for (_, d, _), (_, nd) in zip(trips, counts) if nd]
+    defer_rows = sum(nd for _, nd in counts)
+    admitted = ray.data.from_arrow_refs(adm_refs) if adm_refs \
+        else ray.data.from_arrow(UNION_SCHEMA.empty_table())
+    return admitted, n_deferred, defer_refs, defer_rows
 
 
 @dataclass
@@ -476,12 +460,11 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
 
         PrioActor = ray.remote(num_cpus=0)(PriorityShard)
         prio_shards = [PrioActor.remote() for _ in range(cfg.n_filter_shards)]
-    # next-wave frontier block owner (see _FrontierSink); block until the
-    # actor is fully started — ray.put(_owner=...) from a worker fails
-    # with "actor not alive" if it races the async actor launch
-    sink = ray.remote(num_cpus=0)(_FrontierSink).remote()
+    # current-wave candidate block owner (see _CandSink); block until the
+    # actor is fully started — ray.put(_owner=...) from a runner task
+    # fails with "actor not alive" if it races the async actor launch
     cand_sink = ray.remote(num_cpus=0)(_CandSink).remote()
-    ray.get([sink.__ray_ready__.remote(), cand_sink.__ray_ready__.remote()])
+    ray.get(cand_sink.__ray_ready__.remote())
 
     # ---- resume ----------------------------------------------------------
     ckpt = cfg.checkpoint_dir
@@ -603,13 +586,11 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
 
     verbose = bool(os.environ.get("SPATULA_RAY_WAVE_TIMING"))
 
-    def _drain_frontier(extra_refs=(), extra_rows=0):
-        """Rebuild the next wave's frontier from the sink-owned blocks
-        plus the wave's driver-owned election outputs; returns
-        (dataset, row_count) without a dataset execution."""
-        refs, n_rows = ray.get(sink.drain.remote())
-        refs = refs + list(extra_refs)
-        n_rows += extra_rows
+    def _drain_frontier(refs=(), n_rows=0):
+        """Rebuild the next wave's frontier from the wave's driver-owned
+        election/deferral output blocks; returns (dataset, row_count)
+        without a dataset execution."""
+        refs = list(refs)
         if not refs:
             return ray.data.from_arrow(UNION_SCHEMA.empty_table()), 0
         return ray.data.from_arrow_refs(refs), n_rows
@@ -628,14 +609,17 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             ray.get([s.begin_wave.remote() for s in shard_handles])
 
         n_deferred = 0
+        defer_refs: List = []
+        defer_rows = 0
         if cfg.per_host_wave_quota:
-            frontier_sel, n_deferred = _priority_select(
-                frontier_ds, cfg.per_host_wave_quota, prio_shards, sink)
+            frontier_sel, n_deferred, defer_refs, defer_rows = \
+                _priority_select(frontier_ds, cfg.per_host_wave_quota,
+                                 prio_shards, elect_width)
             if n_deferred:
                 stats.add({"priority_deferred": n_deferred})
             n -= n_deferred
             if n <= 0:
-                frontier_ds, n = _drain_frontier()
+                frontier_ds, n = _drain_frontier(defer_refs, defer_rows)
                 wave += 1
                 continue
         else:
@@ -730,12 +714,13 @@ def crawl(seeds: Sequence[Page], registry: Dict[str, type],
             docs_parts.append(emits)
             page_parts.append(pages)
 
-        # next frontier: the election tasks returned the winner blocks
-        # (driver-owned refs); quota-deferred rows sit in the sink —
-        # merge both, no third execution, counts arrive without a fetch
+        # next frontier: the election and quota-admit tasks returned the
+        # winner / deferred blocks as driver-owned refs — merge both, no
+        # extra execution, counts arrive without a fetch
         out = None  # release the union blocks
         wave_n = n
-        frontier_ds, n = _drain_frontier(win_refs, win_rows)
+        frontier_ds, n = _drain_frontier(win_refs + defer_refs,
+                                         win_rows + defer_rows)
         if verbose:
             print(f"[wave {wave}] n={wave_n} runner={t_run - tw:.2f}s "
                   f"cands={time.time() - t_run:.2f}s next={n}", flush=True)
