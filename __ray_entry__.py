@@ -1264,6 +1264,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return anchor_topk(_link_rows(sf_dir), k=3)
 
+    def outlink_diversity_q(sf_dir):
+        from spatula_ray.stages.graph import outlink_diversity
+
+        return outlink_diversity(_link_rows(sf_dir))
+
     def host_rank_q(sf_dir):
         import pyarrow as pa
 
@@ -2503,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filters": c4_line_filters_q,
         "dedup_within_doc": dedup_within_doc_q,
         "token_budget_select": token_budget_select_q,
+        "outlink_diversity": outlink_diversity_q,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -5303,6 +5309,35 @@ SELECT lower(regexp_extract(src_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1
        CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
 FROM links
 GROUP BY src_host, dst_host
+"""
+
+    # outlink diversity: per src page the total / distinct-host /
+    # external outbound-link counts and the exact micro-unit external
+    # fraction (integer operands through one IEEE divide — identical in
+    # numpy and DuckDB).
+    sql["outlink_diversity"] = """
+WITH """ + _LINKS_CTE + """,
+h AS (
+  SELECT src_url,
+         lower(regexp_extract(src_url,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS src_host,
+         lower(regexp_extract(dst_url,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS dst_host
+  FROM links
+),
+agg AS (
+  SELECT src_url,
+         CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT dst_host) AS BIGINT) AS n_hosts,
+         CAST(sum(CASE WHEN dst_host <> src_host THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_external
+  FROM h WHERE src_host <> '' AND dst_host <> ''
+  GROUP BY src_url
+)
+SELECT src_url, n_links, n_hosts, n_external,
+       CAST(floor(n_external * 1000000 / n_links + 0.5) AS BIGINT)
+         AS external_micro
+FROM agg
 """
 
     # crawler-trap hosts: the oracle reconstructs the per-URL depth /
