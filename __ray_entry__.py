@@ -1269,6 +1269,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return outlink_diversity(_link_rows(sf_dir))
 
+    def crawl_budget_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from ray.data.aggregate import Sum
+        from spatula_ray.stages.ingest import crawl_budget_allocation
+
+        # fixture: 97 hosts, per-doc weight contribution doc_id%13+1
+        # (so host weights differ and several quotas land on rounding
+        # boundaries); budget 10^7 pages for the next epoch
+        def mk(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            host = np.char.add(
+                np.char.add("h", np.char.zfill((d % 97).astype("U2"), 3)),
+                ".test")
+            return pa.table({
+                "host": pa.array(host),
+                "w": pa.array(d % 13 + 1)})
+
+        per_host = (_docs(sf_dir, ["doc_id"])
+                    .map_batches(mk, batch_format="pyarrow")
+                    .groupby("host")
+                    .aggregate(Sum("w", alias_name="weight")))
+        return crawl_budget_allocation(per_host, budget=10_000_000)
+
     def host_rank_q(sf_dir):
         import pyarrow as pa
 
@@ -2509,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_within_doc": dedup_within_doc_q,
         "token_budget_select": token_budget_select_q,
         "outlink_diversity": outlink_diversity_q,
+        "crawl_budget_allocation": crawl_budget_q,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -5338,6 +5365,26 @@ SELECT src_url, n_links, n_hosts, n_external,
        CAST(floor(n_external * 1000000 / n_links + 0.5) AS BIGINT)
          AS external_micro
 FROM agg
+"""
+
+    # crawl budget allocation: cumulative-quota proportional split —
+    # integer floor-div jump points over the host-ascending cumulative
+    # weight; HUGEINT window sum in DuckDB, int64 (range-checked) in the
+    # engine; sums to exactly B by telescoping.
+    sql["crawl_budget_allocation"] = """
+WITH w AS (
+  SELECT 'h' || lpad(CAST(doc_id % 97 AS VARCHAR), 3, '0') || '.test'
+           AS host,
+         CAST(sum(doc_id % 13 + 1) AS BIGINT) AS weight
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(weight) AS W FROM w),
+c AS (SELECT host, weight,
+        sum(weight) OVER (ORDER BY host ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w)
+SELECT host, weight,
+       CAST(cw * 10000000 // W - (cw - weight) * 10000000 // W AS BIGINT)
+         AS budget
+FROM c, tot
 """
 
     # crawler-trap hosts: the oracle reconstructs the per-URL depth /

@@ -747,6 +747,87 @@ def rendezvous_shards(urls, n_old: int = 8, n_new: int = 9,
     return urls.map_batches(assign, batch_format="pyarrow")
 
 
+def crawl_budget_allocation(hosts, budget: int,
+                            host_col: str = "host",
+                            weight_col: str = "weight"):
+    """Proportional per-host crawl-budget split — the planning step
+    between host ranking and the next crawl epoch (per-host page quotas
+    ∝ host rank are the standard freshness/quality budget policy; cf.
+    Cho & Garcia-Molina VLDB'00 on crawl ordering). Given ``(host,
+    weight)`` rows (weight = host-rank micro value, page count, or any
+    non-negative integer score) and a total page ``budget`` B, emit
+    ``(host, weight, budget)`` integer quotas that sum to EXACTLY B.
+
+    Rounding is the cumulative-quota (Webster/jump-point) scheme:
+    with hosts in a fixed total order (host ascending) and cumulative
+    weight ``C_i``, ``budget_i = floor(C_i*B/W) - floor(C_{i-1}*B/W)``
+    — each host gets within 1 page of its exact share ``w_i*B/W``, the
+    total telescopes to exactly B, and everything is integer floor-div,
+    so the DuckDB oracle reproduces it bit-for-bit. Hosts are assumed
+    ASCII (URL authorities are punycode), so byte order == SQL order.
+
+    Scale shape: the same two-pass distributed prefix sum as
+    :func:`curate.pack_sequences`, with an ORDER-PRESERVING partition
+    key (the host's first two bytes → 64Ki buckets): per-bucket weight
+    totals via groupby-sum (the driver scans one row per bucket, never
+    per host), then one vectorized per-bucket kernel adds the bucket's
+    exclusive offset and emits the quota differences. Weights shuffle
+    once as (host, int) rows. Integer-range contract (the pagerank
+    SCALE convention): ``total_weight * budget`` must stay below 2**63
+    — rescale weights down first at the regime where 10^8 hosts of
+    10^12 micro-weights meet a 10^10-page budget."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def key_bucket(t: pa.Table) -> pa.Table:
+        h = pc.cast(t[host_col], pa.string())
+        w = pc.cast(t[weight_col], pa.int64())
+        # order-preserving 2-char prefix key (vectorized): bucket(a) <=
+        # bucket(b) whenever a <= b, so bucket-ascending +
+        # host-ascending within bucket IS the global host order
+        pad = pc.binary_join_element_wise(h, "\x00\x00", "")
+        pref = pc.utf8_slice_codeunits(pad, 0, 2)
+        return pa.table({host_col: h, weight_col: w, "__bucket": pref})
+
+    keyed = hosts.map_batches(key_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = keyed.groupby("__bucket").aggregate(
+        Sum(weight_col, alias_name="w")).take_all()
+    per_bucket.sort(key=lambda r: r["__bucket"])
+    offsets = {}
+    run = 0
+    for r in per_bucket:
+        offsets[r["__bucket"]] = run
+        run += r["w"]
+    total = run
+    if total <= 0:
+        raise ValueError("crawl_budget_allocation: total weight must be > 0")
+    if total * budget >= 2**63:
+        raise ValueError(
+            "crawl_budget_allocation: total_weight * budget >= 2**63 — "
+            "rescale weights (integer floor-div range contract)")
+
+    def alloc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(host_col, kind="mergesort")
+        w = g[weight_col].to_numpy().astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("crawl_budget_allocation: negative weight")
+        base = offsets[g["__bucket"].iloc[0]]
+        cw = base + np.cumsum(w)
+        hi = (cw * budget) // total
+        lo = ((cw - w) * budget) // total
+        return pd.DataFrame({
+            host_col: g[host_col].to_numpy(),
+            weight_col: w,
+            "budget": (hi - lo).astype(np.int64)})
+
+    return keyed.groupby("__bucket").map_groups(alloc,
+                                                batch_format="pandas")
+
+
 class SitemapIndexParse:
     """Actor-pool stage: ``<sitemapindex>`` bodies -> one row per child
     ``<sitemap>`` entry: ``(host, sitemap_url, lastmod)`` — the

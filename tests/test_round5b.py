@@ -44,3 +44,62 @@ def test_outlink_diversity_counts_and_fraction():
     assert "https://a.test/p3" not in out.index
     p4 = out.loc["https://A.test/p4"]
     assert (p4.n_links, p4.n_external) == (1, 0)
+
+
+def _hosts_ds(pairs):
+    return ray.data.from_arrow(pa.table({
+        "host": pa.array([p[0] for p in pairs], type=pa.string()),
+        "weight": pa.array([p[1] for p in pairs], type=pa.int64()),
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_budget_allocation_exact_sum_and_shares():
+    from spatula_ray.stages.ingest import crawl_budget_allocation
+
+    rng = np.random.RandomState(7)
+    pairs = [("h%04d.example" % i, int(rng.randint(0, 500)))
+             for i in range(300)]
+    pairs[17] = (pairs[17][0], 0)          # zero-weight host -> 0 pages
+    budget = 12345
+    out = crawl_budget_allocation(_hosts_ds(pairs), budget=budget) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    assert len(out) == 300
+    assert out["budget"].sum() == budget   # telescoping exact total
+    total = out["weight"].sum()
+    share = out["weight"].to_numpy() * budget / total
+    assert (np.abs(out["budget"].to_numpy() - share) < 1.0).all()
+    assert out.set_index("host").loc["h0017.example", "budget"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_budget_allocation_matches_single_pass():
+    """The two-pass distributed prefix sum must equal a single-process
+    cumulative-quota computation over the host-ascending order."""
+    from spatula_ray.stages.ingest import crawl_budget_allocation
+
+    # hosts spanning many 2-char prefix buckets, incl. 1-char host
+    pairs = [("a", 5), ("ab.test", 3), ("b.test", 11), ("ba.x", 2),
+             ("zz.test", 7), ("m.example", 1)]
+    budget = 17
+    out = crawl_budget_allocation(_hosts_ds(pairs), budget=budget) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    hosts = sorted(p[0] for p in pairs)
+    w = {h: dict(pairs)[h] for h in hosts}
+    total = sum(w.values())
+    cw, expect = 0, {}
+    for h in hosts:
+        lo = (cw * budget) // total
+        cw += w[h]
+        expect[h] = (cw * budget) // total - lo
+    got = dict(zip(out["host"], out["budget"]))
+    assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_budget_allocation_range_contract():
+    from spatula_ray.stages.ingest import crawl_budget_allocation
+
+    ds = _hosts_ds([("a.test", 2**40), ("b.test", 2**40)])
+    with pytest.raises(ValueError, match="2\\*\\*63"):
+        crawl_budget_allocation(ds, budget=2**23).to_pandas()
