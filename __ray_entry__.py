@@ -423,6 +423,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def pq_topk(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.ioutil import read_parquet_clean
+
+        q, qids = _query_vectors(sf_dir)
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        out = sim.pq_ann_topk(ds, q, k=_TOPK, m=16, n_cells=16, iters=3)
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = [qids[i] for i in t["query_id"].to_pylist()]
+            return t.set_column(t.schema.get_field_index("query_id"),
+                                "query_id", pa.array(mapped, type=pa.int64()))
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
     def repetition_stats(sf_dir):
         from spatula_ray.stages.curate import RepetitionStats
 
@@ -966,7 +983,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "small results" case, not a corpus materialization.
         ex = ann_topk(sf_dir).to_pandas()
         rows = []
-        for method, fn in (("lsh", lsh_topk), ("ivf", ivf_topk)):
+        for method, fn in (("lsh", lsh_topk), ("ivf", ivf_topk),
+                           ("pq", pq_topk)):
             ap = fn(sf_dir).to_pandas()
             m = ex.merge(ap, on=["query_id", "vec_id"], how="left",
                          indicator=True)
@@ -2536,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": token_budget_select_q,
         "outlink_diversity": outlink_diversity_q,
         "crawl_budget_allocation": crawl_budget_q,
+        "pq_ann_topk": pq_topk,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -2710,6 +2729,95 @@ SELECT query_id, vec_id, floor(s * 1e5 + 0.5) / 1e5 AS score
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
         <= {_TOPK}
+""")
+    return "".join(parts)
+
+
+def _pq_oracle_sql(m: int = 16, n_cells: int = 16, iters: int = 3,
+                   sample: int = 2048, q_scale: int = 1000,
+                   dim: int = 64) -> str:
+    """Exact mirror of stages/similarity.py ``pq_codebooks`` +
+    ``pq_ann_topk``: per subspace, the L2 Lloyd iterations are unrolled
+    as their own CTE chain (the ``_ivf_oracle_sql`` construction, with
+    the PQ variations): assignment orders by the reduced integer L2
+    ``ip(c,c) - 2*ip(x,c)`` (the |x|^2 term cancels inside an argmin),
+    ties -> lowest cell; the update is the per-dim rounded mean
+    ``floor(sum/count + 0.5)`` — one IEEE divide of exact integers,
+    bit-identical across numpy and DuckDB. The ADC score is a pure
+    integer sum of per-subspace inner products, so the final top-k
+    needs no float snapping at all."""
+    dsub = dim // m
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xi AS (SELECT vec_id,
+              list_transform(v, x -> floor(x * {q_scale}.0 + 0.5)) AS xv
+       FROM e),
+samp AS (SELECT vec_id, xv, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         FROM xi ORDER BY vec_id LIMIT {sample}),
+sc AS (SELECT count(*) AS s FROM samp)"""]
+    for sub in range(m):
+        lo, hi = sub * dsub + 1, (sub + 1) * dsub
+        sl = f"xv[{lo}:{hi}]"
+        red = (f"list_inner_product(c.cv, c.cv) "
+               f"- 2 * list_inner_product({{x}}.{sl}, c.cv)")
+        parts.append(f""",
+p{sub}c0 AS (
+  SELECT j.j AS cell, s.{sl} AS cv
+  FROM generate_series(0, {n_cells - 1}) j(j), sc, samp s
+  WHERE s.rn = (j.j * sc.s) // {n_cells}
+)""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+p{sub}a{t} AS (
+  SELECT s.rn, s.{sl} AS xs, c.cell,
+         row_number() OVER (PARTITION BY s.rn
+             ORDER BY {red.format(x='s')}, c.cell) AS rk
+  FROM samp s CROSS JOIN p{sub}c{t - 1} c
+),
+p{sub}v{t} AS (
+  SELECT cell, list(nv ORDER BY d) AS cv FROM (
+    SELECT cell, d, floor(sum(val) / count(*) + 0.5) AS nv
+    FROM (SELECT cell, unnest(xs) AS val,
+                 unnest(generate_series(1, len(xs))) AS d
+          FROM p{sub}a{t} WHERE rk = 1)
+    GROUP BY cell, d)
+  GROUP BY cell
+),
+p{sub}c{t} AS (
+  SELECT p.cell, COALESCE(v.cv, p.cv) AS cv
+  FROM p{sub}c{t - 1} p LEFT JOIN p{sub}v{t} v USING (cell)
+)""")
+        parts.append(f""",
+code{sub} AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {red.format(x='x')}, c.cell) AS rk
+    FROM xi x CROSS JOIN p{sub}c{iters} c) WHERE rk = 1
+)""")
+    code_joins = "\n".join(
+        f"  JOIN code{s} cd{s} ON cd{s}.vec_id = cd0.vec_id"
+        for s in range(1, m))
+    cent_joins = "\n".join(
+        f"  JOIN p{s}c{iters} f{s} ON f{s}.cell = cd{s}.cell"
+        for s in range(m))
+    adc = " + ".join(
+        f"list_inner_product(qx.xv[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"f{s}.cv)" for s in range(m))
+    parts.append(f""",
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id
+      LIMIT {_N_QUERIES}),
+score AS (
+  SELECT q.query_id, cd0.vec_id, {adc} AS adc
+  FROM q
+  JOIN xi qx ON qx.vec_id = q.query_id
+  CROSS JOIN code0 cd0
+{code_joins}
+{cent_joins}
+)
+SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_score FROM score
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc DESC, vec_id) <= {_TOPK}
 """)
     return "".join(parts)
 
@@ -4914,6 +5022,7 @@ ORDER BY f.doc_id
     # IVF ANN: integer-grid k-means training unrolled as a CTE chain —
     # bit-exact mirror of the engine's quantized trainer (see helper)
     sql["ivf_ann_topk"] = _ivf_oracle_sql()
+    sql["pq_ann_topk"] = _pq_oracle_sql()
     # SemDeDup: same k-means prefix + integer-exact within-cell pairwise
     sql["semdedup"] = _semdedup_oracle_sql()
     # cell-bounded exact k-NN graph: same k-means prefix, top-k ranking
@@ -6171,6 +6280,7 @@ GROUP BY n.doc_id
 WITH e AS ({sql["ann_topk"]}),
 l AS ({sql["lsh_ann_topk"]}),
 i AS ({sql["ivf_ann_topk"]}),
+p AS ({sql["pq_ann_topk"]}),
 lr AS (SELECT e.query_id, 'lsh' AS method, count(l.vec_id) AS hits
        FROM e LEFT JOIN l
          ON l.query_id = e.query_id AND l.vec_id = e.vec_id
@@ -6178,10 +6288,15 @@ lr AS (SELECT e.query_id, 'lsh' AS method, count(l.vec_id) AS hits
 ir AS (SELECT e.query_id, 'ivf' AS method, count(i.vec_id) AS hits
        FROM e LEFT JOIN i
          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+       GROUP BY 1),
+pr AS (SELECT e.query_id, 'pq' AS method, count(p.vec_id) AS hits
+       FROM e LEFT JOIN p
+         ON p.query_id = e.query_id AND p.vec_id = e.vec_id
        GROUP BY 1)
 SELECT query_id, method,
        CAST(hits * 1000000 // {_TOPK} AS BIGINT) AS recall_micro
-FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir)
+FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir
+      UNION ALL SELECT * FROM pr)
 """
 
     # C4 line filters over the 6-word-line fixture: identical line

@@ -476,6 +476,142 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
                                                batch_format="pandas")
 
 
+# -- Product quantization ANN --------------------------------------------------
+
+
+def pq_codebooks(ds, m: int = 4, n_cells: int = 16, sample: int = 2048,
+                 iters: int = 3, q_scale: int = 1000,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+    """PQ training (Jégou et al. TPAMI'11 §II): split the vector into
+    ``m`` equal subspaces and run an independent small k-means in each;
+    a vector is then stored as ``m`` uint8 cell codes — 8 bytes instead
+    of ``dim*4`` (the 100 TB ANN memory story: a 10^10-vector corpus of
+    64-dim floats is 2.5 TB of codes instead of 2.5 PB of floats, and the
+    codebooks are ``m * n_cells * dsub`` ints broadcast once).
+
+    Same reproducibility construction as :func:`kmeans_centroids`
+    (the proven integer-grid playbook), with L2 semantics per subspace:
+    sample = first ``sample`` rows by ``id_col``; init = sample rows at
+    positions ``j*S//n_cells`` (sliced); assignment = argmin of the
+    *integer* reduced L2 ``ip(c,c) - 2*ip(x,c)`` (the ``|x|^2`` term
+    cancels inside an argmin), ties -> lowest cell; update = the
+    per-dim ROUNDED MEAN ``floor(sum/count + 0.5)`` — one IEEE divide
+    of exact integers, bit-identical in DuckDB. Returns a list of m
+    int64 arrays of shape (n_cells, dim//m)."""
+    rows = ds.select_columns([id_col, emb_col]).limit(sample).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    mat = np.asarray([list(r[emb_col]) for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    xi = _quantize(mat, q_scale)
+    s = len(xi)
+    books = []
+    for sub in range(m):
+        xs = xi[:, sub * dsub:(sub + 1) * dsub]
+        cents = np.stack([xs[(j * s) // n_cells].astype(np.int64)
+                          for j in range(n_cells)])
+        for _ in range(iters):
+            red = (cents * cents).sum(axis=1)[None, :] - 2 * (xs @ cents.T)
+            assign = np.argmin(red, axis=1)      # ties -> lowest cell
+            new_c = cents.copy()
+            for c in range(n_cells):
+                members = xs[assign == c]
+                if len(members):
+                    new_c[c] = np.floor(
+                        members.sum(axis=0) / len(members) + 0.5) \
+                        .astype(np.int64)
+            cents = new_c
+        books.append(cents)
+    return books
+
+
+class _ADCScorer:
+    """map_batches actor for PQ ANN: holds the codebooks and each query's
+    per-subspace lookup table (LUT[s][q, cell] = integer inner product of
+    the query's subvector with that cell centroid); per batch encodes the
+    rows to PQ codes and emits each query's partial top-k by asymmetric
+    distance (ADC) score. Integer end to end."""
+
+    def __init__(self, books, luts, k: int, q_scale: int):
+        self.books = [np.asarray(b, dtype=np.int64) for b in books]
+        self.luts = [np.asarray(l, dtype=np.int64) for l in luts]
+        self.k = k
+        self.q_scale = q_scale
+        self.dsub = self.books[0].shape[1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "adc_score": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = _int_col(batch["vec_id"])
+        xi = _quantize(_list_col_to_matrix(batch["embedding"]),
+                       self.q_scale)
+        nq = self.luts[0].shape[0]
+        scores = np.zeros((nq, len(ids)), dtype=np.int64)
+        for sub, (cents, lut) in enumerate(zip(self.books, self.luts)):
+            xs = xi[:, sub * self.dsub:(sub + 1) * self.dsub]
+            red = (cents * cents).sum(axis=1)[None, :] - 2 * (xs @ cents.T)
+            codes = np.argmin(red, axis=1)
+            scores += lut[:, codes]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            order = np.lexsort((ids, -scores[qi]))[:self.k]
+            out_q.extend([qi] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(scores[qi][order].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "adc_score": pa.array(out_s, type=pa.int64())})
+
+
+def pq_ann_topk(ds, queries: np.ndarray, k: int = 10, m: int = 4,
+                n_cells: int = 16, sample: int = 2048, iters: int = 3,
+                q_scale: int = 1000, concurrency: int = 2):
+    """PQ/ADC approximate top-k (Jégou et al. TPAMI'11 §III): corpus
+    vectors are PQ-encoded on the fly (m small argmin matmuls per batch);
+    each query precomputes one integer LUT per subspace and scores a
+    vector as ``sum_s LUT[s][code_s(v)]`` — the asymmetric distance
+    approximation of the inner product. Exhaustive-ADC variant (every
+    vector is scored from its 8-byte code; compose with the IVF cell
+    routing of :func:`ivf_ann_topk` for the nprobe-pruned variant).
+
+    Distributed shape: codebooks+LUTs broadcast once in the actor pool's
+    ``__init__``; per-batch partial top-k; one tiny groupby(query_id)
+    reduce. Scores are exact int64 (ties -> vec_id asc), so the DuckDB
+    oracle unrolling the same per-subspace Lloyd chains is bit-identical
+    — no float snapping needed. Validated additionally by a recall test
+    against :func:`topk_cosine`."""
+    import pandas as pd
+
+    q = np.asarray(queries, dtype=np.float64)
+    books = pq_codebooks(ds, m=m, n_cells=n_cells, sample=sample,
+                         iters=iters, q_scale=q_scale)
+    dsub = books[0].shape[1]
+    qi_mat = _quantize(q, q_scale)
+    luts = [qi_mat[:, sub * dsub:(sub + 1) * dsub] @ books[sub].T
+            for sub in range(m)]
+
+    cand = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _ADCScorer,
+        fn_constructor_kwargs=dict(books=books, luts=luts, k=k,
+                                   q_scale=q_scale),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
+        max_restarts=0)
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_score", "vec_id"],
+                          ascending=[False, True]).head(k)
+        g["adc_score"] = g["adc_score"].astype("int64")
+        return g
+
+    return cand.groupby("query_id").map_groups(reduce_group,
+                                               batch_format="pandas")
+
+
 # -- SemDeDup: semantic dedup over k-means cells -------------------------------
 
 

@@ -103,3 +103,57 @@ def test_crawl_budget_allocation_range_contract():
     ds = _hosts_ds([("a.test", 2**40), ("b.test", 2**40)])
     with pytest.raises(ValueError, match="2\\*\\*63"):
         crawl_budget_allocation(ds, budget=2**23).to_pandas()
+
+
+def _emb_ds(mat):
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_ann_topk_finds_exact_duplicate_first():
+    from spatula_ray.stages.similarity import pq_ann_topk
+
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((200, 16))
+    mat[150] = mat[40]                      # exact duplicate pair
+    out = pq_ann_topk(_emb_ds(mat), queries=mat[[40]], k=3, m=4,
+                      n_cells=8, sample=200).to_pandas()
+    top = out.sort_values(["adc_score", "vec_id"],
+                          ascending=[False, True])
+    # identical vectors share identical codes -> identical (max) ADC
+    # score; vec_id tie-break puts 40 then 150 first
+    assert list(top["vec_id"].head(2)) == [40, 150]
+    assert top["adc_score"].iloc[0] == top["adc_score"].iloc[1]
+    assert out["adc_score"].dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_ann_topk_respects_cluster_structure():
+    """On well-separated clusters, every PQ neighbor must come from the
+    query's own cluster (the coarse quantization PQ guarantees; exact
+    rank WITHIN a tight cluster is beyond any 8-byte code)."""
+    from spatula_ray.stages.similarity import pq_ann_topk
+
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((4, 32)) * 10
+    mat = np.vstack([c + rng.standard_normal((25, 32)) * 0.1
+                     for c in centers])
+    q = mat[[0, 30, 60]]
+    pq = pq_ann_topk(_emb_ds(mat), q, k=10, m=8, n_cells=8,
+                     sample=100).to_pandas()
+    for qi, qvec in enumerate([0, 30, 60]):
+        cluster = set(range((qvec // 25) * 25, (qvec // 25) * 25 + 25))
+        got = set(pq[pq.query_id == qi].vec_id)
+        assert len(got) == 10 and got <= cluster
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_codebooks_rejects_indivisible_dim():
+    from spatula_ray.stages.similarity import pq_codebooks
+
+    mat = np.ones((10, 10))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(_emb_ds(mat), m=4, sample=10)
