@@ -440,6 +440,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def ivfadc_topk(sf_dir):
+        import pyarrow as pa
+
+        from spatula_ray.ioutil import read_parquet_clean
+
+        q, qids = _query_vectors(sf_dir)
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        out = sim.ivfadc_ann_topk(ds, q, k=_TOPK)
+
+        def remap(t: pa.Table) -> pa.Table:
+            mapped = [qids[i] for i in t["query_id"].to_pylist()]
+            return t.set_column(t.schema.get_field_index("query_id"),
+                                "query_id", pa.array(mapped, type=pa.int64()))
+
+        return out.map_batches(remap, batch_format="pyarrow")
+
     def repetition_stats(sf_dir):
         from spatula_ray.stages.curate import RepetitionStats
 
@@ -2555,6 +2572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlink_diversity": outlink_diversity_q,
         "crawl_budget_allocation": crawl_budget_q,
         "pq_ann_topk": pq_topk,
+        "ivfadc_ann_topk": ivfadc_topk,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -2812,6 +2830,115 @@ score AS (
   FROM q
   JOIN xi qx ON qx.vec_id = q.query_id
   CROSS JOIN code0 cd0
+{code_joins}
+{cent_joins}
+)
+SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_score FROM score
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc DESC, vec_id) <= {_TOPK}
+""")
+    return "".join(parts)
+
+
+def _ivfadc_oracle_sql(n_coarse: int = 16, coarse_iters: int = 5,
+                       nprobe: int = 4, m: int = 16, n_cells: int = 16,
+                       pq_iters: int = 3, sample: int = 2048,
+                       q_scale: int = 1000, dim: int = 64) -> str:
+    """Exact mirror of stages/similarity.py ``ivfadc_ann_topk``: the
+    shared coarse k-means prefix (``_kmeans_cells_prefix`` — spherical,
+    IP argmax) assigns every vector a coarse cell; residuals are
+    integer differences (exact by construction); the per-subspace
+    residual Lloyd chains reuse the ``_pq_oracle_sql`` construction
+    (reduced-L2 argmin, rounded-mean update); scores are pure int64
+    sums, so no float snapping anywhere."""
+    dsub = dim // m
+    parts = [_kmeans_cells_prefix(n_coarse, coarse_iters, sample, q_scale)]
+    # MATERIALIZED: every per-subspace chain references these; DuckDB's
+    # default CTE inlining would otherwise replay the whole coarse chain
+    # (and its parquet scan) once per reference — 16 subspaces deep that
+    # exhausts file handles before it exhausts patience
+    parts.append(""",
+rsamp AS MATERIALIZED (
+  SELECT s.rn,
+         list_transform(generate_series(1, len(s.xv)),
+                        i -> s.xv[i] - cf.cv[i]) AS rv
+  FROM samp s JOIN cells cl ON cl.vec_id = s.vec_id
+  JOIN cfin cf ON cf.cell = cl.cell
+),
+resid AS MATERIALIZED (
+  SELECT x.vec_id, cl.cell AS ccell,
+         list_transform(generate_series(1, len(x.xv)),
+                        i -> x.xv[i] - cf.cv[i]) AS rv
+  FROM xi x JOIN cells cl USING (vec_id)
+  JOIN cfin cf ON cf.cell = cl.cell
+)""")
+    for sub in range(m):
+        lo, hi = sub * dsub + 1, (sub + 1) * dsub
+        sl = f"rv[{lo}:{hi}]"
+        red = (f"list_inner_product(c.cv, c.cv) "
+               f"- 2 * list_inner_product({{x}}.{sl}, c.cv)")
+        parts.append(f""",
+r{sub}c0 AS (
+  SELECT j.j AS cell, s.{sl} AS cv
+  FROM generate_series(0, {n_cells - 1}) j(j), sc, rsamp s
+  WHERE s.rn = (j.j * sc.s) // {n_cells}
+)""")
+        for t in range(1, pq_iters + 1):
+            parts.append(f""",
+r{sub}a{t} AS (
+  SELECT s.rn, s.{sl} AS xs, c.cell,
+         row_number() OVER (PARTITION BY s.rn
+             ORDER BY {red.format(x='s')}, c.cell) AS rk
+  FROM rsamp s CROSS JOIN r{sub}c{t - 1} c
+),
+r{sub}v{t} AS (
+  SELECT cell, list(nv ORDER BY d) AS cv FROM (
+    SELECT cell, d, floor(sum(val) / count(*) + 0.5) AS nv
+    FROM (SELECT cell, unnest(xs) AS val,
+                 unnest(generate_series(1, len(xs))) AS d
+          FROM r{sub}a{t} WHERE rk = 1)
+    GROUP BY cell, d)
+  GROUP BY cell
+),
+r{sub}c{t} AS (
+  SELECT p.cell, COALESCE(v.cv, p.cv) AS cv
+  FROM r{sub}c{t - 1} p LEFT JOIN r{sub}v{t} v USING (cell)
+)""")
+        parts.append(f""",
+rcode{sub} AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {red.format(x='x')}, c.cell) AS rk
+    FROM resid x CROSS JOIN r{sub}c{pq_iters} c) WHERE rk = 1
+)""")
+    code_joins = "\n".join(
+        f"  JOIN rcode{s} cd{s} ON cd{s}.vec_id = r.vec_id"
+        for s in range(m))
+    cent_joins = "\n".join(
+        f"  JOIN r{s}c{pq_iters} f{s} ON f{s}.cell = cd{s}.cell"
+        for s in range(m))
+    adc = " + ".join(
+        f"list_inner_product(qx.xv[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"f{s}.cv)" for s in range(m))
+    parts.append(f""",
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id
+      LIMIT {_N_QUERIES}),
+qprob AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_inner_product(x.xv, c.cv) DESC, c.cell) AS rk
+    FROM q JOIN xi x ON x.vec_id = q.query_id CROSS JOIN cfin c)
+  WHERE rk <= {nprobe}
+),
+score AS (
+  SELECT p.query_id, r.vec_id,
+         list_inner_product(qx.xv, cf.cv) + {adc} AS adc
+  FROM qprob p
+  JOIN resid r ON r.ccell = p.cell
+  JOIN xi qx ON qx.vec_id = p.query_id
+  JOIN cfin cf ON cf.cell = r.ccell
 {code_joins}
 {cent_joins}
 )
@@ -5023,6 +5150,7 @@ ORDER BY f.doc_id
     # bit-exact mirror of the engine's quantized trainer (see helper)
     sql["ivf_ann_topk"] = _ivf_oracle_sql()
     sql["pq_ann_topk"] = _pq_oracle_sql()
+    sql["ivfadc_ann_topk"] = _ivfadc_oracle_sql()
     # SemDeDup: same k-means prefix + integer-exact within-cell pairwise
     sql["semdedup"] = _semdedup_oracle_sql()
     # cell-bounded exact k-NN graph: same k-means prefix, top-k ranking

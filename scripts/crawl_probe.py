@@ -30,8 +30,12 @@ def main():
     t0 = time.time()
     res = crawl(spider_seeds(spec["n_hosts"]), build_registry(SpiderPage),
                 FormulaResolverFactory(**spec),
-                CrawlConfig(dedup="cuckoo", n_filter_shards=8, n_gates=4,
-                            filter_capacity=1 << 21,
+                CrawlConfig(dedup="cuckoo",
+                            n_filter_shards=int(os.environ.get(
+                                "PROBE_SHARDS", "8")),
+                            n_gates=int(os.environ.get("PROBE_GATES", "4")),
+                            filter_capacity=1 << int(os.environ.get(
+                                "PROBE_CAP_BITS", "21")),
                             batch_size=int(os.environ.get("PROBE_BATCH",
                                                           "1024")),
                             min_parallelism=ncpu))

@@ -151,6 +151,44 @@ def test_pq_ann_topk_respects_cluster_structure():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivfadc_ann_topk_finds_duplicate_and_prunes():
+    """The query's exact duplicate shares coarse cell + residual codes,
+    so it ties the query itself at the max ADC score; and every result
+    must come from a probed coarse cell (the pruning contract)."""
+    from spatula_ray.stages.similarity import ivfadc_ann_topk
+
+    rng = np.random.RandomState(21)
+    mat = rng.standard_normal((240, 16))
+    mat[200] = mat[60]
+    out = ivfadc_ann_topk(_emb_ds(mat), queries=mat[[60]], k=5,
+                          n_coarse=8, nprobe=3, m=4, n_cells=8,
+                          sample=240).to_pandas()
+    top = out.sort_values(["adc_score", "vec_id"],
+                          ascending=[False, True])
+    assert list(top["vec_id"].head(2)) == [60, 200]
+    assert top["adc_score"].iloc[0] == top["adc_score"].iloc[1]
+    assert out["adc_score"].dtype == np.int64
+    assert len(out) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfadc_respects_cluster_structure():
+    from spatula_ray.stages.similarity import ivfadc_ann_topk
+
+    rng = np.random.RandomState(23)
+    centers = rng.standard_normal((4, 32)) * 10
+    mat = np.vstack([c + rng.standard_normal((25, 32)) * 0.1
+                     for c in centers])
+    q = mat[[0, 30, 60]]
+    out = ivfadc_ann_topk(_emb_ds(mat), q, k=10, n_coarse=4, nprobe=1,
+                          m=8, n_cells=8, sample=100).to_pandas()
+    for qi, qvec in enumerate([0, 30, 60]):
+        cluster = set(range((qvec // 25) * 25, (qvec // 25) * 25 + 25))
+        got = set(out[out.query_id == qi].vec_id)
+        assert len(got) == 10 and got <= cluster
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pq_codebooks_rejects_indivisible_dim():
     from spatula_ray.stages.similarity import pq_codebooks
 
