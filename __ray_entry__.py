@@ -1260,6 +1260,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             snap_rows, batch_format="pyarrow")
         return recrawl_priority(snaps)
 
+    def recrawl_budget_q(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from spatula_ray.stages.ingest import crawl_budget_allocation
+
+        # composition: the recrawl_priority change-rate estimates become
+        # the allocation weights for the next epoch's 10^6 fetch slots —
+        # the Cho & Garcia-Molina freshness-budget policy. Sentinel map
+        # (documented policy, mirrored in SQL): lam=-2 (never observed
+        # twice) -> weight 1 (minimal probe); lam=-1 (changed EVERY
+        # interval) -> 2,000,000 (a cap above any finite lam_micro,
+        # whose max here is ln(3)*1e6); else lam_micro + 1 (>0).
+        pri = recrawl_priority_q(sf_dir)
+
+        def weigh(t: pa.Table) -> pa.Table:
+            lam = t["lam_micro"]
+            w = pc.if_else(pc.equal(lam, -2), pa.scalar(1, pa.int64()),
+                           pc.if_else(pc.equal(lam, -1),
+                                      pa.scalar(2_000_000, pa.int64()),
+                                      pc.add(lam, 1)))
+            return pa.table({"url": t["url"], "weight": w})
+
+        per_url = pri.map_batches(weigh, batch_format="pyarrow")
+        return crawl_budget_allocation(per_url, budget=1_000_000,
+                                       host_col="url")
+
     def _link_rows(sf_dir):
         """Shared page-level link fixture for the link-graph queries:
         per document d (host ``h(d%10).test``, path ``/p/d``) three
@@ -2573,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_allocation": crawl_budget_q,
         "pq_ann_topk": pq_topk,
         "ivfadc_ann_topk": ivfadc_topk,
+        "recrawl_budget": recrawl_budget_q,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -5620,6 +5648,27 @@ c AS (SELECT host, weight,
       FROM w)
 SELECT host, weight,
        CAST(cw * 10000000 // W - (cw - weight) * 10000000 // W AS BIGINT)
+         AS budget
+FROM c, tot
+"""
+
+    # freshness-weighted recrawl allocation: the recrawl_priority CTE's
+    # lam_micro becomes the cumulative-quota weight (sentinel map in the
+    # engine docstring), then the same jump-point floor-div split.
+    sql["recrawl_budget"] = f"""
+WITH pri AS ({sql["recrawl_priority"]}),
+w AS (
+  SELECT url,
+         CASE WHEN lam_micro = -2 THEN CAST(1 AS BIGINT)
+              WHEN lam_micro = -1 THEN CAST(2000000 AS BIGINT)
+              ELSE lam_micro + 1 END AS weight
+  FROM pri),
+tot AS (SELECT sum(weight) AS W FROM w),
+c AS (SELECT url, weight,
+        sum(weight) OVER (ORDER BY url ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w)
+SELECT url, weight,
+       CAST(cw * 1000000 // W - (cw - weight) * 1000000 // W AS BIGINT)
          AS budget
 FROM c, tot
 """
