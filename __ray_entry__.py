@@ -1287,6 +1287,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return crawl_budget_allocation(per_url, budget=1_000_000,
                                        host_col="url")
 
+    def politeness_budget_q(sf_dir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # the planning step after quota allocation: clamp each host's
+        # allocated pages to what its crawl-delay actually permits in
+        # the epoch (capacity = epoch_sec // delay; the parse_robots
+        # crawl_delay rows reduce to this per-host delay table — the
+        # fixture synthesizes the reduced table directly: every 5th
+        # host index declares delay 1 + idx % 7 s, others unbounded).
+        # The clip is REPORTED (granted/clipped), not silently
+        # redistributed — redistribution is a policy loop the caller
+        # owns; the exact-sum invariant lives in `allocated`.
+        epoch_sec = 86400
+        alloc = crawl_budget_q(sf_dir)
+
+        def clamp(t: pa.Table) -> pa.Table:
+            idx = pc.cast(pc.struct_field(pc.extract_regex(
+                t["host"], r"^h(?P<i>\d+)\.test$"), "i"), pa.int64())
+            # idx % 5 == 0 -> has a crawl-delay rule
+            delayed = pc.equal(
+                pc.subtract(idx, pc.multiply(
+                    pc.divide(idx, pa.scalar(5, pa.int64())),
+                    pa.scalar(5, pa.int64()))), pa.scalar(0, pa.int64()))
+            delay = pc.add(pc.subtract(
+                idx, pc.multiply(pc.divide(idx, pa.scalar(7, pa.int64())),
+                                 pa.scalar(7, pa.int64()))),
+                pa.scalar(1, pa.int64()))
+            cap = pc.if_else(delayed,
+                             pc.divide(pa.scalar(epoch_sec, pa.int64()),
+                                       delay),
+                             pa.scalar(-1, pa.int64()))
+            allocated = pc.cast(t["budget"], pa.int64())
+            granted = pc.if_else(pc.equal(cap, -1), allocated,
+                                 pc.min_element_wise(allocated, cap))
+            return pa.table({
+                "host": t["host"], "weight": t["weight"],
+                "allocated": allocated, "capacity": cap,
+                "granted": granted,
+                "clipped": pc.subtract(allocated, granted)})
+
+        return alloc.map_batches(clamp, batch_format="pyarrow")
+
     def _link_rows(sf_dir):
         """Shared page-level link fixture for the link-graph queries:
         per document d (host ``h(d%10).test``, path ``/p/d``) three
@@ -2601,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": pq_topk,
         "ivfadc_ann_topk": ivfadc_topk,
         "recrawl_budget": recrawl_budget_q,
+        "politeness_budget": politeness_budget_q,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -5671,6 +5715,29 @@ SELECT url, weight,
        CAST(cw * 1000000 // W - (cw - weight) * 1000000 // W AS BIGINT)
          AS budget
 FROM c, tot
+"""
+
+    # politeness clamp over the allocation: capacity = epoch // delay
+    # for every 5th host index (delay 1 + idx % 7), -1 = unbounded;
+    # granted = least(allocated, capacity), clip reported not
+    # redistributed (engine docstring).
+    sql["politeness_budget"] = f"""
+WITH alloc AS ({sql["crawl_budget_allocation"]}),
+feat AS (
+  SELECT host, weight, budget AS allocated,
+         CAST(regexp_extract(host, '^h(\\d+)\\.test$', 1) AS BIGINT)
+           AS idx
+  FROM alloc)
+SELECT host, weight, allocated,
+       CASE WHEN idx % 5 = 0 THEN 86400 // (1 + idx % 7)
+            ELSE -1 END AS capacity,
+       CASE WHEN idx % 5 = 0
+            THEN least(allocated, 86400 // (1 + idx % 7))
+            ELSE allocated END AS granted,
+       allocated - CASE WHEN idx % 5 = 0
+                        THEN least(allocated, 86400 // (1 + idx % 7))
+                        ELSE allocated END AS clipped
+FROM feat
 """
 
     # crawler-trap hosts: the oracle reconstructs the per-URL depth /
