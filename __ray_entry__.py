@@ -2674,9 +2674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_truncate",
         # BPE family
         "bpe_merges", "bpe_token_counts", "tokenizer_fertility",
-        # round-5-touched + k-means-cell family
+        # round-5-touched + k-means-cell family + session-3 additions
         "exact_substr_cut", "exact_substr_coverage", "semdedup",
-        "knn_graph", "cluster_select", "main_content", "readability",
+        "knn_graph", "cluster_select", "pq_ann_topk",
+        "crawl_budget_allocation",
     ]
     assert len(window) == 50 and all(name in q for name in window)
     return {**{name: q[name] for name in window},
