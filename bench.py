@@ -275,7 +275,8 @@ SUITE100X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                      "distinct_shingles_hll", "event_users_hll",
                      "doc_pagerank", "value_quantiles_global",
                      "epoch_shuffle", "pack_sequences",
-                     "cdc_chunks", "cdc_dedup_stats"]
+                     "cdc_chunks", "cdc_dedup_stats",
+                     "pq_ann_topk", "ivfadc_ann_topk"]
 
 
 def run_suite100x() -> None:
