@@ -916,6 +916,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(flag, batch_format="pyarrow") \
             .sort("doc_id")
 
+    def ccnet_buckets_q(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from spatula_ray.stages.curate import lm_nll
+        from spatula_ray.stages.joins import hash_bucket_join
+        from spatula_ray.stages.selection import exact_quantiles
+
+        # CCNet (Wenzek et al. 2020) §4.3: per LANGUAGE, split the
+        # corpus into head/middle/tail by LM-perplexity terciles — the
+        # defining curation step of the CommonCrawl->CCNet pipeline.
+        # Thresholds are EXACT per-language quantile_disc values (the
+        # filter_ensemble convention, one counts-only bisection per
+        # language x quantile over the narrow materialized (doc, nll,
+        # lang) table); the language domain is bounded by construction
+        # (CCNet is per-language), so the loop is O(#langs), never a
+        # corpus materialization. Final bucket assignment is one
+        # streaming map with the tiny threshold dict broadcast.
+        docs = _docs(sf_dir, ["doc_id", "lang", "text"]).materialize()
+        fluent = lm_nll(docs, vocab_size=200, add_k=1) \
+            .select_columns(["doc_id", "nll"]).materialize()
+        joined = hash_bucket_join(
+            fluent, docs.select_columns(["doc_id", "lang"]),
+            on=["doc_id"]).materialize()
+        langs = sorted(r["lang"] for r in
+                       joined.groupby("lang").count().take_all())
+        thr = {}
+        for lg in langs:
+            def only(t: pa.Table, lg=lg) -> pa.Table:
+                return t.filter(pc.equal(t["lang"], lg))
+
+            sub = joined.map_batches(only, batch_format="pyarrow")
+            qs = exact_quantiles(sub, "nll", [0.33, 0.66],
+                                 gather_threshold=0)
+            thr[lg] = (qs[0.33], qs[0.66])
+
+        def bucket(t: pa.Table) -> pa.Table:
+            nll = t["nll"].to_numpy(zero_copy_only=False)
+            lang_np = np.asarray(t["lang"].to_pylist(), dtype=object)
+            p33 = np.empty(len(nll), dtype=np.float64)
+            p66 = np.empty(len(nll), dtype=np.float64)
+            for lg, (a, b) in thr.items():
+                m = lang_np == lg
+                p33[m] = a
+                p66[m] = b
+            buck = np.where(nll <= p33, "head",
+                            np.where(nll <= p66, "middle", "tail"))
+            return pa.table({
+                "doc_id": t["doc_id"], "lang": t["lang"],
+                "nll": t["nll"],
+                "bucket": pa.array(buck.astype("U"), type=pa.string())})
+
+        return joined.map_batches(bucket, batch_format="pyarrow")
+
     def span_langid_q(sf_dir):
         import pyarrow as pa
 
@@ -2645,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfadc_ann_topk": ivfadc_topk,
         "recrawl_budget": recrawl_budget_q,
         "politeness_budget": politeness_budget_q,
+        "ccnet_buckets": ccnet_buckets_q,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -5242,6 +5298,22 @@ SELECT qy.doc_id, qy.quality, lm.nll,
 FROM qy JOIN lm USING (doc_id), tq, tn
 ORDER BY qy.doc_id
 """
+    # CCNet per-language perplexity terciles: lm_nll mirror composed
+    # verbatim, quantile_disc thresholds PARTITIONed by language
+    sql["ccnet_buckets"] = f"""
+WITH lm AS ({sql["lm_nll"]}),
+j AS (SELECT lm.doc_id, d.lang, lm.nll
+      FROM lm JOIN documents d USING (doc_id)),
+t AS (SELECT lang, quantile_disc(nll, 0.33) AS p33,
+             quantile_disc(nll, 0.66) AS p66
+      FROM j GROUP BY lang)
+SELECT j.doc_id, j.lang, j.nll,
+       CASE WHEN j.nll <= t.p33 THEN 'head'
+            WHEN j.nll <= t.p66 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN t USING (lang)
+"""
+
     # BPE trainer: 8 merge iterations unrolled as a CTE chain
     sql["bpe_merges"] = _bpe_oracle_sql()
     # BPE encoder: same chain's final vocab joined back to doc words
