@@ -68,3 +68,57 @@ def test_worker_death_mid_batch_is_retried_idempotently(tmp_path):
         assert a["record_json"] is None and b["record_json"] is None
     assert hurt.fetched_urls() == clean.fetched_urls()
     assert hurt.counters["emitted"] == clean.counters["emitted"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_worker_death_mid_election_is_retried_idempotently():
+    """Round-5 rework hardening: the winner election runs as raw tasks
+    whose outputs are driver-owned ('a task retry replaces its own
+    output', engine/driver._elect_block). Kill the election worker
+    AFTER its side-effectful seen-filter RPCs have run; Ray's task
+    retry re-executes the group, the offer protocol's min-idempotency
+    absorbs the duplicate RPCs, and the crawl must reproduce the
+    undisturbed run's docs, URL-seen set and counters exactly."""
+    from ray import cloudpickle
+
+    import spatula_ray.engine.driver as drv
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    marker = "/tmp/_spatula_ray_elect_die_once"
+    if os.path.exists(marker):
+        os.remove(marker)
+    real = drv._elect_block
+
+    def dying_elect(shard_handles, *tables):
+        out = real(shard_handles, *tables)
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            os._exit(1)       # die after the RPCs: retry replays them
+        return out
+
+    factory = DocwebResolverFactory(f"{SF_DIR}/documents.parquet")
+    cfg = dict(dedup="cuckoo", n_filter_shards=2, batch_size=64,
+               use_actors=False)
+
+    clean = crawl(docweb_seeds(500), build_registry(DocList, DocDetail),
+                  factory, CrawlConfig(**cfg))
+    clean_rows = clean.docs_sorted().take_all()
+
+    drv._elect_block = dying_elect
+    try:
+        hurt = crawl(docweb_seeds(500),
+                     build_registry(DocList, DocDetail),
+                     factory, CrawlConfig(**cfg))
+        hurt_rows = hurt.docs_sorted().take_all()
+    finally:
+        drv._elect_block = real
+
+    assert os.path.exists(marker), "the failure injection never fired"
+    os.remove(marker)
+    assert len(hurt_rows) == len(clean_rows)
+    for a, b in zip(hurt_rows, clean_rows):
+        assert a["doc_id"] == b["doc_id"]
+    assert hurt.fetched_urls() == clean.fetched_urls()
+    assert hurt.counters["emitted"] == clean.counters["emitted"]
