@@ -956,8 +956,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def bucket(t: pa.Table) -> pa.Table:
             nll = t["nll"].to_numpy(zero_copy_only=False)
             lang_np = np.asarray(t["lang"].to_pylist(), dtype=object)
-            p33 = np.empty(len(nll), dtype=np.float64)
-            p66 = np.empty(len(nll), dtype=np.float64)
+            # NaN init: a lang missing from thr (threshold/bucket pass
+            # drift, null lang) compares False on both <= tests and
+            # lands deterministically in 'tail' instead of reading
+            # uninitialized memory
+            p33 = np.full(len(nll), np.nan)
+            p66 = np.full(len(nll), np.nan)
             for lg, (a, b) in thr.items():
                 m = lang_np == lg
                 p33[m] = a
@@ -1338,9 +1342,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       pc.add(lam, 1)))
             return pa.table({"url": t["url"], "weight": w})
 
+        # prefix_len=4: every fixture URL shares 'u/', so the default
+        # 2-byte order-prefix would collapse to ONE bucket and serialize
+        # the allocation (real URL keys share 'https://' the same way)
         per_url = pri.map_batches(weigh, batch_format="pyarrow")
         return crawl_budget_allocation(per_url, budget=1_000_000,
-                                       host_col="url")
+                                       host_col="url", prefix_len=4)
 
     def politeness_budget_q(sf_dir):
         import pyarrow as pa

@@ -749,7 +749,8 @@ def rendezvous_shards(urls, n_old: int = 8, n_new: int = 9,
 
 def crawl_budget_allocation(hosts, budget: int,
                             host_col: str = "host",
-                            weight_col: str = "weight"):
+                            weight_col: str = "weight",
+                            prefix_len: int = 2):
     """Proportional per-host crawl-budget split — the planning step
     between host ranking and the next crawl epoch (per-host page quotas
     ∝ host rank are the standard freshness/quality budget policy; cf.
@@ -768,7 +769,8 @@ def crawl_budget_allocation(hosts, budget: int,
 
     Scale shape: the same two-pass distributed prefix sum as
     :func:`curate.pack_sequences`, with an ORDER-PRESERVING partition
-    key (the host's first two bytes → 64Ki buckets): per-bucket weight
+    key (the key's first ``prefix_len`` bytes — pick it past any prefix
+    all keys share): per-bucket weight
     totals via groupby-sum (the driver scans one row per bucket, never
     per host), then one vectorized per-bucket kernel adds the bucket's
     exclusive offset and emits the quota differences. Weights shuffle
@@ -782,11 +784,15 @@ def crawl_budget_allocation(hosts, budget: int,
     def key_bucket(t: pa.Table) -> pa.Table:
         h = pc.cast(t[host_col], pa.string())
         w = pc.cast(t[weight_col], pa.int64())
-        # order-preserving 2-char prefix key (vectorized): bucket(a) <=
+        # order-preserving prefix key (vectorized): bucket(a) <=
         # bucket(b) whenever a <= b, so bucket-ascending +
-        # host-ascending within bucket IS the global host order
-        pad = pc.binary_join_element_wise(h, "\x00\x00", "")
-        pref = pc.utf8_slice_codeunits(pad, 0, 2)
+        # host-ascending within bucket IS the global host order.
+        # `prefix_len` must reach past any prefix ALL keys share or the
+        # partitioning degenerates to one bucket (host keys: 2 is
+        # plenty; URL keys behind a shared 'https://' scheme need the
+        # slice to extend past it — see recrawl_budget, prefix_len=4)
+        pad = pc.binary_join_element_wise(h, "\x00" * prefix_len, "")
+        pref = pc.utf8_slice_codeunits(pad, 0, prefix_len)
         return pa.table({host_col: h, weight_col: w, "__bucket": pref})
 
     keyed = hosts.map_batches(key_bucket, batch_format="pyarrow") \

@@ -258,6 +258,19 @@ def _qnorm(v: np.ndarray, q_scale: int) -> np.ndarray:
         .astype(np.int64)
 
 
+def _sample_matrix(ds, sample: int, q_scale: int,
+                   emb_col: str = "embedding",
+                   id_col: str = "vec_id") -> np.ndarray:
+    """The bounded deterministic training sample every quantizer trainer
+    shares (kmeans_centroids / pq_codebooks / ivfadc_ann_topk): first
+    ``sample`` rows by ``id_col``, quantized to the integer grid. One
+    driver-side fetch of O(sample x dim), never O(corpus)."""
+    rows = ds.select_columns([id_col, emb_col]).limit(sample).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    mat = np.asarray([list(r[emb_col]) for r in rows], dtype=np.float64)
+    return _quantize(mat, q_scale)
+
+
 def derive_n_cells(n: int, target_occ: int = 256, min_cells: int = 16,
                    max_cells: int = 2048) -> int:
     """Derive the k-means cell count from corpus size so expected cell
@@ -309,7 +322,8 @@ def _split_cell_groups(ids: np.ndarray, m: np.ndarray, cap: int,
 def kmeans_centroids(ds, n_cells: int = 16, sample: int = 2048,
                      iters: int = 5, q_scale: int = 1000,
                      emb_col: str = "embedding",
-                     id_col: str = "vec_id") -> np.ndarray:
+                     id_col: str = "vec_id",
+                     xi: "np.ndarray | None" = None) -> np.ndarray:
     """IVF training side: integer-quantized spherical k-means on a BOUNDED
     sample (driver memory is O(sample x dim), never O(corpus)).
 
@@ -326,11 +340,11 @@ def kmeans_centroids(ds, n_cells: int = 16, sample: int = 2048,
     Returns int64 centroids of shape (n_cells, dim), entries in [-Q, Q].
     At real scale swap the sample for minibatch k-means over iter_batches —
     the assignment/search stages below are unchanged (they only need SOME
-    deterministic centroid table)."""
-    rows = ds.select_columns([id_col, emb_col]).limit(sample).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    mat = np.asarray([list(r[emb_col]) for r in rows], dtype=np.float64)
-    xi = _quantize(mat, q_scale)
+    deterministic centroid table). Pass ``xi`` (a pre-fetched
+    :func:`_sample_matrix`) to skip the fetch when the caller shares the
+    sample."""
+    if xi is None:
+        xi = _sample_matrix(ds, sample, q_scale, emb_col, id_col)
     s = len(xi)
     cents = np.stack([_qnorm(xi[(j * s) // n_cells], q_scale)
                       for j in range(n_cells)])
@@ -498,10 +512,8 @@ def pq_codebooks(ds, m: int = 4, n_cells: int = 16, sample: int = 2048,
     per-dim ROUNDED MEAN ``floor(sum/count + 0.5)`` — one IEEE divide
     of exact integers, bit-identical in DuckDB. Returns a list of m
     int64 arrays of shape (n_cells, dim//m)."""
-    rows = ds.select_columns([id_col, emb_col]).limit(sample).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    mat = np.asarray([list(r[emb_col]) for r in rows], dtype=np.float64)
-    return _pq_train(_quantize(mat, q_scale), m, n_cells, iters)
+    return _pq_train(_sample_matrix(ds, sample, q_scale, emb_col, id_col),
+                     m, n_cells, iters)
 
 
 def _pq_train(xi: np.ndarray, m: int, n_cells: int, iters: int):
@@ -703,13 +715,10 @@ def ivfadc_ann_topk(ds, queries: np.ndarray, k: int = 10,
     import pandas as pd
 
     q = np.asarray(queries, dtype=np.float64)
+    smat = _sample_matrix(ds, sample, q_scale)
     coarse = kmeans_centroids(ds, n_cells=n_coarse, sample=sample,
-                              iters=coarse_iters, q_scale=q_scale)
-    rows = ds.select_columns(["vec_id", "embedding"]).limit(sample) \
-        .take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    smat = _quantize(np.asarray([list(r["embedding"]) for r in rows],
-                                dtype=np.float64), q_scale)
+                              iters=coarse_iters, q_scale=q_scale,
+                              xi=smat)
     assign = np.argmax(smat @ coarse.T, axis=1)
     books = _pq_train(smat - coarse[assign], m, n_cells, pq_iters)
     dsub = books[0].shape[1]

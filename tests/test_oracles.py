@@ -81,7 +81,12 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       "reciprocal_edges", "degree_histogram",
                       "hyperball_reach", "rendezvous_shards",
                       "colink_similarity", "textrank_keywords",
-                      "sitemap_index"]
+                      "sitemap_index",
+                      # round-5 session-3: link-spam signal, crawl
+                      # planning trio, PQ/IVFADC ANN, CCNet terciles
+                      "outlink_diversity", "crawl_budget_allocation",
+                      "recrawl_budget", "politeness_budget",
+                      "pq_ann_topk", "ivfadc_ann_topk", "ccnet_buckets"]
 
 
 def _duck(sf_dir):
