@@ -457,6 +457,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(remap, batch_format="pyarrow")
 
+    def jl_project_q(sf_dir):
+        from spatula_ray.ioutil import read_parquet_clean
+
+        ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+        return sim.jl_project(ds, out_dim=8)
+
     def repetition_stats(sf_dir):
         from spatula_ray.stages.curate import RepetitionStats
 
@@ -2708,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_budget": recrawl_budget_q,
         "politeness_budget": politeness_budget_q,
         "ccnet_buckets": ccnet_buckets_q,
+        "jl_project": jl_project_q,
     }
     # The driver's correctness gate samples the FIRST 50 entries; rounds
     # 1-4 always presented the same head, so the graph / ingest /
@@ -5287,6 +5295,26 @@ ORDER BY f.doc_id
     sql["ivf_ann_topk"] = _ivf_oracle_sql()
     sql["pq_ann_topk"] = _pq_oracle_sql()
     sql["ivfadc_ann_topk"] = _ivfadc_oracle_sql()
+    # JL ±1 projection: md5-parity sign matrix, pure integer sums
+    sql["jl_project"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xi AS (SELECT vec_id,
+              list_transform(v, x -> floor(x * 1000.0 + 0.5)) AS xv
+       FROM e),
+ex AS (SELECT vec_id, unnest(xv) AS val,
+              unnest(generate_series(0, len(xv) - 1)) AS d
+       FROM xi),
+s AS (SELECT dd.d, j.j,
+             CASE WHEN md5_number_lower('jl-' || CAST(dd.d AS VARCHAR)
+                       || '-' || CAST(j.j AS VARCHAR)) % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT DISTINCT d FROM ex) dd,
+           (SELECT unnest(generate_series(0, 7)) AS j) j)
+SELECT e.vec_id, CAST(s.j AS BIGINT) AS dim,
+       CAST(sum(e.val * s.sgn) AS BIGINT) AS val
+FROM ex e JOIN s ON s.d = e.d
+GROUP BY 1, 2
+"""
     # SemDeDup: same k-means prefix + integer-exact within-cell pairwise
     sql["semdedup"] = _semdedup_oracle_sql()
     # cell-bounded exact k-NN graph: same k-means prefix, top-k ranking

@@ -191,7 +191,7 @@ SUITE10X_QUERIES = ["text_stats", "exact_dedup", "minhash_dup_pairs",
                     # round-5 session-3 additions
                     "outlink_diversity", "crawl_budget_allocation",
                     "pq_ann_topk", "ivfadc_ann_topk", "recrawl_budget",
-                    "politeness_budget", "ccnet_buckets"]
+                    "politeness_budget", "ccnet_buckets", "jl_project"]
 
 
 def _build_10x(src_dir: str, dst_dir: str, factor: int = 10) -> None:

@@ -752,6 +752,75 @@ def ivfadc_ann_topk(ds, queries: np.ndarray, k: int = 10,
                                                batch_format="pandas")
 
 
+class _JLProject:
+    """map_batches actor for :func:`jl_project`: builds the deterministic
+    ±1 sign matrix once per actor (md5 parity per (in-dim, out-dim)
+    cell — the repo's md5_number_lower convention), then one integer
+    matmul per batch."""
+
+    def __init__(self, out_dim: int, q_scale: int, emb_col: str,
+                 id_col: str):
+        self.out_dim = out_dim
+        self.q_scale = q_scale
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self._s: "np.ndarray | None" = None
+
+    def _signs(self, dim: int) -> np.ndarray:
+        if self._s is None:
+            import hashlib
+
+            s = np.empty((dim, self.out_dim), dtype=np.int64)
+            for d in range(dim):
+                for j in range(self.out_dim):
+                    b = int.from_bytes(hashlib.md5(
+                        ("jl-%d-%d" % (d, j)).encode()).digest()[8:],
+                        "little")
+                    s[d, j] = 1 if b & 1 else -1
+            self._s = s
+        return self._s
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.int64())})
+        ids = _int_col(t[self.id_col])
+        xi = _quantize(_list_col_to_matrix(t[self.emb_col]), self.q_scale)
+        proj = xi @ self._signs(xi.shape[1])
+        n, k = proj.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "dim": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "val": pa.array(proj.reshape(-1)),
+        })
+
+
+def jl_project(ds, out_dim: int = 8, q_scale: int = 1000,
+               emb_col: str = "embedding", id_col: str = "vec_id",
+               concurrency=(2, 8)):
+    """Johnson-Lindenstrauss signed random projection (Achlioptas JCSS'03
+    — the database-friendly ±1 variant of JL): project each quantized
+    embedding onto ``out_dim`` deterministic ±1 directions. THE standard
+    dimensionality-reduction step before clustering / LSH at corpus
+    scale (a 10^10 x 768-float table becomes 10^10 x out_dim ints with
+    distance distortion bounded by the JL lemma); also the sign-matrix
+    half of every SimHash/hyperplane-LSH stage, exposed standalone.
+
+    Signs derive from md5 parity per (in-dim, out-dim) cell — the repo's
+    ``md5_number_lower`` convention — so the DuckDB oracle reproduces
+    the projection bit-for-bit in int64. Scale shape: sign matrix built
+    once per actor in ``__init__``-adjacent lazy init (O(dim*out_dim),
+    never shipped), one integer matmul per batch, ZERO shuffle; output
+    flattened ``(vec_id, dim, val)`` rows."""
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        _JLProject,
+        fn_constructor_kwargs=dict(out_dim=out_dim, q_scale=q_scale,
+                                   emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
+        max_restarts=0)
+
+
 # -- SemDeDup: semantic dedup over k-means cells -------------------------------
 
 

@@ -86,7 +86,8 @@ NEW_ORACLE_QUERIES = ["langid_pred", "winnow_fingerprints",
                       # planning trio, PQ/IVFADC ANN, CCNet terciles
                       "outlink_diversity", "crawl_budget_allocation",
                       "recrawl_budget", "politeness_budget",
-                      "pq_ann_topk", "ivfadc_ann_topk", "ccnet_buckets"]
+                      "pq_ann_topk", "ivfadc_ann_topk", "ccnet_buckets",
+                      "jl_project"]
 
 
 def _duck(sf_dir):

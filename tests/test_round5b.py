@@ -189,6 +189,24 @@ def test_ivfadc_respects_cluster_structure():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_jl_project_deterministic_and_duplicate_preserving():
+    from spatula_ray.stages.similarity import jl_project
+
+    rng = np.random.RandomState(31)
+    mat = rng.standard_normal((50, 16))
+    mat[30] = mat[10]
+    out = jl_project(_emb_ds(mat), out_dim=4).to_pandas()
+    assert len(out) == 200                       # 50 vecs x 4 dims
+    a = out[out.vec_id == 10].sort_values("dim")["val"].to_numpy()
+    b = out[out.vec_id == 30].sort_values("dim")["val"].to_numpy()
+    assert (a == b).all()                        # dup vectors -> same proj
+    out2 = jl_project(_emb_ds(mat), out_dim=4).to_pandas()
+    c1 = out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    c2 = out2.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    assert c1.equals(c2)                         # run-to-run determinism
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pq_codebooks_rejects_indivisible_dim():
     from spatula_ray.stages.similarity import pq_codebooks
 
