@@ -1067,7 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ex = ann_topk(sf_dir).to_pandas()
         rows = []
         for method, fn in (("lsh", lsh_topk), ("ivf", ivf_topk),
-                           ("pq", pq_topk)):
+                           ("pq", pq_topk), ("ivfadc", ivfadc_topk)):
             ap = fn(sf_dir).to_pandas()
             m = ex.merge(ap, on=["query_id", "vec_id"], how="left",
                          indicator=True)
@@ -6633,6 +6633,7 @@ WITH e AS ({sql["ann_topk"]}),
 l AS ({sql["lsh_ann_topk"]}),
 i AS ({sql["ivf_ann_topk"]}),
 p AS ({sql["pq_ann_topk"]}),
+a AS ({sql["ivfadc_ann_topk"]}),
 lr AS (SELECT e.query_id, 'lsh' AS method, count(l.vec_id) AS hits
        FROM e LEFT JOIN l
          ON l.query_id = e.query_id AND l.vec_id = e.vec_id
@@ -6644,11 +6645,15 @@ ir AS (SELECT e.query_id, 'ivf' AS method, count(i.vec_id) AS hits
 pr AS (SELECT e.query_id, 'pq' AS method, count(p.vec_id) AS hits
        FROM e LEFT JOIN p
          ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+       GROUP BY 1),
+ar AS (SELECT e.query_id, 'ivfadc' AS method, count(a.vec_id) AS hits
+       FROM e LEFT JOIN a
+         ON a.query_id = e.query_id AND a.vec_id = e.vec_id
        GROUP BY 1)
 SELECT query_id, method,
        CAST(hits * 1000000 // {_TOPK} AS BIGINT) AS recall_micro
 FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir
-      UNION ALL SELECT * FROM pr)
+      UNION ALL SELECT * FROM pr UNION ALL SELECT * FROM ar)
 """
 
     # C4 line filters over the 6-word-line fixture: identical line
