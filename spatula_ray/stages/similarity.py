@@ -34,7 +34,12 @@ def _list_col_to_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     if (widths == widths[0]).all() and arr.null_count == 0:
         flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
         return flat[offsets[0]:offsets[-1]].reshape(n, int(widths[0]))
-    return np.asarray(arr.to_pylist(), dtype=np.float64)
+    # null or ragged embedding lists have no rectangular representation;
+    # fail loudly with the cause instead of numpy's inhomogeneous-shape
+    # TypeError (filter/impute nulls upstream)
+    raise ValueError(
+        "embedding column has %s — expected non-null fixed-width lists"
+        % ("null entries" if arr.null_count else "ragged list widths"))
 
 
 def _int_col(col) -> np.ndarray:
@@ -72,7 +77,11 @@ class CosineTopK:
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            # (score desc, vec_id asc) like every other scorer here —
+            # a bare argpartition picks arbitrarily among boundary ties,
+            # which can drop the low-id candidate the global reduce (and
+            # the SQL oracle) would keep
+            idx = np.lexsort((ids, -sims[qi]))[:k]
             out_q.extend([qi] * len(idx))
             out_v.extend(ids[idx].tolist())
             out_s.extend(sims[qi, idx].tolist())
@@ -93,7 +102,10 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10,
     per-batch k is k + (1 if self_ids else 0) + len(exclude_ids or ())."""
     import pandas as pd
 
-    pad = (1 if self_ids else 0) + len(exclude_ids or ())
+    if self_ids is not None and len(self_ids) != len(queries):
+        raise ValueError("topk_cosine: len(self_ids) must equal the "
+                         "number of queries")
+    pad = (1 if self_ids is not None else 0) + len(exclude_ids or ())
     cand = ds.map_batches(CosineTopK,
                           fn_constructor_kwargs=dict(
                               queries=np.asarray(queries, dtype=np.float64),
@@ -264,7 +276,13 @@ def _sample_matrix(ds, sample: int, q_scale: int,
     """The bounded deterministic training sample every quantizer trainer
     shares (kmeans_centroids / pq_codebooks / ivfadc_ann_topk): first
     ``sample`` rows by ``id_col``, quantized to the integer grid. One
-    driver-side fetch of O(sample x dim), never O(corpus)."""
+    driver-side fetch of O(sample x dim), never O(corpus).
+
+    PRECONDITION: ``ds`` must be ``id_col``-ordered (parquet fixtures
+    are) — ``limit()`` takes scan order, and the sort only orders the
+    limited subset; an unordered input trains on a different sample
+    than the oracle's ``ORDER BY id LIMIT sample`` and diverges. Sort
+    upstream (or use a minibatch trainer) for shuffled inputs."""
     rows = ds.select_columns([id_col, emb_col]).limit(sample).take_all()
     rows.sort(key=lambda r: r[id_col])
     mat = np.asarray([list(r[emb_col]) for r in rows], dtype=np.float64)
@@ -396,9 +414,11 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
     def assign(batch: pa.Table) -> pa.Table:
         vecs = _list_col_to_matrix(batch["embedding"])
         if len(vecs) == 0:
+            # same field ORDER as the nonempty append_column path —
+            # order-mismatched empty blocks break strict schema unification
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
-                             "bucket": pa.array([], type=pa.int64()),
-                             "embedding": batch["embedding"]})
+                             "embedding": batch["embedding"],
+                             "bucket": pa.array([], type=pa.int64())})
         cells = np.argmax(_quantize(vecs, q_scale) @ cents.T, axis=1) \
             .astype(np.int64)
         keep = np.isin(cells, wanted)
@@ -463,8 +483,8 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         vecs = _list_col_to_matrix(batch["embedding"])
         if len(vecs) == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
-                             "bucket": pa.array([], type=pa.int64()),
-                             "embedding": batch["embedding"]})
+                             "embedding": batch["embedding"],
+                             "bucket": pa.array([], type=pa.int64())})
         buckets = lsh.bucket_of(vecs).astype(np.int64)
         keep = np.isin(buckets, wanted)
         t = batch.append_column("bucket", pa.array(buckets))
@@ -821,6 +841,38 @@ def jl_project(ds, out_dim: int = 8, q_scale: int = 1000,
         max_restarts=0)
 
 
+def _grid_assign(t: pa.Table, cents: np.ndarray, q_scale: int,
+                 emb_col: str, id_col: str):
+    """Shared quantize → coarse-cell argmax → sphere-grid-normalize step
+    of the k-means-cell family (semdedup / knn_graph /
+    cluster_balanced_select — previously three hand-synced copies).
+    Returns ``(ids_col, cell, nv)`` with an empty-safe ``(0, dim)`` nv
+    (an empty Arrow block used to hit a shape-mismatched matmul and, on
+    the emit side, a width-0 FixedSizeList that broke schema unification)."""
+    xi = _quantize(_list_col_to_matrix(t[emb_col]), q_scale)
+    if len(xi) == 0:
+        dim = cents.shape[1]
+        return (t[id_col], np.zeros(0, dtype=np.int64),
+                np.zeros((0, dim), dtype=np.int64))
+    cell = np.argmax(xi @ cents.T, axis=1).astype(np.int64)
+    nsq = (xi * xi).sum(axis=1)
+    norm = np.sqrt(nsq.astype(np.float64))
+    norm[norm == 0] = 1.0                        # zero vec: keep as-is
+    nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
+        .astype(np.int64)
+    return t[id_col], cell, nv
+
+
+def _nv_table(ids, cell: np.ndarray, nv: np.ndarray) -> pa.Table:
+    """(vec_id, cell, nv) emission shared by semdedup / knn_graph."""
+    return pa.table({
+        "vec_id": ids,
+        "cell": pa.array(cell),
+        "nv": pa.FixedSizeListArray.from_arrays(
+            pa.array(nv.reshape(-1), type=pa.int64()), nv.shape[1]),
+    })
+
+
 # -- SemDeDup: semantic dedup over k-means cells -------------------------------
 
 
@@ -865,21 +917,7 @@ def semdedup(ds, n_cells: int = None, tau_permille: int = 960,
     tau_int = (tau_permille * q_scale * q_scale) // 1000
 
     def assign(t: pa.Table) -> pa.Table:
-        mat = _list_col_to_matrix(t[emb_col])
-        xi = _quantize(mat, q_scale)
-        cell = np.argmax(xi @ cents.T, axis=1)      # ties -> lowest cell
-        nsq = (xi * xi).sum(axis=1)
-        norm = np.sqrt(nsq.astype(np.float64))
-        norm[norm == 0] = 1.0                        # zero vec: keep as-is
-        nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
-            .astype(np.int64)
-        dim = nv.shape[1] if nv.size else 0
-        return pa.table({
-            "vec_id": t[id_col],
-            "cell": pa.array(cell.astype(np.int64)),
-            "nv": pa.FixedSizeListArray.from_arrays(
-                pa.array(nv.reshape(-1), type=pa.int64()), dim),
-        })
+        return _nv_table(*_grid_assign(t, cents, q_scale, emb_col, id_col))
 
     def kernel(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
@@ -896,7 +934,10 @@ def semdedup(ds, n_cells: int = None, tau_permille: int = 960,
             n = len(gids)
             sims = gm @ gm.T                         # exact int64
             mask = sims >= tau_int
-            mask[np.tril_indices(n)] = False         # only i < j qualifies
+            # only i < j qualifies; triu keeps peak memory at one n^2
+            # bool temp (tril_indices materialized two n^2/2 int64
+            # index arrays — ~540 MB at the 8192 cell cap)
+            mask = np.triu(mask, k=1)
             has = mask.any(axis=0)
             first = np.argmax(mask, axis=0)          # first True = min id
             out_ids.append(gids)
@@ -950,21 +991,7 @@ def knn_graph(ds, k: int = 4, n_cells: int = None, sample: int = 2048,
     lo = -2 * q_scale * q_scale          # below any achievable dot
 
     def assign(t: pa.Table) -> pa.Table:
-        mat = _list_col_to_matrix(t[emb_col])
-        xi = _quantize(mat, q_scale)
-        cell = np.argmax(xi @ cents.T, axis=1)
-        nsq = (xi * xi).sum(axis=1)
-        norm = np.sqrt(nsq.astype(np.float64))
-        norm[norm == 0] = 1.0
-        nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
-            .astype(np.int64)
-        dim = nv.shape[1] if nv.size else 0
-        return pa.table({
-            "vec_id": t[id_col],
-            "cell": pa.array(cell.astype(np.int64)),
-            "nv": pa.FixedSizeListArray.from_arrays(
-                pa.array(nv.reshape(-1), type=pa.int64()), dim),
-        })
+        return _nv_table(*_grid_assign(t, cents, q_scale, emb_col, id_col))
 
     def kernel(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
@@ -1040,18 +1067,11 @@ def cluster_balanced_select(ds, per_cell: int = 8, n_cells: int = None,
                              emb_col=emb_col, id_col=id_col)
 
     def assign(t: pa.Table) -> pa.Table:
-        mat = _list_col_to_matrix(t[emb_col])
-        xi = _quantize(mat, q_scale)
-        cell = np.argmax(xi @ cents.T, axis=1)
-        nsq = (xi * xi).sum(axis=1)
-        norm = np.sqrt(nsq.astype(np.float64))
-        norm[norm == 0] = 1.0
-        nv = np.floor(xi / norm[:, None] * float(q_scale) + 0.5) \
-            .astype(np.int64)
+        ids, cell, nv = _grid_assign(t, cents, q_scale, emb_col, id_col)
         score = (nv * cents[cell]).sum(axis=1)
         return pa.table({
-            "vec_id": t[id_col],
-            "cell": pa.array(cell.astype(np.int64)),
+            "vec_id": ids,
+            "cell": pa.array(cell),
             "score": pa.array(score.astype(np.int64)),
         })
 
