@@ -3542,18 +3542,21 @@ WHERE bit_count(xor(x.s, y.s)) <= 3
         "lsh_ann_topk": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS nd
            FROM embeddings),
+xq AS (SELECT vec_id,
+              list_transform(v, x -> floor(x * 1000.0 + 0.5)) AS xv
+       FROM e),
 planes AS (
   SELECT p.p, list_transform(generate_series(1, (SELECT max(nd) FROM e)),
       d -> CASE WHEN md5_number_lower(CAST(p.p AS VARCHAR) || '_'
                                       || CAST(d - 1 AS VARCHAR)) % 2 = 1
-                THEN 1.0 ELSE -1.0 END) AS w
+                THEN 1 ELSE -1 END) AS w
   FROM generate_series(0, 7) p(p)
 ),
 sigs AS (
-  SELECT e.vec_id,
-         CAST(sum(CASE WHEN list_inner_product(e.v, pl.w) > 0
+  SELECT x.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(x.xv, pl.w) > 0
                        THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
-  FROM e, planes pl GROUP BY e.vec_id
+  FROM xq x, planes pl GROUP BY x.vec_id
 ),
 q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id
       LIMIT {_N_QUERIES}),

@@ -190,22 +190,32 @@ class HashSignLSH:
     the md5 digest), else -1. A +-1 Rademacher plane is a standard
     random-hyperplane instance (sign agreement still concentrates around
     cosine), and the deterministic construction lets the DuckDB oracle
-    compute identical buckets."""
+    compute identical buckets.
+
+    Projections run on the INTEGER grid (``floor(x*Q+0.5)`` then an
+    int64 ±1 matmul), so every plane sum is an exact integer and the
+    sign test cannot ULP-flip between numpy's blocked BLAS accumulation
+    and DuckDB's sequential SUM — the same playbook as every other
+    oracle-parity surface in this file (a raw-double projection near
+    zero was the one place parity rested on accumulation order)."""
+
+    Q_SCALE = 1000
 
     def __init__(self, dim: int, n_planes: int = 8):
         import hashlib
 
-        w = np.empty((n_planes, dim), dtype=np.float64)
+        w = np.empty((n_planes, dim), dtype=np.int64)
         for p in range(n_planes):
             for d in range(dim):
                 h = int.from_bytes(
                     hashlib.md5(f"{p}_{d}".encode()).digest()[8:], "little")
-                w[p, d] = 1.0 if h % 2 == 1 else -1.0
+                w[p, d] = 1 if h % 2 == 1 else -1
         self.planes = w
         self.n_planes = n_planes
 
     def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
-        signs = (vecs @ self.planes.T) > 0
+        xi = _quantize(np.asarray(vecs, dtype=np.float64), self.Q_SCALE)
+        signs = (xi @ self.planes.T) > 0             # exact int64 sums
         return (signs.astype(np.uint64)
                 << np.arange(self.n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
 
