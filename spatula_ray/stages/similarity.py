@@ -261,6 +261,25 @@ class _BucketScorer:
                          "score": pa.array(out_s, type=pa.float64())})
 
 
+def _topk_reduce(k: int, score_col: str = "score", snap5: bool = False):
+    """Per-query final reduce shared by the ANN scorers (was four
+    hand-synced copies): top-k by (score desc, vec_id asc); ``snap5``
+    applies the 1e-5 score snap of the float-scored paths, else the
+    score column is pinned int64."""
+    import pandas as pd
+
+    def reduce_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([score_col, "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        if snap5:
+            g[score_col] = np.floor(g[score_col] * 1e5 + 0.5) / 1e5
+        else:
+            g[score_col] = g[score_col].astype("int64")
+        return g
+
+    return reduce_group
+
+
 def _quantize(mat: np.ndarray, q_scale: int) -> np.ndarray:
     """floor(x*Q + 0.5) as int64 — the op chain (one IEEE multiply, one add,
     one floor) is bit-identical to DuckDB's ``floor(x * Q + 0.5)``."""
@@ -445,14 +464,8 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
         max_restarts=0)
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["score"] = np.floor(g["score"] * 1e5 + 0.5) / 1e5
-        return g
-
-    return cand.groupby("query_id").map_groups(reduce_group,
-                                               batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce(k, "score", snap5=True), batch_format="pandas")
 
 
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
@@ -510,14 +523,8 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
         max_restarts=0)
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["score"] = np.floor(g["score"] * 1e5 + 0.5) / 1e5
-        return g
-
-    return cand.groupby("query_id").map_groups(reduce_group,
-                                               batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce(k, "score", snap5=True), batch_format="pandas")
 
 
 # -- Product quantization ANN --------------------------------------------------
@@ -650,14 +657,8 @@ def pq_ann_topk(ds, queries: np.ndarray, k: int = 10, m: int = 4,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
         max_restarts=0)
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["adc_score", "vec_id"],
-                          ascending=[False, True]).head(k)
-        g["adc_score"] = g["adc_score"].astype("int64")
-        return g
-
-    return cand.groupby("query_id").map_groups(reduce_group,
-                                               batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce(k, "adc_score"), batch_format="pandas")
 
 
 class _IVFADCScorer:
@@ -772,14 +773,8 @@ def ivfadc_ann_topk(ds, queries: np.ndarray, k: int = 10,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5,
         max_restarts=0)
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["adc_score", "vec_id"],
-                          ascending=[False, True]).head(k)
-        g["adc_score"] = g["adc_score"].astype("int64")
-        return g
-
-    return cand.groupby("query_id").map_groups(reduce_group,
-                                               batch_format="pandas")
+    return cand.groupby("query_id").map_groups(
+        _topk_reduce(k, "adc_score"), batch_format="pandas")
 
 
 class _JLProject:
