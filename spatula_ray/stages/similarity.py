@@ -6,10 +6,19 @@
   restarts reconstructible — ray#53727), each batch computes sims with a
   double-precision matmul and emits per-batch top-k candidates; a final
   tiny groupby reduces to global top-k. Exactly reproducible in SQL
-  (double-precision inner products).
-* LSH-bucketed ANN — scale path: random-hyperplane signatures bucket the
+  (double-precision inner products, 1e-5 snap, id tie-breaks).
+* LSH-bucketed ANN — integer-grid sign-plane signatures bucket the
   corpus; queries probe only their bucket (+ multiprobe neighbors).
-  Approximate; validated by a recall test against the brute-force baseline.
+* IVF ANN — integer-grid spherical k-means cells, nprobe routing.
+* PQ ANN — per-subspace integer L2 codebooks, exhaustive ADC scan.
+* IVFADC — IVF routing + PQ on integer residuals (the billion-scale
+  pruning × compression recipe).
+* JL ±1 projection, SemDeDup, cell-bounded kNN graph, cluster-balanced
+  selection — all on the same integer grid.
+
+Every method is deterministic and bit-exactly mirrored by a DuckDB
+oracle (the integer-grid playbook); the approximate paths additionally
+carry a recall audit against the brute-force baseline (``ann_recall``).
 """
 
 from __future__ import annotations
